@@ -1,0 +1,133 @@
+"""Event-time queries on the ``events`` table (SURVEY.md §2a.6).
+
+The reference is processing-time-only (poll loop); these are the event-time
+equivalents the Spark engine adds: tumbling windows, sessionization, JSON
+prop extraction. The streaming variants (watermarks, session_window) live in
+``realestatedeals_spark.streaming``; these batch forms share semantics and
+are oracle-checkable.
+
+Determinism notes: timestamps are emitted as formatted strings (tz-proof);
+session-gap arithmetic runs on integer epoch-micros on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from realestatedeals_spark.io.sources import load_events
+from realestatedeals_spark.plans.registry import register
+from realestatedeals_spark.session import apply_session_conf
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _dsum(col: F.Column, scale: int = 4) -> F.Column:
+    return F.sum(col.cast(f"decimal(25,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling 10-minute window per event_type. Spark's window() aligns to the
+# epoch; the oracle floors epoch seconds to the same 600 s grid.
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT strftime(to_timestamp(CAST(floor(epoch_us(ts) / 600000000) * 600 AS BIGINT)) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("e1_tumbling_window", oracle=_TUMBLING_ORACLE, tags=("window", "streaming-batch"), bench=True)
+def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch gaps-and-islands): per user, a new session starts
+# after a >30-minute gap; emit per-session start/end/event-count.
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("e2_sessionize", oracle=_SESSION_ORACLE, tags=("window", "session"))
+def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    wc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wc).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON prop extraction (the reference's property_details dict analog,
+# listing.py:34) — parse props, aggregate by event_type.
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("e3_json_props", oracle=_JSON_ORACLE, tags=("json", "semi-structured"))
+def e3_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,148 @@
+"""Text-pipeline queries on ``documents`` (SURVEY.md §2b X1/X4).
+
+Exact dedup, text statistics, term frequencies, quality scoring — the
+SQL-expressible slice of the LLM-data operators. Near-dup (MinHash/SimHash)
+lives in ``operators.dedup`` with rows-only checks (see llm_dedup plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.plans.registry import register
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup via content hash: canonical doc per distinct text + copy
+# count. sha256 hex matches between Spark (sha2, 256) and DuckDB (sha256).
+# ---------------------------------------------------------------------------
+
+_X1_ORACLE = """
+SELECT sha256(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+@register("x1_exact_dedup", oracle=_X1_ORACLE, tags=("X1", "dedup"), bench=True)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — per-language corpus statistics: doc counts, token counts, char stats.
+# Token = whitespace split (the documents fixture is space-joined words).
+# ---------------------------------------------------------------------------
+
+_X4_STATS_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("x4_lang_stats", oracle=_X4_STATS_ORACLE, tags=("X4", "text"))
+def x4_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — top-25 terms by document frequency: explode → distinct per doc →
+# count → deterministic top-k (count desc, term asc).
+# ---------------------------------------------------------------------------
+
+_X4_TERMS_ORACLE = """
+WITH tokens AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+FROM tokens
+WHERE term <> ''
+GROUP BY term
+ORDER BY doc_freq DESC, term
+LIMIT 25
+"""
+
+
+@register("x4_top_terms", oracle=_X4_TERMS_ORACLE, tags=("X4", "text"))
+def x4_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — quality scoring: token count, mean token length, stopword ratio,
+# all as built-in expressions (language-ID heuristics build on these).
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _sw_sql_list() -> str:
+    return "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+_X4_QUALITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tokens
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(n_chars AS DOUBLE) / len(tokens) AS chars_per_token,
+       CAST(len(list_filter(tokens, x -> x IN {_sw_sql_list()})) AS DOUBLE) / len(tokens)
+         AS stopword_ratio
+FROM toks
+WHERE len(tokens) > 0
+"""
+
+
+@register("x4_quality_score", oracle=_X4_QUALITY_ORACLE, tags=("X4", "text"))
+def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda x: F.array_contains(sw, x)))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.cast("long").alias("n_tokens"),
+            (F.col("n_chars").cast("double") / n_tokens).alias("chars_per_token"),
+            (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

@@ -1,0 +1,99 @@
+"""Vector similarity queries on ``embeddings`` (SURVEY.md §2b X3).
+
+Brute-force cosine top-k is the exactness baseline (oracle-checked); the
+LSH-bucketed approximate variant lives in ``operators.similarity`` with a
+rows-only check against this baseline.
+
+Numeric discipline: the dot product is evaluated in index order on both
+sides (F.aggregate over zip_with vs DuckDB list_reduce over element products)
+so the float arithmetic is identical; scores are additionally rounded to 6
+decimals before output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.plans.registry import register
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Index-ordered dot product of two array<float> columns, in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+_X3_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, 65),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                     (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+                       i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+                       (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                       (acc, x) -> acc + x))) AS cosine
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rk, round(cosine, 6) AS cosine
+FROM ranked WHERE rk <= 5
+"""
+
+
+@register("x3_cosine_topk_bruteforce", oracle=_X3_ORACLE, tags=("X3", "vectors"), bench=True)
+def x3_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for every 100th vector.
+
+    Scale shape: queries are broadcast (tiny side), candidates stream —
+    a map-side cross product with per-partition top-k via the window; at
+    100 TB the LSH variant prunes candidates instead (operators.similarity).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("embedding"))
+                / (l2norm(F.col("qv")) * l2norm(F.col("embedding")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("cosine", 6).alias("cosine"))
+    )

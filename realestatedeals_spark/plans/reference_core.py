@@ -1,0 +1,397 @@
+"""Reference-derived queries (SURVEY.md §2a) posed on the driver star schema.
+
+Mapping (FIXTURES.md §A): ``orders`` plays the listings CDC state
+(o_orderkey = mls, o_totalprice = price); ``customer``/``supplier`` derive the
+agent/contact frames; ``part``/``customer`` strings exercise the scalar
+transforms; ``lineitem`` carries the pushdown envelope.
+
+Each query registers a DuckDB oracle; column aliases match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from realestatedeals_spark.functions.scalars import (
+    normalize_phone,
+    numeric_tail,
+    parse_price,
+    ppsqft,
+    split_name_first,
+    split_name_last,
+    strip_label,
+)
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.operators.agents import agent_dedup_pipeline
+from realestatedeals_spark.operators.cdc import classify_cdc
+from realestatedeals_spark.plans.registry import register
+from realestatedeals_spark.session import apply_session_conf
+
+# ---------------------------------------------------------------------------
+# Flagship: §3.3 agent-dedup pipeline transposed onto customer/supplier/nation.
+# Exercises scan → filter (F3) → broadcast anti-join (J2) → groupBy+collect_set
+# (A1) → initcap/tag projections (T6-T9) — the whole relational core in one
+# lazy plan (SURVEY.md §7 step 1).
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+WITH listings AS (
+  SELECT 'AGENT' || CAST(c_custkey % 37 AS VARCHAR) AS agent_first_name,
+         n_name AS agent_last_name,
+         CASE WHEN c_custkey % 13 = 0 THEN ''
+              ELSE '(801) 555-' || lpad(CAST((c_custkey % 37) * 271 % 10000 AS VARCHAR), 4, '0')
+         END AS agent_phone,
+         c_mktsegment AS city
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+filtered AS (
+  SELECT agent_first_name AS first_name, agent_last_name AS last_name,
+         CASE WHEN length(regexp_replace(coalesce(agent_phone, ''), '[^0-9]', '', 'g')) = 10
+              THEN '+1' || regexp_replace(coalesce(agent_phone, ''), '[^0-9]', '', 'g')
+              WHEN length(regexp_replace(coalesce(agent_phone, ''), '[^0-9]', '', 'g')) = 11
+                   AND regexp_replace(coalesce(agent_phone, ''), '[^0-9]', '', 'g') LIKE '1%'
+              THEN '+' || regexp_replace(coalesce(agent_phone, ''), '[^0-9]', '', 'g')
+              ELSE coalesce(agent_phone, '')
+         END AS phone,
+         city
+  FROM listings
+  WHERE agent_phone IS NOT NULL AND trim(agent_phone) <> ''
+),
+contacts AS (
+  SELECT DISTINCT 'AGENT' || CAST(s_suppkey % 37 AS VARCHAR) AS first_name,
+         n_name AS last_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+newagents AS (
+  SELECT f.* FROM filtered f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM contacts c
+    WHERE c.first_name = f.first_name AND c.last_name = f.last_name)
+),
+grouped AS (
+  SELECT first_name, last_name, phone,
+         array_to_string(list_sort(list_distinct(list(city))), ', ') AS city
+  FROM newagents GROUP BY first_name, last_name, phone
+)
+SELECT upper(substr(first_name, 1, 1)) || lower(substr(first_name, 2)) AS first_name,
+       upper(substr(last_name, 1, 1)) || lower(substr(last_name, 2)) AS last_name,
+       phone,
+       array_to_string(
+         list_transform(string_split(city, ','), x -> trim(x) || ' Utah Market'),
+         ', ') || ', realtor' AS tags
+FROM grouped
+"""
+
+
+def _agent_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    sup = load_table(spark, sf_dir, "supplier")
+
+    listings = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        F.concat(F.lit("AGENT"), (F.col("c_custkey") % 37).cast("string")).alias(
+            "agent_first_name"
+        ),
+        F.col("n_name").alias("agent_last_name"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit("(801) 555-"),
+                F.lpad(((F.col("c_custkey") % 37) * 271 % 10000).cast("string"), 4, "0"),
+            )
+        )
+        .alias("agent_phone"),
+        F.col("c_mktsegment").alias("city"),
+    )
+    contacts = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+        F.concat(F.lit("AGENT"), (F.col("s_suppkey") % 37).cast("string")).alias("first_name"),
+        F.col("n_name").alias("last_name"),
+    )
+    return listings, contacts
+
+
+@register("flagship_agent_dedup", oracle=_FLAGSHIP_ORACLE, tags=("J2", "A1", "T6-T9", "F3"), bench=True)
+def flagship_agent_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    listings, contacts = _agent_frames(spark, sf_dir)
+    return agent_dedup_pipeline(listings, contacts)
+
+
+# ---------------------------------------------------------------------------
+# F1 — the reference's source-pushed predicate envelope (price/sqft/acres →
+# URL params, hunter.py:20). Here the same conjunctive range predicate is
+# pushed into the parquet scan by Catalyst (check .explain: PushedFilters).
+# ---------------------------------------------------------------------------
+
+_F1_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+       CASE WHEN l_quantity > 0 THEN l_extendedprice / l_quantity ELSE 0.0 END AS price_per_qty
+FROM lineitem
+WHERE l_extendedprice <= 15000.0 AND l_quantity >= 7.0 AND l_discount >= 0.01
+"""
+
+
+@register("f1_filter_envelope", oracle=_F1_ORACLE, tags=("F1", "T1"))
+def f1_filter_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_extendedprice") <= 15000.0)
+        & (F.col("l_quantity") >= 7.0)
+        & (F.col("l_discount") >= 0.01)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
+        ppsqft(F.col("l_extendedprice"), F.col("l_quantity")).alias("price_per_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2/T3/T12 — scalar parse transforms on part strings.
+# ---------------------------------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT p_partkey,
+       CAST(coalesce(TRY_CAST(regexp_replace('$' || CAST(p_partkey AS VARCHAR) || ',500', '[$,]', '', 'g') AS BIGINT), 0) AS BIGINT) AS parsed_price,
+       CAST(0 AS BIGINT) AS unparsed_price,
+       string_split(trim(p_name), ' ')[1] AS first_name,
+       array_to_string(string_split(trim(p_name), ' ')[2:], ' ') AS last_name,
+       trim(regexp_replace(p_brand, 'Brand#', '', 'g')) AS brand_num,
+       TRY_CAST(string_split(trim('on market ' || CAST(p_size AS VARCHAR)), ' ')[-1] AS INTEGER) AS days_tail
+FROM part
+"""
+
+
+@register("t_scalar_parsing", oracle=_SCALAR_ORACLE, tags=("T2", "T3", "T12", "T14"))
+def t_scalar_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    price_str = F.concat(F.lit("$"), F.col("p_partkey").cast("string"), F.lit(",500"))
+    bad_price_str = F.concat(F.lit("$"), F.col("p_retailprice").cast("string"))  # '$900.2' → 0
+    return part.select(
+        "p_partkey",
+        parse_price(price_str).alias("parsed_price"),
+        parse_price(bad_price_str).alias("unparsed_price"),
+        split_name_first(F.col("p_name")).alias("first_name"),
+        split_name_last(F.col("p_name")).alias("last_name"),
+        strip_label(F.col("p_brand"), "Brand#").alias("brand_num"),
+        numeric_tail(F.concat(F.lit("on market "), F.col("p_size").cast("string"))).alias(
+            "days_tail"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T6 — phone normalization over all four reference branches
+# (data_loader.py:16-24): 10-digit, 1-prefixed 11-digit, formatted, garbage,
+# empty.
+# ---------------------------------------------------------------------------
+
+_PHONE_ORACLE = """
+WITH raw AS (
+  SELECT c_custkey,
+         CASE c_custkey % 5
+           WHEN 0 THEN '80155512' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+           WHEN 1 THEN '180155534' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+           WHEN 2 THEN '(801) 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           WHEN 3 THEN 'call me maybe'
+           ELSE ''
+         END AS phone
+  FROM customer
+)
+SELECT c_custkey, phone,
+       CASE WHEN length(regexp_replace(coalesce(phone, ''), '[^0-9]', '', 'g')) = 10
+            THEN '+1' || regexp_replace(coalesce(phone, ''), '[^0-9]', '', 'g')
+            WHEN length(regexp_replace(coalesce(phone, ''), '[^0-9]', '', 'g')) = 11
+                 AND regexp_replace(coalesce(phone, ''), '[^0-9]', '', 'g') LIKE '1%'
+            THEN '+' || regexp_replace(coalesce(phone, ''), '[^0-9]', '', 'g')
+            ELSE coalesce(phone, '')
+       END AS phone_norm
+FROM raw
+"""
+
+
+@register("t6_phone_normalize", oracle=_PHONE_ORACLE, tags=("T6",))
+def t6_phone_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    mod = F.col("c_custkey") % 5
+    phone = (
+        F.when(mod == 0, F.concat(F.lit("80155512"), F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0")))
+        .when(mod == 1, F.concat(F.lit("180155534"), F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0")))
+        .when(mod == 2, F.concat(F.lit("(801) 555-"), F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .when(mod == 3, F.lit("call me maybe"))
+        .otherwise(F.lit(""))
+    )
+    return cust.select(
+        "c_custkey",
+        phone.alias("phone"),
+        normalize_phone(phone).alias("phone_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J3/C1/C5 — the CDC full-outer join. "Scrape" = orders minus every 11th
+# key; "snapshot" = orders minus every 5th key, price bumped on every 7th.
+# Yields all three status branches deterministically.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH scraped AS (
+  SELECT o_orderkey AS mls, o_totalprice AS new_price
+  FROM orders WHERE o_orderkey % 11 <> 0
+),
+snapshot AS (
+  SELECT o_orderkey AS mls,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS old_price
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+joined AS (
+  SELECT coalesce(s.mls, p.mls) AS mls, p.old_price, s.new_price
+  FROM scraped s FULL OUTER JOIN snapshot p ON s.mls = p.mls
+)
+SELECT mls,
+       CASE WHEN old_price IS NULL THEN 'new_listing'
+            WHEN new_price IS NULL THEN 'off_market'
+            WHEN new_price <> old_price THEN 'price_change'
+            ELSE 'unchanged' END AS status,
+       old_price, new_price,
+       CASE WHEN old_price IS NOT NULL AND new_price IS NOT NULL AND new_price <> old_price
+                 AND old_price <> 0
+            THEN (new_price - old_price) / old_price * 100.0 END AS price_change_percentage
+FROM joined
+WHERE NOT (old_price IS NOT NULL AND new_price IS NOT NULL AND new_price = old_price)
+"""
+
+
+def _cdc_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = load_table(spark, sf_dir, "orders")
+    scraped = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("mls"), F.col("o_totalprice").alias("price")
+    )
+    snapshot = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("mls"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return scraped, snapshot
+
+
+@register("j1_cdc_classify", oracle=_CDC_ORACLE, tags=("J1", "J3", "C1", "C5"), bench=True)
+def j1_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scraped, snapshot = _cdc_frames(spark, sf_dir)
+    return classify_cdc(scraped, snapshot, key="mls", price="price")
+
+
+# J3 standalone — the off-market anti-join exactly as hunter.py:336-354 states
+# it (saved keys not in this cycle's scrape).
+_OFFMARKET_ORACLE = """
+SELECT p.o_orderkey AS mls,
+       p.o_totalprice AS price
+FROM orders p
+WHERE p.o_orderkey % 5 <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM orders s WHERE s.o_orderkey % 11 <> 0 AND s.o_orderkey = p.o_orderkey)
+"""
+
+
+@register("j3_off_market_anti", oracle=_OFFMARKET_ORACLE, tags=("J3", "F5"))
+def j3_off_market_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    snapshot = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("mls"), F.col("o_totalprice").alias("price")
+    )
+    scraped_keys = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("mls")
+    )
+    return snapshot.join(scraped_keys, on="mls", how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# A2 — keyed last-write-wins dedup, deterministic via row_number (the
+# reference's dict[mls] keying, main.py:29,34). Latest order per customer.
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT o_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+@register("a2_dedup_last_write_wins", oracle=_DEDUP_ORACLE, tags=("A2",))
+def a2_dedup_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — grouped collection (county→zips analog): nations per region, sorted for
+# determinism (utahZip.py:24-44).
+# ---------------------------------------------------------------------------
+
+_REGION_ORACLE = """
+SELECT r_name AS region,
+       array_to_string(list_sort(list(n_name)), ', ') AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("a4_region_nation_rollup", oracle=_REGION_ORACLE, tags=("A4",))
+def a4_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ", ").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — time-on-market: whole days between the listing date and a fixed as-of
+# date (hunter.py:343 uses now(); fixed here for reproducibility).
+# ---------------------------------------------------------------------------
+
+_AGE_ORACLE = """
+SELECT o_orderkey,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INTEGER) AS days_on_market
+FROM orders
+WHERE o_orderkey % 5 <> 0 AND o_orderkey % 11 = 0
+"""
+
+
+@register("c2_time_on_market", oracle=_AGE_ORACLE, tags=("C2",))
+def c2_time_on_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter((F.col("o_orderkey") % 5 != 0) & (F.col("o_orderkey") % 11 == 0))
+        .select(
+            "o_orderkey",
+            F.datediff(F.lit("2026-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+                "days_on_market"
+            ),
+        )
+    )

@@ -1,0 +1,135 @@
+"""Local correctness harness mirroring the driver's t2 gate.
+
+Runs every ``queries()`` entry at a given SF dir, runs the matching
+``oracle_sql()`` in DuckDB over the same parquet tables, and compares
+row-count + schema-arity + order-insensitive values (sorted columns by name,
+sorted rows). Floats compare with a small relative tolerance AND are flagged
+when not bit-identical, since the driver's value-hash is presumed exact.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df):  # pandas DataFrame → sorted-by-name cols, row-sorted values
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except Exception:
+                pass
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def values_equal(a, b) -> tuple[bool, bool, str]:
+    """Returns (equal_exact, equal_tolerant, first_diff_desc)."""
+    if a.shape != b.shape:
+        return False, False, f"shape {a.shape} vs {b.shape}"
+    exact = True
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                if x != y:
+                    exact = False
+                    if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                        return False, False, f"col {c} row {i}: {x!r} vs {y!r}"
+            elif x != y:
+                if (x is None) != (y is None) or str(x) != str(y):
+                    return False, False, f"col {c} row {i}: {x!r} vs {y!r}"
+    return exact, True, ""
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from realestatedeals_spark.session import get_spark
+
+    spark = get_spark("check")
+    con = duck_connect(sf_dir)
+    qs, oracles = E.queries(), E.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: ORACLE ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
+            n_fail += 1
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            n_fail += 1
+            continue
+        try:
+            a, b = normalize(sdf), normalize(odf)
+        except Exception:
+            print(f"FAIL {name}: NORMALIZE ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        exact, tol, diff = values_equal(a, b)
+        dt = time.time() - t0
+        if not tol:
+            print(f"FAIL {name}: {diff} ({dt:.1f}s)")
+            n_fail += 1
+        elif not exact:
+            print(f"PASS~ {name}: tolerant-only (float last-bit) {len(sdf)} rows ({dt:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"PASS {name}: {len(sdf)} rows ({dt:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
