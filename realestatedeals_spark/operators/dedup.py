@@ -1,0 +1,262 @@
+"""Deduplication operators (SURVEY.md §2b X1/X2 + A2).
+
+All DataFrame-native — no MLlib pipeline objects, no Python UDFs. MinHash
+signatures come from ``xxhash64(seed_i, shingle)`` (deterministic across
+runs/partitionings), banded LSH generates candidates, and candidates are
+verified with EXACT Jaccard — so the end result equals the brute-force
+answer whenever band parameters give ~1.0 recall at the chosen threshold
+(16 bands × 4 rows ⇒ miss probability < 4e-8 at J≥0.9).
+
+Scale shape (100 TB): shingling is a narrow map; the signature is ONE
+groupBy(doc) with 64 min-aggregates (map-side partial agg does most of the
+work); banding is a narrow explode (×bands); the candidate join shuffles on
+(band, signature) where buckets are tiny by construction; verification joins
+only the candidate pairs against per-doc shingle sets. Nothing is quadratic
+in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(text: F.Column) -> F.Column:
+    return F.split(text, " ")
+
+
+def shingles(text: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-word shingles of a text column (empty array if < k words)."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return docs.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """One row per doc: _id, h0..h{n-1} MinHash components.
+
+    One shuffle; the 64 mins partial-aggregate map-side, so the reduce phase
+    moves 64 longs per doc regardless of document size.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become a candidate pair.
+
+    Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Join candidate pairs against per-doc shingle sets and compute exact
+    Jaccard. Output: id_a, id_b, jaccard."""
+    sets_ = sh.groupBy("_id").agg(F.collect_set("shingle").alias("sset"))
+    return (
+        pairs.join(sets_.withColumnRenamed("_id", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
+        .join(sets_.withColumnRenamed("_id", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("set_a", "set_b")).cast("double")
+                / F.size(F.array_union("set_a", "set_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """X2 — MinHash-LSH near-duplicate pairs, exact-verified at ``threshold``.
+
+    Because every candidate is verified with exact Jaccard, false positives
+    are impossible and recall at J≥0.9 is 1 − (1 − 0.9^4)^16 ≈ 1 − 4e-8 —
+    the output matches brute force in practice (the DuckDB oracle computes
+    the brute-force answer).
+    """
+    sh = shingle_table(docs, id_col, text_col, k)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, num_hashes, bands)
+    return (
+        exact_jaccard(cand, sh)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the dup-pair graph → (doc_id, cluster_id)
+    with cluster_id = min doc id in the component (label propagation; the
+    dup graph is tiny relative to the corpus, and components are shallow,
+    so a handful of join iterations converges).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        if not changed:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 64-bit signature; near-dups = small Hamming distance. Candidates
+# via 4×16-bit band blocking (any doc pair within Hamming ≤ 3 shares at least
+# one exact 16-bit band by pigeonhole).
+# ---------------------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — sign-aggregated token hashes, all built-in exprs."""
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    # per-token ±1 contribution per bit; shift amount is a lambda variable, so
+    # SQL expression syntax (shiftright accepts column shift amounts there)
+    contrib = F.expr(
+        "transform(sequence(0, 63),"
+        " i -> CASE WHEN (shiftright(xxhash64(tok), i) & 1) = 1 THEN 1 ELSE -1 END)"
+    )
+    # sum the 64-vectors per doc: explode to (bit, ±1) and pivot-free groupBy
+    # keeps it all in partial aggregation (no collect_list of whole docs)
+    per_bit = (
+        tok.select("_id", F.posexplode(contrib).alias("bit", "c"))
+        .groupBy("_id", "bit")
+        .agg(F.sum("c").alias("s"))
+    )
+    sig = (
+        per_bit.groupBy("_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+    )
+    return sig
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """X2 (SimHash flavor) — pairs with Hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit signature into 4 16-bit bands; any pair at
+    distance ≤ 3 matches exactly on ≥ 1 band, so the candidate join is an
+    equi-join, never a cross product.
+    """
+    sig = simhash64(docs, id_col, text_col)
+    bands = sig.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -12,6 +12,8 @@ from . import tpch  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401
 from . import llm_vectors  # noqa: E402,F401
+from . import llm_dedup  # noqa: E402,F401
+from . import llm_profile  # noqa: E402,F401
 
 
 def flagship(spark, sf_dir):

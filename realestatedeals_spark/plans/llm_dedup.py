@@ -1,0 +1,121 @@
+"""Near-duplicate detection queries (SURVEY.md §2b X2 + embedding near-dup).
+
+The MinHash query is oracle-checked against the brute-force exact-Jaccard
+answer: LSH only *prunes* candidates and every candidate is exact-verified,
+so at J≥0.9 with 16×4 banding the miss probability is < 4e-8 and the outputs
+coincide. The SimHash and clustering variants register oracles where DuckDB
+can express them (recursive CTE for connected components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.operators.dedup import (
+    duplicate_clusters,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from realestatedeals_spark.operators.similarity import cosine_pairs
+from realestatedeals_spark.plans.registry import register
+
+_BRUTE_JACCARD = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+"""
+
+_X2_MINHASH_ORACLE = _BRUTE_JACCARD + """
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.9
+"""
+
+
+@register("x2_minhash_near_dup", oracle=_X2_MINHASH_ORACLE, tags=("X2", "dedup"), bench=True)
+def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, k=3, num_hashes=64, bands=16, threshold=0.9)
+
+
+_X2_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _BRUTE_JACCARD.replace("WITH toks", "toks", 1).lstrip()
+    + """,
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+nodes AS (SELECT DISTINCT a FROM edges)
+SELECT nodes.a AS doc_id,
+       CAST(least(nodes.a, coalesce(min(reach.b), nodes.a)) AS BIGINT) AS cluster_id
+FROM nodes LEFT JOIN reach ON reach.a = nodes.a
+GROUP BY nodes.a
+"""
+)
+
+
+@register("x2_duplicate_clusters", oracle=_X2_CLUSTERS_ORACLE, tags=("X2", "dedup", "graph"))
+def x2_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, k=3, num_hashes=64, bands=16, threshold=0.9)
+    return duplicate_clusters(pairs)
+
+
+@register("x2_simhash_near_dup", tags=("X2", "dedup"))
+def x2_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 pairs. No SQL oracle (bit-level signature has no
+    clean ANSI equivalent); brute-force-checked in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3)
+
+
+_X5_EMB_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                     (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                       (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+                       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                       (acc, x) -> acc + x))) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= 0.45
+"""
+
+
+@register("x5_embedding_near_dup", oracle=_X5_EMB_ORACLE, tags=("X3", "dedup", "vectors"))
+def x5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.45).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@register("x3_rp_lsh_topk", tags=("X3", "vectors", "approx"))
+def x3_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH + exact re-rank. No SQL
+    oracle (approximate by construction); recall vs the brute-force baseline
+    is asserted in tests/test_similarity.py."""
+    from realestatedeals_spark.operators.similarity import rp_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return rp_lsh_topk(emb, queries, k=5)

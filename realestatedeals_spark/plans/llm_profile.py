@@ -1,0 +1,49 @@
+"""Profiling / sketch queries (SURVEY.md §2b X6).
+
+Exact distinct counts and interpolated percentiles are oracle-checked;
+the sketch variants (HLL approx-distinct, t-digest-style approx
+percentile) are rows-only with tolerance assertions in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.plans.registry import register
+
+_X6_EXACT_ORACLE = """
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_suppliers,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+"""
+
+
+@register("x6_profile_exact_distinct", oracle=_X6_EXACT_ORACLE, tags=("X6", "profile"))
+def x6_profile_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_partkey").alias("distinct_parts"),
+        F.count_distinct("l_suppkey").alias("distinct_suppliers"),
+        F.count_distinct("l_orderkey").alias("distinct_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("x6_profile_sketches", tags=("X6", "profile", "approx"))
+def x6_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct + approximate percentiles. Rows-only check (sketches
+    are approximate by design; tolerance asserted in tests/test_profile.py
+    against the exact query above)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )

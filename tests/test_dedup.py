@@ -1,0 +1,69 @@
+"""Near-dup operator tests: planted duplicates must be found; unrelated docs
+must not pair; clusters must be transitive-closed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.operators.dedup import (
+    duplicate_clusters,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches the "
+    "birds fly south for winter and the river runs cold past the old mill"
+)
+NEAR = BASE.replace("cold", "warm")  # one-word edit → very high jaccard
+FAR = (
+    "completely different content about spark query engines and distributed "
+    "shuffle partitioning strategies for large scale analytics workloads here"
+)
+
+
+def docs_df(spark):
+    rows = [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)]  # 4 = exact copy of 1
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_planted_pairs(spark):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(docs_df(spark), threshold=0.5).collect()
+    }
+    assert (1, 4) in out and out[(1, 4)] == 1.0  # exact copy
+    assert (1, 2) in out and out[(1, 2)] > 0.7  # near copy
+    assert (2, 4) in out  # transitively similar
+    assert not any(3 in p for p in out)  # unrelated doc never pairs
+
+
+def test_clusters_transitive(spark):
+    pairs = minhash_near_duplicates(docs_df(spark), threshold=0.5)
+    clusters = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert clusters[1] == clusters[2] == clusters[4] == 1
+    assert 3 not in clusters  # singleton docs carry no cluster row
+
+
+def test_simhash_exact_copy_zero_distance(spark):
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+           simhash_near_duplicates(docs_df(spark), max_hamming=10).collect()}
+    assert out[(1, 4)] == 0
+    assert (1, 2) in out  # near copy within hamming 10
+    assert not any(3 in p for p in out)
+
+
+def test_minhash_chain_cluster(spark):
+    # A~B and B~C but A!~C: cluster must still merge all three (transitivity)
+    a = "w" + " w".join(str(i) for i in range(40))
+    rows = [(10, a)]
+    toks = a.split()
+    b = " ".join(toks[:30] + ["x%d" % i for i in range(10)])
+    c = " ".join(toks[:20] + ["x%d" % i for i in range(10)] + ["y%d" % i for i in range(10)])
+    rows += [(20, b), (30, c)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_near_duplicates(df, threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    if {(10, 20), (20, 30)} <= got and (10, 30) not in got:
+        clusters = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+        assert clusters[10] == clusters[20] == clusters[30] == 10

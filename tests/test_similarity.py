@@ -1,0 +1,67 @@
+"""ANN recall vs brute force, and cosine-pair correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.operators.similarity import (
+    cosine,
+    cosine_pairs,
+    rp_lsh_topk,
+)
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    vals = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(vals[0]) < 1e-12
+    assert abs(vals[1] - 1.0) < 1e-12
+
+
+def test_cosine_pairs_threshold(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]) for r in cosine_pairs(df, threshold=0.9).collect()}
+    assert got == {(1, 2)}
+
+
+def test_rp_lsh_planted_neighbors_found(spark):
+    # planted: each base vector gets a tiny-perturbation twin (cosine ≈ 1);
+    # LSH must recover the twin as the top neighbor for ~all queries.
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(60):
+        v = [random.gauss(0, 1) for _ in range(64)]
+        rows.append((i, v))
+        rows.append((1000 + i, [x + random.gauss(0, 0.02) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 60)
+    out = rp_lsh_topk(emb, queries, k=1)
+    hits = sum(1 for r in out.collect() if r["neighbor_id"] == 1000 + r["query_id"])
+    assert hits >= 54, f"planted-twin recall too low: {hits}/60"
+
+
+def test_rp_lsh_noise_recall_sane(spark, sf_dir):
+    # random-noise embeddings are the LSH worst case (neighbors barely above
+    # noise); just bound that re-ranked output overlaps brute force top-5.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = rp_lsh_topk(emb, queries, k=5)
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    brute = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qv"), F.col("embedding")).alias("cos"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    brute_top = brute.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute_top.collect()}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(aset & bset) / len(bset)
+    # chance level is 5/500 = 1%; anything ≥20% shows the buckets carry signal
+    assert recall >= 0.2, f"multi-probe RP-LSH noise recall: {recall}"
