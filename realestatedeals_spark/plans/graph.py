@@ -1,0 +1,122 @@
+"""Property-graph construction queries (SURVEY.md §2a.1 S11, §2a.4 J4).
+
+The reference upserts Listing/Agent/Broker nodes and AGENT_OF/BROKERED_BY/
+WORKS_FOR edges row-by-row (database_ops.py:11-92). Here graph construction
+is set-oriented: nodes/edges are DataFrames (MERGE = distinct), verified via
+oracle; the effect-sink itself (io.sinks.write_graph) stays out of the
+correctness path exactly as SURVEY.md §7 step 4 prescribes.
+
+Listings-analog mapping: orders plays listings (mls = o_orderkey), agents
+and brokers derive deterministically from the customer key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.plans.registry import register
+
+_LISTINGS_ANALOG = """
+  SELECT CAST(o_orderkey AS VARCHAR) AS mls,
+         o_totalprice AS price,
+         'Agent ' || CAST(o_custkey % 37 AS VARCHAR) AS agent_name,
+         CASE WHEN o_custkey % 13 = 0 THEN ''
+              ELSE 'Broker ' || CAST(o_custkey % 11 AS VARCHAR) END AS broker_name
+  FROM orders
+"""
+
+
+def _listings_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").cast("string").alias("mls"),
+        F.col("o_totalprice").alias("price"),
+        F.concat(F.lit("Agent "), (F.col("o_custkey") % 37).cast("string")).alias("agent_name"),
+        F.when(F.col("o_custkey") % 13 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("Broker "), (F.col("o_custkey") % 11).cast("string")))
+        .alias("broker_name"),
+    )
+
+
+_G_NODES_ORACLE = f"""
+WITH listings AS ({_LISTINGS_ANALOG})
+SELECT 'Agent' AS label, agent_name AS name, CAST(count(*) AS BIGINT) AS n_listings
+FROM listings WHERE trim(agent_name) <> ''
+GROUP BY agent_name
+UNION ALL
+SELECT 'Broker' AS label, broker_name AS name, CAST(count(*) AS BIGINT) AS n_listings
+FROM listings WHERE trim(broker_name) <> ''
+GROUP BY broker_name
+"""
+
+
+@register("g1_graph_nodes", oracle=_G_NODES_ORACLE, tags=("S11", "graph"))
+def g1_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _listings_analog(spark, sf_dir)
+    agents = (
+        li.filter(F.trim("agent_name") != "")
+        .groupBy(F.col("agent_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_listings"))
+        .select(F.lit("Agent").alias("label"), "name", "n_listings")
+    )
+    brokers = (
+        li.filter(F.trim("broker_name") != "")
+        .groupBy(F.col("broker_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_listings"))
+        .select(F.lit("Broker").alias("label"), "name", "n_listings")
+    )
+    return agents.unionByName(brokers)
+
+
+_G_EDGES_ORACLE = f"""
+WITH listings AS ({_LISTINGS_ANALOG}),
+edges AS (
+  SELECT agent_name AS src_key, 'AGENT_OF' AS edge_type, mls AS dst_key
+  FROM listings WHERE trim(agent_name) <> ''
+  UNION ALL
+  SELECT mls, 'BROKERED_BY', broker_name FROM listings WHERE trim(broker_name) <> ''
+  UNION ALL
+  SELECT DISTINCT agent_name, 'WORKS_FOR', broker_name
+  FROM listings WHERE trim(agent_name) <> '' AND trim(broker_name) <> ''
+)
+SELECT edge_type, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT src_key) AS BIGINT) AS n_src,
+       CAST(count(DISTINCT dst_key) AS BIGINT) AS n_dst
+FROM edges GROUP BY edge_type
+"""
+
+
+@register("g2_graph_edges", oracle=_G_EDGES_ORACLE, tags=("S11", "graph", "J4"))
+def g2_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _listings_analog(spark, sf_dir)
+    agent_of = li.filter(F.trim("agent_name") != "").select(
+        F.col("agent_name").alias("src_key"),
+        F.lit("AGENT_OF").alias("edge_type"),
+        F.col("mls").alias("dst_key"),
+    )
+    brokered = li.filter(F.trim("broker_name") != "").select(
+        F.col("mls").alias("src_key"),
+        F.lit("BROKERED_BY").alias("edge_type"),
+        F.col("broker_name").alias("dst_key"),
+    )
+    works_for = (
+        li.filter((F.trim("agent_name") != "") & (F.trim("broker_name") != ""))
+        .select(
+            F.col("agent_name").alias("src_key"),
+            F.lit("WORKS_FOR").alias("edge_type"),
+            F.col("broker_name").alias("dst_key"),
+        )
+        .distinct()
+    )
+    return (
+        agent_of.unionByName(brokered)
+        .unionByName(works_for)
+        .groupBy("edge_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.count_distinct("src_key").alias("n_src"),
+            F.count_distinct("dst_key").alias("n_dst"),
+        )
+    )

@@ -146,3 +146,81 @@ def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tokens") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — document fingerprints: rolling polynomial hash, engine-exact.
+# ---------------------------------------------------------------------------
+
+_FP_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+         AS bpe_tokens,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS INTEGER)
+         AS ws_tokens
+FROM documents
+"""
+
+
+@register("x4_fingerprint_tokens", oracle=_FP_ORACLE, tags=("X4", "text"))
+def x4_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.functions.text import (
+        bpe_token_count,
+        fingerprint,
+        whitespace_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — heuristic language ID: marker-vocabulary scoring + argmax, posed as a
+# per-(true lang, predicted lang) contingency table.
+# ---------------------------------------------------------------------------
+
+
+def _markers_sql() -> str:
+    from realestatedeals_spark.functions.text import LANG_MARKERS
+
+    cases = []
+    for lang, markers in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        cases.append(
+            f"struct_pack(neg := -CAST(len(list_filter(toks, t -> t IN ({in_list}))) AS BIGINT),"
+            f" lang := '{lang}')"
+        )
+    return "[" + ", ".join(cases) + "]"
+
+
+_LID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         list_sort({_markers_sql()})[1].lang AS predicted
+  FROM (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY lang, predicted
+"""
+
+
+@register("x4_language_id", oracle=_LID_ORACLE, tags=("X4", "text", "langid"))
+def x4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.functions.text import predict_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", predict_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1,0 +1,114 @@
+"""Streaming CDC — the reference's poll loop (main.py:107-142) as Structured
+Streaming (SURVEY.md §2a.6 C3/C4).
+
+Reference semantics per cycle: scrape all zips → diff against
+``currentListings`` (dict keyed on mls) → emit new/price_change/off_market →
+replace state with this cycle's listings (off-market keys deleted,
+hunter.py:352) → checkpoint state to JSON (main.py:135).
+
+Spark shape: each micro-batch is one full scrape sweep; ``foreachBatch``
+runs the same full-outer CDC join used in batch (operators.cdc), appends the
+emission rows to a sink table, and atomically replaces the keyed snapshot
+(parquet; Delta MERGE would be the managed-table variant — Delta jars are not
+in this image, so the snapshot is swap-on-write parquet, which gives the same
+replace semantics the reference has).
+
+Scale: the snapshot is partitioned by key hash on write so the CDC join at
+the next batch shuffles both sides on the same key layout; AQE broadcasts
+the scrape side when a batch is small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.operators.cdc import classify_cdc, next_snapshot
+
+
+class CdcState:
+    """Keyed snapshot persisted as swap-on-write parquet."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, key: str = "mls", price: str = "price"):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.key = key
+        self.price = price
+
+    def load(self) -> DataFrame | None:
+        cur = os.path.join(self.state_dir, "current")
+        if not os.path.exists(cur):
+            return None
+        return self.spark.read.parquet(cur)
+
+    def replace(self, snapshot: DataFrame) -> None:
+        """Atomic-enough swap: write new, rename over. On a real cluster this
+        is a Delta/Iceberg transactional overwrite; locally a directory swap."""
+        cur = os.path.join(self.state_dir, "current")
+        nxt = os.path.join(self.state_dir, "_next")
+        snapshot.write.mode("overwrite").parquet(nxt)
+        old = os.path.join(self.state_dir, "_old")
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(nxt, cur)
+        if os.path.exists(old):
+            import shutil
+
+            shutil.rmtree(old)
+
+
+def process_cdc_batch(scrape: DataFrame, state: CdcState, emit_dir: str) -> DataFrame:
+    """One micro-batch: classify vs state, append emissions, replace state.
+
+    Returns the emissions DataFrame (also appended to ``emit_dir``).
+    """
+    snapshot = state.load()
+    scraped = next_snapshot(scrape, state.key)
+    if snapshot is None:
+        emissions = scraped.select(
+            F.col(state.key),
+            F.lit("new_listing").alias("status"),
+            F.lit(None).cast("double").alias("old_price"),
+            F.col(state.price).cast("double").alias("new_price"),
+            F.lit(None).cast("double").alias("price_change_percentage"),
+        )
+    else:
+        emissions = classify_cdc(scraped, snapshot, key=state.key, price=state.price)
+    # pin emissions before the state swap: the plan reads the snapshot files
+    # that replace() is about to rename, so late consumers would hit
+    # FILE_NOT_EXIST without an eager checkpoint
+    emissions = emissions.localCheckpoint(eager=True)
+    emissions.write.mode("append").parquet(emit_dir)
+    state.replace(scraped)
+    return emissions
+
+
+def start_cdc_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    state_dir: str,
+    emit_dir: str,
+    checkpoint_dir: str,
+    key: str = "mls",
+    price: str = "price",
+    trigger_available_now: bool = True,
+):
+    """Wire the poll loop: file-source micro-batches → foreachBatch CDC.
+
+    Each dropped file set = one scrape cycle (the reference's 30-minute poll,
+    hunter.py:16, becomes ``trigger(processingTime=...)`` in production;
+    ``availableNow`` drains pending cycles for tests/backfills).
+    """
+    state = CdcState(spark, state_dir, key, price)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        process_cdc_batch(batch_df, state, emit_dir)
+
+    writer = stream.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,114 @@
+"""Streaming tests (SURVEY.md §5 item 4): CDC micro-batch loop with state
+replacement, and event-time windows driven to completion via availableNow/
+memory sinks."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.streaming.cdc_stream import CdcState, process_cdc_batch, start_cdc_stream
+from realestatedeals_spark.streaming.windows import session_windows, sliding_rates, tumbling_counts
+
+
+def test_cdc_batches_sequence(spark, tmp_path):
+    state = CdcState(spark, str(tmp_path / "state"))
+    emit = str(tmp_path / "emit")
+
+    b1 = spark.createDataFrame([("m1", 100.0), ("m2", 200.0)], ["mls", "price"])
+    e1 = {r["mls"]: r["status"] for r in process_cdc_batch(b1, state, emit).collect()}
+    assert e1 == {"m1": "new_listing", "m2": "new_listing"}
+
+    # cycle 2: m1 unchanged (silent), m2 price change, m3 new, nothing off
+    b2 = spark.createDataFrame([("m1", 100.0), ("m2", 250.0), ("m3", 50.0)], ["mls", "price"])
+    e2 = {r["mls"]: r for r in process_cdc_batch(b2, state, emit).collect()}
+    assert set(e2) == {"m2", "m3"}
+    assert e2["m2"]["status"] == "price_change"
+    assert abs(e2["m2"]["price_change_percentage"] - 25.0) < 1e-9
+    assert e2["m3"]["status"] == "new_listing"
+
+    # cycle 3: m1 vanishes → off_market and deleted from state (hunter.py:352)
+    b3 = spark.createDataFrame([("m2", 250.0), ("m3", 50.0)], ["mls", "price"])
+    e3 = {r["mls"]: r["status"] for r in process_cdc_batch(b3, state, emit).collect()}
+    assert e3 == {"m1": "off_market"}
+    assert {r["mls"] for r in state.load().collect()} == {"m2", "m3"}
+
+    # emissions sink accumulated every cycle
+    total = spark.read.parquet(emit).count()
+    assert total == 2 + 2 + 1
+
+
+def test_cdc_stream_wiring(spark, tmp_path):
+    """End-to-end through an actual streaming query (file source →
+    foreachBatch), drained with availableNow."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    b1 = spark.createDataFrame([("m1", 100.0), ("m2", 200.0)], ["mls", "price"])
+    b1.write.mode("append").parquet(in_dir)
+
+    q = start_cdc_stream(
+        spark,
+        in_dir,
+        schema="mls string, price double",
+        state_dir=str(tmp_path / "state"),
+        emit_dir=str(tmp_path / "emit"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+    emitted = spark.read.parquet(str(tmp_path / "emit"))
+    assert emitted.filter(F.col("status") == "new_listing").count() == 2
+
+
+def events_stream(spark, tmp_path):
+    from realestatedeals_spark.io.sources import load_events
+
+    src = load_events(spark, "/root/testdata/sf0.001").limit(500)
+    d = str(tmp_path / "events_in")
+    src.write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(src.schema).parquet(d), spark.read.parquet(d)
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    stream_df, batch_df = events_stream(spark, tmp_path)
+    q = (
+        tumbling_counts(stream_df)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from tumb").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in tumbling_counts(batch_df).collect()
+    }
+    # append mode only emits windows the watermark has closed; everything
+    # emitted must match batch, and most windows must have closed
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) * 0.5
+
+
+def test_streaming_session_and_sliding_run(spark, tmp_path):
+    stream_df, batch_df = events_stream(spark, tmp_path)
+    for i, builder in enumerate((sliding_rates, session_windows)):
+        q = (
+            builder(stream_df)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"w{i}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.sql(f"select * from w{i}").count() >= 0
+    # batch forms produce rows
+    assert sliding_rates(batch_df).count() > 0
+    assert session_windows(batch_df).count() > 0
