@@ -75,6 +75,46 @@ def x2_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+_X2_NGRAM_ORACLE = _BRUTE_JACCARD + """
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+
+@register("x2_ngram_jaccard", oracle=_X2_NGRAM_ORACLE, tags=("X2", "dedup"))
+def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via an inverted-index self-join.
+
+    No LSH: the (doc, shingle) table joins itself on shingle so only pairs
+    sharing at least one 3-gram are scored — the standard exact scale path
+    (shuffle is bounded by the posting-list sizes, never |docs|^2). Pair
+    intersection counts partial-aggregate map-side before the join-back
+    against per-doc shingle counts.
+    """
+    from realestatedeals_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, k=3)
+    cnt = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
 @register("x2_simhash_near_dup", tags=("X2", "dedup"))
 def x2_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 pairs. No SQL oracle (bit-level signature has no
