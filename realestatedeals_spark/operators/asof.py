@@ -1,0 +1,90 @@
+"""As-of (time-travel) join — an operator Spark's DataFrame API lacks.
+
+Semantics: for every left row, attach the columns of the single right row with
+the greatest ``right_ts <= left_ts`` within the same key group (backward
+as-of, inclusive); left rows with no earlier right row keep NULLs. This is
+DuckDB's ``ASOF LEFT JOIN`` / pandas ``merge_asof`` semantics.
+
+Implementation is the canonical distributed form: union the tagged sides and
+carry the right columns forward with ``last(..., ignorenulls=True)`` over a
+per-key window ordered by (ts, side) — right rows sort before left rows at
+equal timestamps, which makes the match inclusive. Cost is ONE shuffle of
+left+right on the key columns plus a per-partition sort: no range join, no
+broadcast nested loop, no per-row probe. At 100 TB the shuffle is the same
+one a plain equi-join on the key would pay; hot keys can additionally be
+time-bucketed (salt on floor(ts/bucket) with boundary replication) — at that
+point each bucket still computes locally because only the last right row of
+the previous bucket must be replicated forward.
+
+Caveat: a right column whose value is legitimately NULL is skipped by the
+ignorenulls carry-forward (an older non-null wins). Matching the row, not the
+value, would carry a struct of all right columns instead — ``asof_join``
+does exactly that, so NULL right values survive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward-inclusive as-of join of ``left`` to ``right`` on key ``on``.
+
+    ``right_cols`` (default: every non-key, non-ts right column) are attached
+    to each left row from the latest right row with ``right_ts <= left_ts``;
+    the matched right timestamp is attached as ``{right_ts}{suffix}``. NULL
+    values inside a matched right row are preserved (the whole row is carried
+    as one struct, so ignorenulls only skips *absent* matches, never null
+    fields of a present match).
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    right_cols = list(right_cols)
+
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload.alias("_r"),
+        *[F.lit(None).cast(t.dataType).alias(f"_l_{c}")
+          for c, t in zip(left.columns, left.schema.fields)],
+    )
+    l_ = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = (
+        W.partitionBy(*on)
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = l_.unionByName(r).withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out_cols = [F.col(f"_l_{c}").alias(c) for c in left.columns if c not in on]
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(
+            *on,
+            *out_cols,
+            F.col("_m._ts").alias(f"{right_ts}{suffix}"),
+            *[F.col(f"_m.{c}").alias(c if c not in left.columns else f"{c}{suffix}")
+              for c in right_cols],
+        )
+    )

@@ -150,3 +150,122 @@ def rp_lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + nprobe list search.
+# ---------------------------------------------------------------------------
+
+
+def _lit_vec(vals: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _dot_lit(vec: F.Column, vals: list[float]) -> F.Column:
+    return F.aggregate(
+        F.zip_with(vec, _lit_vec(vals), lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lite(
+    emb: DataFrame,
+    k: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means on unit-normalized vectors.
+
+    Init is the k lowest-id vectors (seed-free, rerun-stable). Each iteration
+    is one distributed pass: assign every vector to its max-dot centroid,
+    then recompute centroids as per-cluster dimension means via
+    posexplode + groupBy — a (k × dim)-row aggregate, tiny at any data scale.
+    Centroids (k × dim floats) are model state and live on the driver; the
+    data never leaves executors. At 100 TB, train on a sampled fraction
+    (``emb.sample(...)``) — the quantizer only needs the density shape.
+    """
+    norm = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double") / l2norm(F.col(vec_col))).alias("v"),
+    ).cache()
+    cents = [r["v"] for r in norm.orderBy("_id").limit(k).collect()]
+    for _ in range(max_iter):
+        scores = F.array(
+            *[F.struct(_dot_lit(F.col("v"), c).alias("s"), F.lit(i).alias("i")) for i, c in enumerate(cents)]
+        )
+        assigned = norm.select("v", F.array_max(scores)["i"].alias("cluster"))
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {c: dict() for c in {r["cluster"] for r in means}}
+        for r in means:
+            new[r["cluster"]][r["pos"]] = r["m"]
+        for i in range(len(cents)):
+            if i in new:
+                vec = [new[i][p] for p in sorted(new[i])]
+                n = sum(x * x for x in vec) ** 0.5 or 1.0
+                cents[i] = [x / n for x in vec]
+    norm.unpersist()
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k cosine: assign base vectors to nlist k-means
+    cells, probe the nprobe best cells per query, exact-rerank inside them.
+
+    Scale path: the cell assignment is an equi-join key, so the candidate
+    join shuffles only (queries × nprobe) probe rows against cell-partitioned
+    inverted lists — candidate count ≈ N × nprobe / nlist per query instead
+    of N. recall@k rises with nprobe/nlist; nprobe = nlist degenerates to
+    exact brute force.
+
+    Output: query_id, neighbor_id, rk, cosine — comparable to rp_lsh_topk
+    and the brute-force baseline.
+    """
+    cents = kmeans_lite(emb, k=nlist, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+
+    def cell_scores(vec: F.Column) -> F.Column:
+        nv = F.transform(vec, lambda x: x.cast("double") / l2norm(vec))
+        return F.array(
+            *[F.struct(_dot_lit(nv, c).alias("s"), F.lit(i).alias("i")) for i, c in enumerate(cents)]
+        )
+
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vn"),
+        F.array_max(cell_scores(F.col(vec_col)))["i"].alias("cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("vq"),
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(cell_scores(F.col(vec_col)))), 1, nprobe),
+                lambda s: s["i"],
+            )
+        ).alias("cell"),
+    )
+    cand = probes.join(base, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("vq"), F.col("vn")).alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("cosine", 6).alias("cosine"))
+    )

@@ -114,6 +114,40 @@ def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listing.py:34) — parse props, aggregate by event_type.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# As-of join: each click event picks up the latest error event at-or-before
+# it for the same user. Oracle is DuckDB's native ASOF LEFT JOIN; the engine
+# lowers it to one keyed shuffle + window carry-forward (operators/asof.py).
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = f"""
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+errors AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+SELECT c.event_id, c.user_id, strftime(c.ts, '{_TS_FMT_DUCK}') AS ts,
+       strftime(e.ts, '{_TS_FMT_DUCK}') AS last_error_ts,
+       e.value AS last_error_value
+FROM clicks c ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+@register("e4_asof_join_last_error", oracle=_ASOF_ORACLE, tags=("asof", "window"))
+def e4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.operators.asof import asof_join
+
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    joined = asof_join(clicks, errors, on=["user_id"], right_cols=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        F.date_format("ts_right", _TS_FMT_SPARK).alias("last_error_ts"),
+        F.col("value").alias("last_error_value"),
+    )
+
+
 _JSON_ORACLE = """
 SELECT event_type,
        CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

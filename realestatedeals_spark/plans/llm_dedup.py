@@ -149,6 +149,18 @@ def x5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x3_ivf_topk", tags=("X3", "vectors", "approx"))
+def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse cells + nprobe probing + exact rerank. No SQL
+    oracle (approximate by construction); recall vs brute force is asserted
+    in tests/test_similarity.py."""
+    from realestatedeals_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+
+
 @register("x3_rp_lsh_topk", tags=("X3", "vectors", "approx"))
 def x3_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH + exact re-rank. No SQL

@@ -1,0 +1,59 @@
+"""Unit tests for the as-of join operator (operators/asof.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from realestatedeals_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_no_match(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01T00:10:00"), lv=1),  # matches r@00:05
+            Row(k="a", ts=_ts("2024-01-01T00:05:00"), lv=2),  # equal ts → inclusive
+            Row(k="a", ts=_ts("2024-01-01T00:01:00"), lv=3),  # before any right → null
+            Row(k="b", ts=_ts("2024-01-01T09:00:00"), lv=4),  # key with no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01T00:05:00"), rv=50),
+            Row(k="a", ts=_ts("2024-01-01T00:02:00"), rv=20),
+        ]
+    )
+    out = {
+        r["lv"]: (r["ts_right"], r["rv"])
+        for r in asof_join(left, right, on=["k"], right_cols=["rv"]).collect()
+    }
+    assert out[1] == (_ts("2024-01-01T00:05:00"), 50)
+    assert out[2] == (_ts("2024-01-01T00:05:00"), 50)  # inclusive at equal ts
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+
+
+def test_asof_preserves_null_right_values(spark):
+    left = spark.createDataFrame([Row(k="a", ts=_ts("2024-01-01T01:00:00"), lv=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01T00:10:00"), rv=7),
+            Row(k="a", ts=_ts("2024-01-01T00:20:00"), rv=None),  # newer row, null value
+        ]
+    )
+    [row] = asof_join(left, right, on=["k"], right_cols=["rv"]).collect()
+    # the matched ROW is the 00:20 one; its null value must not fall back to 7
+    assert row["ts_right"] == _ts("2024-01-01T00:20:00")
+    assert row["rv"] is None
+
+
+def test_asof_default_right_cols_and_collision_suffix(spark):
+    left = spark.createDataFrame([Row(k="a", ts=_ts("2024-01-01T01:00:00"), v=1)])
+    right = spark.createDataFrame([Row(k="a", ts=_ts("2024-01-01T00:30:00"), v=9, w=3)])
+    [row] = asof_join(left, right, on=["k"]).collect()
+    assert row["v"] == 1 and row["v_right"] == 9 and row["w"] == 3

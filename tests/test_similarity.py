@@ -65,3 +65,52 @@ def test_rp_lsh_noise_recall_sane(spark, sf_dir):
     recall = len(aset & bset) / len(bset)
     # chance level is 5/500 = 1%; anything ≥20% shows the buckets carry signal
     assert recall >= 0.2, f"multi-probe RP-LSH noise recall: {recall}"
+
+
+def test_ivf_planted_neighbors_found(spark):
+    # same planted-twin setup as the LSH test: IVF must put a near-identical
+    # twin in the same k-means cell and return it as the top neighbor.
+    import random
+
+    from realestatedeals_spark.operators.similarity import ivf_topk
+
+    random.seed(11)
+    rows = []
+    for i in range(60):
+        v = [random.gauss(0, 1) for _ in range(64)]
+        rows.append((i, v))
+        rows.append((1000 + i, [x + random.gauss(0, 0.02) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 60)
+    out = ivf_topk(emb, queries, k=1, nlist=8, nprobe=2, max_iter=3)
+    hits = sum(1 for r in out.collect() if r["neighbor_id"] == 1000 + r["query_id"])
+    assert hits >= 54, f"planted-twin IVF recall too low: {hits}/60"
+
+
+def test_ivf_full_probe_is_exact(spark):
+    # nprobe == nlist probes every cell → must equal brute-force top-k.
+    from pyspark.sql import Window as W
+
+    from realestatedeals_spark.operators.similarity import ivf_topk
+
+    import random
+
+    random.seed(3)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    approx = ivf_topk(emb, queries, k=3, nlist=4, nprobe=4, max_iter=2)
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    brute = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qv"), F.col("embedding")).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    bset = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3).collect()
+    }
+    aset = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert aset == bset

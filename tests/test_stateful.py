@@ -1,0 +1,89 @@
+"""applyInPandasWithState: cross-batch per-key state inside the engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from realestatedeals_spark.streaming.stateful import running_user_stats
+
+_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _run_once(spark, src: str, ckpt: str, out: str) -> None:
+    stream = spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", "1").parquet(
+        src + "/*"
+    )
+
+    def sink(batch_df, epoch_id):
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+    q = (
+        running_user_stats(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+
+    spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)], _SCHEMA).write.parquet(src + "/b1")
+    _run_once(spark, src, ckpt, out)
+    rows = spark.read.parquet(out).collect()
+    first = {r["user_id"]: r for r in rows}
+    assert first[1]["n_events"] == 2 and abs(first[1]["total_value"] - 15.0) < 1e-9
+    assert first[2]["n_events"] == 1 and abs(first[2]["max_value"] - 7.0) < 1e-9
+
+    # batch 2 arrives later; the restarted query resumes from the checkpoint,
+    # so user 1's state (2 events) must carry over → 3, and user 3 is new.
+    spark.createDataFrame([(1, 1.0), (3, 2.0)], _SCHEMA).write.parquet(src + "/b2")
+    _run_once(spark, src, ckpt, out)
+    allrows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in sorted(allrows, key=lambda r: r["epoch"]):
+        latest[r["user_id"]] = r
+    assert latest[1]["n_events"] == 3
+    assert abs(latest[1]["total_value"] - 16.0) < 1e-9
+    assert latest[3]["n_events"] == 1
+    assert latest[2]["n_events"] == 1  # untouched key keeps its state
+
+
+def test_running_user_stats_matches_batch_aggregate(spark, sf_dir, tmp_path):
+    from realestatedeals_spark.io.sources import load_events
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    ev = load_events(spark, sf_dir).select("user_id", "value")
+    ev.write.parquet(src + "/b1")
+    _run_once(spark, src, ckpt, out)
+    got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    want = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g["n_events"] == w["n_events"]
+        assert abs(g["total_value"] - w["total_value"]) < 1e-6
+        assert abs(g["max_value"] - w["max_value"]) < 1e-9
