@@ -43,6 +43,26 @@ def listings_export_frame(listings: DataFrame) -> DataFrame:
     )
 
 
+def with_sink_counters(df: DataFrame, name: str = "sink"):
+    """A3 — running counters (listings-sent per cycle, ure_scraping.py:21,43-44,
+    main.py:100,136) as ``observe`` metrics: collected as a side effect of
+    whatever action materializes the frame, no second pass over the data.
+
+    Returns ``(df, observation)``; read ``observation.get`` after an action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    # observe() only admits deterministic non-distinct aggregates, so the key
+    # cardinality is approximate (exact distinct would need a shuffle anyway)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_sent"),
+        F.approx_count_distinct(F.col(df.columns[0])).alias("distinct_keys"),
+    )
+    return observed, obs
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S10 — header CSV sink. ``single_file`` mirrors the reference's one-file
     outputs (agent_manager.py:34); at scale leave it False (one file per

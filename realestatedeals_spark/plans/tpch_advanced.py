@@ -449,3 +449,71 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > F.col("thresh"))
         .select("l_suppkey", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — quantity bands via the bucketed equi-join scale
+# path (operators/range_join.py) instead of a nested-loop theta join.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 51.0)
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS total_price
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+"""
+
+
+@register("range_join_quantity_bands", oracle=_RANGE_ORACLE, tags=("range-join",))
+def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.operators.range_join import bucketed_range_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 51.0)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        bucketed_range_join(li, bands, "l_quantity", bucket_width=10.0)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth: ntile / percent_rank / cume_dist / lead in one
+# pass over orders.
+# ---------------------------------------------------------------------------
+
+_WINDOW_EXTRAS_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       lead(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("olap_window_extras", oracle=_WINDOW_EXTRAS_ORACLE, tags=("window",))
+def olap_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )

@@ -1,0 +1,96 @@
+"""Property-based tests (SURVEY.md §5 item 5) — hypothesis generates the
+inputs, one Spark evaluation per property amortizes the JVM round-trip by
+evaluating the whole generated batch as a single DataFrame."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.functions.scalars import (
+    normalize_phone,
+    parse_price,
+    price_change_pct,
+)
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+phones = st.lists(
+    st.text(alphabet="0123456789()- .+abcXYZ", min_size=0, max_size=20),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(phones)
+def test_normalize_phone_idempotent(spark, batch):
+    df = spark.createDataFrame([(p,) for p in batch], ["p"])
+    out = df.select(
+        normalize_phone(F.col("p")).alias("once"),
+    ).select(
+        "once", normalize_phone(F.col("once")).alias("twice")
+    )
+    for r in out.collect():
+        assert r["once"] == r["twice"]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_parse_price_roundtrips_formatted_values(spark, batch):
+    rows = [(v, f"${v:,}") for v in batch]
+    df = spark.createDataFrame(rows, ["v", "s"])
+    for r in df.select("v", parse_price(F.col("s")).alias("p")).collect():
+        assert r["p"] == r["v"]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**9),
+            st.integers(min_value=1, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_price_change_pct_algebra(spark, batch):
+    df = spark.createDataFrame(batch, ["new", "old"])
+    out = df.select(
+        "new",
+        "old",
+        price_change_pct(F.col("new"), F.col("old")).alias("pct"),
+        price_change_pct(F.col("new"), F.col("new")).alias("self_pct"),
+    )
+    for r in out.collect():
+        assert r["self_pct"] == 0.0
+        # sign tracks the direction of the change
+        if r["new"] > r["old"]:
+            assert r["pct"] > 0
+        elif r["new"] < r["old"]:
+            assert r["pct"] < 0
+        else:
+            assert r["pct"] == 0.0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["m1", "m2", "m3", "m4"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_key_uniqueness_invariant(spark, batch):
+    df = spark.createDataFrame(batch, ["mls", "v"])
+    deduped = df.dropDuplicates(["mls"])
+    n = deduped.count()
+    assert n == deduped.select("mls").distinct().count()
+    assert n == df.select("mls").distinct().count()

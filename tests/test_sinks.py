@@ -66,3 +66,33 @@ def test_graph_construction(spark):
     by_type = {r["edge_type"]: r["cnt"] for r in
                edges.groupBy("edge_type").count().withColumnRenamed("count", "cnt").collect()}
     assert by_type == {"AGENT_OF": 2, "BROKERED_BY": 2, "WORKS_FOR": 2}
+
+
+def test_sink_counters_observe(spark, tmp_path):
+    from realestatedeals_spark.io.sinks import with_sink_counters, write_csv
+
+    df = spark.createDataFrame(
+        [("m1", 1), ("m2", 2), ("m2", 3)], ["mls", "v"]
+    )
+    observed, obs = with_sink_counters(df, "listings_sent")
+    write_csv(observed, str(tmp_path / "out"))
+    assert obs.get["rows_sent"] == 3
+    assert obs.get["distinct_keys"] == 2
+
+
+def test_flatten_zip_config(spark):
+    from realestatedeals_spark.io.sources import flatten_zip_config
+
+    nested = spark.createDataFrame(
+        [
+            ("Salt Lake", {"SLC": ["84101", "84102", "bad1"], "Sandy": ["84070"]}),
+            ("Utah", {"Provo": ["84601"]}),
+        ],
+        "county string, cities map<string, array<string>>",
+    )
+    allrows = {(r["county"], r["city"], r["zip"]) for r in flatten_zip_config(nested).collect()}
+    assert ("Salt Lake", "SLC", "84101") in allrows
+    assert ("Utah", "Provo", "84601") in allrows
+    assert not any(z == "bad1" for _, _, z in allrows)  # F6 valid-zip guard
+    only = flatten_zip_config(nested, counties=["Utah"]).collect()
+    assert {r["county"] for r in only} == {"Utah"}  # F4 county filter
