@@ -50,4 +50,7 @@ def bucketed_range_join(
     )
     f = fact.withColumn("_bucket", F.floor(F.col(value_col) / w).cast("long"))
     residual = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
-    return f.join(b, on=["_bucket"], how=how).filter(residual).drop("_bucket")
+    # bands are the small side by assumption; hint it explicitly because a
+    # driver-built band frame has no stats and Catalyst would otherwise pick
+    # the (known-size) fact scan as the broadcast side
+    return f.join(F.broadcast(b), on=["_bucket"], how=how).filter(residual).drop("_bucket")

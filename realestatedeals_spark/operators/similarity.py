@@ -157,15 +157,37 @@ def rp_lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def _lit_vec(vals: list[float]) -> F.Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+def _centroid_frame(spark, cents: list[list[float]]):
+    from realestatedeals_spark.util import inline_frame
+
+    return inline_frame(
+        spark,
+        ["cell", "centroid"],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+    )
 
 
-def _dot_lit(vec: F.Column, vals: list[float]) -> F.Column:
+def _dot_cols(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
-        F.zip_with(vec, _lit_vec(vals), lambda x, w: x.cast("double") * w),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _best_cells(vecs: DataFrame, cent_df: DataFrame, n: int, id_out: str) -> DataFrame:
+    """Top-n centroid cells per vector via a broadcast join against the
+    (cell, centroid) frame — k rows, so the join is a per-row loop over k
+    centroids inside codegen, never a giant literal expression (which made
+    the planner, not the executors, the bottleneck)."""
+    scored = vecs.crossJoin(F.broadcast(cent_df)).withColumn(
+        "s", _dot_cols(F.col("v"), F.col("centroid"))
+    )
+    w = W.partitionBy(id_out).orderBy(F.col("s").desc(), F.col("cell"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("centroid", "s", "_rk")
     )
 
 
@@ -179,23 +201,23 @@ def kmeans_lite(
     """Deterministic Lloyd k-means on unit-normalized vectors.
 
     Init is the k lowest-id vectors (seed-free, rerun-stable). Each iteration
-    is one distributed pass: assign every vector to its max-dot centroid,
-    then recompute centroids as per-cluster dimension means via
-    posexplode + groupBy — a (k × dim)-row aggregate, tiny at any data scale.
-    Centroids (k × dim floats) are model state and live on the driver; the
-    data never leaves executors. At 100 TB, train on a sampled fraction
+    is one distributed pass: every vector scores the broadcast centroid frame
+    (k rows), keeps its argmax cell, and new centroids come back as the
+    (k × dim)-row posexplode mean — tiny at any data scale. Centroids
+    (k × dim floats) are model state and live on the driver; the data never
+    leaves executors. At 100 TB, train on a sampled fraction
     (``emb.sample(...)``) — the quantizer only needs the density shape.
     """
+    spark = emb.sparkSession
     norm = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double") / l2norm(F.col(vec_col))).alias("v"),
     ).cache()
     cents = [r["v"] for r in norm.orderBy("_id").limit(k).collect()]
     for _ in range(max_iter):
-        scores = F.array(
-            *[F.struct(_dot_lit(F.col("v"), c).alias("s"), F.lit(i).alias("i")) for i, c in enumerate(cents)]
+        assigned = _best_cells(norm, _centroid_frame(spark, cents), 1, "_id").select(
+            F.col("cell").alias("cluster"), "v"
         )
-        assigned = norm.select("v", F.array_max(scores)["i"].alias("cluster"))
         means = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -236,28 +258,22 @@ def ivf_topk(
     Output: query_id, neighbor_id, rk, cosine — comparable to rp_lsh_topk
     and the brute-force baseline.
     """
+    spark = emb.sparkSession
     cents = kmeans_lite(emb, k=nlist, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    cent_df = _centroid_frame(spark, cents)
 
-    def cell_scores(vec: F.Column) -> F.Column:
-        nv = F.transform(vec, lambda x: x.cast("double") / l2norm(vec))
-        return F.array(
-            *[F.struct(_dot_lit(nv, c).alias("s"), F.lit(i).alias("i")) for i, c in enumerate(cents)]
+    def normed(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"raw_{out_id}"),
+            F.transform(vec_col, lambda x: x.cast("double") / l2norm(F.col(vec_col))).alias("v"),
         )
 
-    base = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vn"),
-        F.array_max(cell_scores(F.col(vec_col)))["i"].alias("cell"),
+    base = _best_cells(normed(emb, "neighbor_id"), cent_df, 1, "neighbor_id").select(
+        "neighbor_id", F.col("raw_neighbor_id").alias("vn"), "cell"
     )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("vq"),
-        F.explode(
-            F.transform(
-                F.slice(F.reverse(F.array_sort(cell_scores(F.col(vec_col)))), 1, nprobe),
-                lambda s: s["i"],
-            )
-        ).alias("cell"),
+    probes = _best_cells(normed(queries, "query_id"), cent_df, nprobe, "query_id").select(
+        "query_id", F.col("raw_query_id").alias("vq"), "cell"
     )
     cand = probes.join(base, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(

@@ -130,7 +130,7 @@ FROM clicks c ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts >= e.ts
 """
 
 
-@register("e4_asof_join_last_error", oracle=_ASOF_ORACLE, tags=("asof", "window"))
+@register("e4_asof_join_last_error", oracle=_ASOF_ORACLE, tags=("asof", "window"), bench=True)
 def e4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.operators.asof import asof_join
 

@@ -158,7 +158,7 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, max_iter=3)
 
 
 @register("x3_rp_lsh_topk", tags=("X3", "vectors", "approx"))

@@ -107,7 +107,7 @@ GROUP BY o_year
 """
 
 
-@register("tpch_q8_market_share", oracle=_Q8_ORACLE, tags=("join", "agg", "case"))
+@register("tpch_q8_market_share", oracle=_Q8_ORACLE, tags=("join", "agg", "case"), bench=True)
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_session_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
@@ -196,7 +196,7 @@ GROUP BY c_count
 """
 
 
-@register("tpch_q13_customer_distribution", oracle=_Q13_ORACLE, tags=("join", "outer", "agg"))
+@register("tpch_q13_customer_distribution", oracle=_Q13_ORACLE, tags=("join", "outer", "agg"), bench=True)
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
@@ -309,7 +309,7 @@ GROUP BY s_name
 """
 
 
-@register("tpch_q21_sole_returner", oracle=_Q21_ORACLE, tags=("join", "semi", "anti"))
+@register("tpch_q21_sole_returner", oracle=_Q21_ORACLE, tags=("join", "semi", "anti"), bench=True)
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders_f = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -467,14 +467,17 @@ GROUP BY band
 """
 
 
-@register("range_join_quantity_bands", oracle=_RANGE_ORACLE, tags=("range-join",))
+@register("range_join_quantity_bands", oracle=_RANGE_ORACLE, tags=("range-join",), bench=True)
 def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.operators.range_join import bucketed_range_join
 
+    from realestatedeals_spark.util import inline_frame
+
     li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
-    bands = spark.createDataFrame(
-        [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 51.0)],
+    bands = inline_frame(
+        spark,
         ["band", "lo", "hi"],
+        [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 51.0)],
     )
     return (
         bucketed_range_join(li, bands, "l_quantity", bucket_width=10.0)
