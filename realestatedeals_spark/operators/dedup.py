@@ -136,15 +136,20 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     dup graph is tiny relative to the corpus, and components are shallow,
     so a handful of join iterations converges).
     """
+    # Materialize the edge list once: each propagation round below would
+    # otherwise re-execute the entire upstream pair pipeline (shingle →
+    # MinHash → LSH join → exact verify) per iteration.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -152,12 +157,15 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # checkpoint BEFORE the convergence probe so the probe and the next
+        # iteration both reuse the materialized result instead of recomputing
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -166,7 +174,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        labels = new_labels
         if not changed:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,54 @@
+"""X5 multimodal queries — binary columns + Arrow-batched per-item compute.
+
+The media frame derives deterministically from ``documents`` (content =
+UTF-8 text bytes), so the fake feature extractor (sha256-derived floats,
+operators/multimodal.py) is exactly mirrorable in DuckDB — giving the
+mapInPandas plumbing a real value-hash oracle, not just a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.operators.multimodal import image_features
+from realestatedeals_spark.plans.registry import register
+
+
+def _feat(j: int) -> str:
+    return (
+        f"CAST(CAST(CAST(('0x' || substr(sha256(text), {8 * j + 1}, 8)) AS UBIGINT)"
+        f" / 4294967296.0 AS REAL) AS DOUBLE) AS f{j}"
+    )
+
+
+_X5_FEATURES_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       {_feat(0)}, {_feat(1)}, {_feat(2)}, {_feat(3)}
+FROM documents
+"""
+
+
+@register("x5_media_features", oracle=_X5_FEATURES_ORACLE, tags=("X5", "multimodal"))
+def x5_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → binary media column → mapInPandas feature extraction.
+
+    The binary payload is the document text's bytes; features are the fake
+    (deterministic) decode path. Float discipline: features materialize as
+    float32 in the Arrow batch, and the oracle applies the same
+    double→REAL→DOUBLE rounding, so the hash comparison is exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[F.element_at("features", j + 1).cast("double").alias(f"f{j}") for j in range(4)],
+    )

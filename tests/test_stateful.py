@@ -42,16 +42,21 @@ def _run_once(spark, src: str, ckpt: str, out: str) -> None:
 def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
     src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
 
-    spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)], _SCHEMA).write.parquet(src + "/b1")
+    # one part-file per logical batch — otherwise maxFilesPerTrigger=1 splits
+    # a batch across triggers and intermediate update rows appear in the sink
+    spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)], _SCHEMA).coalesce(1).write.parquet(
+        src + "/b1"
+    )
     _run_once(spark, src, ckpt, out)
-    rows = spark.read.parquet(out).collect()
-    first = {r["user_id"]: r for r in rows}
+    first = {}
+    for r in sorted(spark.read.parquet(out).collect(), key=lambda r: r["epoch"]):
+        first[r["user_id"]] = r
     assert first[1]["n_events"] == 2 and abs(first[1]["total_value"] - 15.0) < 1e-9
     assert first[2]["n_events"] == 1 and abs(first[2]["max_value"] - 7.0) < 1e-9
 
     # batch 2 arrives later; the restarted query resumes from the checkpoint,
     # so user 1's state (2 events) must carry over → 3, and user 3 is new.
-    spark.createDataFrame([(1, 1.0), (3, 2.0)], _SCHEMA).write.parquet(src + "/b2")
+    spark.createDataFrame([(1, 1.0), (3, 2.0)], _SCHEMA).coalesce(1).write.parquet(src + "/b2")
     _run_once(spark, src, ckpt, out)
     allrows = spark.read.parquet(out).collect()
     latest = {}
@@ -70,7 +75,9 @@ def test_running_user_stats_matches_batch_aggregate(spark, sf_dir, tmp_path):
     ev = load_events(spark, sf_dir).select("user_id", "value")
     ev.write.parquet(src + "/b1")
     _run_once(spark, src, ckpt, out)
-    got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    got = {}
+    for r in sorted(spark.read.parquet(out).collect(), key=lambda r: r["epoch"]):
+        got[r["user_id"]] = r  # keep the latest update per user
     want = {
         r["user_id"]: r
         for r in ev.groupBy("user_id")
