@@ -224,3 +224,66 @@ def x4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — TF-IDF: term frequency × inverse document frequency, top-3 terms per
+# doc. idf computed once per term (a broadcast-able dim), not per posting.
+# ---------------------------------------------------------------------------
+
+# Determinism: ln() differs by 1 ulp between the JVM and libm, so the rank
+# runs on integer keys only (tf desc, df asc, term) and the reported tfidf is
+# rounded to 4 decimals — identical on both engines.
+_TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+  FROM tf, df, n WHERE tf.term = df.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("x4_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("X4", "text", "tfidf"))
+def x4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df"), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rk")
+    )

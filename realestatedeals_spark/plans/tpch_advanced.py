@@ -520,3 +520,33 @@ def olap_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.lead("o_totalprice").over(w).alias("next_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS through the SQL API — the engine's spark.sql() path (the
+# other queries use the DataFrame API; this one proves the SQL surface).
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("olap_grouping_sets_sql", oracle=_GSETS_ORACLE, tags=("grouping-sets", "sql-api"))
+def olap_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
