@@ -395,3 +395,67 @@ def c2_time_on_market(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T4/T5/T13 — address parsing (ure_scraping.py:171-189 incl. the double-space
+# cleanup), sqft extraction (ure_scraping.py:192, robust-regex form), and
+# Trulia feature-string dispatch (trulia_scraper.py:102-111: route '•'-joined
+# segments to typed bed/bath/sqft columns). Inputs synthesized
+# deterministically from customer keys so the oracle can mirror them.
+# ---------------------------------------------------------------------------
+
+_ADDRESS_ORACLE = """
+WITH raw AS (
+  SELECT c_custkey,
+         CAST(100 + c_custkey % 900 AS VARCHAR) || ' Main  St, Salt Lake City, UT '
+           || CAST(84000 + c_custkey % 1000 AS VARCHAR) AS full_address,
+         CAST(1 + c_custkey % 5 AS VARCHAR) || ' bed • '
+           || CAST(1 + c_custkey % 3 AS VARCHAR) || ' bath • 1,'
+           || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || ' sqft' AS features
+  FROM customer
+),
+cleaned AS (SELECT c_custkey, regexp_replace(full_address, '\\s{2,}', ' ', 'g') AS ca,
+                   features FROM raw)
+SELECT c_custkey,
+       string_split(ca, ', ')[1] AS address,
+       string_split(ca, ', ')[2] AS city,
+       trim(substr(string_split(ca, ', ')[-1], 1, 2)) AS state,
+       right(string_split(ca, ', ')[-1], 5) AS zip,
+       CAST(regexp_extract(features, '([0-9]+) bed', 1) AS INTEGER) AS beds,
+       CAST(regexp_extract(features, '([0-9]+) bath', 1) AS INTEGER) AS baths,
+       CAST(replace(regexp_extract(features, '([0-9,]+)\\s*sqft', 1), ',', '') AS INTEGER)
+         AS sqft
+FROM cleaned
+"""
+
+
+@register("t_address_feature_parse", oracle=_ADDRESS_ORACLE, tags=("T4", "T5", "T13"))
+def t_address_feature_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.functions.scalars import parse_address, parse_sqft
+
+    cust = load_table(spark, sf_dir, "customer")
+    full = F.concat(
+        (100 + F.col("c_custkey") % 900).cast("string"),
+        F.lit(" Main  St, Salt Lake City, UT "),
+        (84000 + F.col("c_custkey") % 1000).cast("string"),
+    )
+    features = F.concat(
+        (1 + F.col("c_custkey") % 5).cast("string"),
+        F.lit(" bed • "),
+        (1 + F.col("c_custkey") % 3).cast("string"),
+        F.lit(" bath • 1,"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit(" sqft"),
+    )
+    addr = parse_address(full)
+    return cust.select(
+        "c_custkey",
+        addr["address"].alias("address"),
+        addr["city"].alias("city"),
+        addr["state"].alias("state"),
+        addr["zip"].alias("zip"),
+        F.regexp_extract(features, r"(\d+) bed", 1).cast("int").alias("beds"),
+        F.regexp_extract(features, r"(\d+) bath", 1).cast("int").alias("baths"),
+        parse_sqft(features).alias("sqft"),
+    )

@@ -12,6 +12,7 @@ Usage: python tools/check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
@@ -78,6 +79,10 @@ def main() -> int:
     from realestatedeals_spark.session import get_spark
 
     spark = get_spark("check")
+    if os.environ.get("SPARK_GRAFT_HOSTILE_TZ"):
+        # simulate the driver's session (not ours): non-UTC timezone probes
+        # that every tz-sensitive query self-defends via apply_session_conf
+        spark.conf.set("spark.sql.session.timeZone", os.environ["SPARK_GRAFT_HOSTILE_TZ"])
     con = duck_connect(sf_dir)
     qs, oracles = E.queries(), E.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
@@ -85,6 +90,12 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        if os.environ.get("SPARK_GRAFT_HOSTILE_TZ"):
+            # re-assert before every query: a prior query's apply_session_conf
+            # resets to UTC and would mask gaps in later queries
+            spark.conf.set(
+                "spark.sql.session.timeZone", os.environ["SPARK_GRAFT_HOSTILE_TZ"]
+            )
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
