@@ -319,11 +319,11 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .join(orders_f.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
-    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")).distinct()
-    l3 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-        .distinct()
+    # no distinct() on the probe sides: semi/anti joins are insensitive to
+    # duplicates and the dedup would cost an extra full shuffle each
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
     )
     return (
         l1.join(l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2), "left_semi")
@@ -549,4 +549,53 @@ def olap_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT set operation (the one set-op the surface lacked) — customers with
+# open orders minus customers with finished orders.
+# ---------------------------------------------------------------------------
+
+_EXCEPT_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("setop_except_keys", oracle=_EXCEPT_ORACLE, tags=("except",))
+def setop_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.subtract(f)
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles per group — Spark percentile() vs DuckDB
+# quantile_cont (same linear-interpolation definition; verified bit-equal).
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       quantile_cont(l_quantity, 0.9) AS q90,
+       quantile_cont(l_extendedprice, 0.5) AS median_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("olap_percentiles_exact", oracle=_PCTL_ORACLE, tags=("percentile", "agg"))
+def olap_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.expr("percentile(l_quantity, 0.9)").alias("q90"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
     )
