@@ -599,3 +599,65 @@ def olap_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.9)").alias("q90"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (adapted: no partsupp/ps_availqty in the
+# star schema, so the supply relation is the observed (l_partkey, l_suppkey)
+# pairs and the availability threshold becomes "this supplier shipped more
+# than half of the part's 1996 volume"). Keeps the q20 operator shape: a
+# correlated aggregate threshold per group driving a nested IN → left-semi
+# join chain (reference has no subqueries at all; shape per TPC-H spec q20).
+#
+# Scale notes: both aggregates are partial-agg shuffles keyed on l_partkey —
+# the per-part total reuses the pair aggregate (one scan, two groupBys, the
+# second over the already-reduced pair frame, ~|pairs| rows not |lineitem|).
+# The qualifying-supplier set is tiny → broadcast semi-join into supplier;
+# nation dim broadcast. No window, no cross join, no driver collect.
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS pair_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+  GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, SUM(pair_qty) AS total_qty FROM pair GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM pair JOIN tot USING (l_partkey)
+  WHERE pair_qty > 0.5 * total_qty)
+"""
+
+
+@register("tpch_q20_dominant_supplier", oracle=_Q20_ORACLE, tags=("semi", "correlated", "agg"))
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+    )
+    pair = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dsum(F.col("l_quantity"), 2).alias("pair_qty"))
+    )
+    tot = pair.groupBy("l_partkey").agg(F.sum("pair_qty").alias("total_qty"))
+    dominant = (
+        pair.join(tot, "l_partkey")
+        .filter(F.col("pair_qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(dominant), sup.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )

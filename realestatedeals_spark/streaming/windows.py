@@ -61,3 +61,20 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup (X1 in motion): drop repeats of the same key
+    seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds state by (watermark × key
+    arrival rate) instead of retaining every key forever — the property that
+    makes streaming dedup viable on an unbounded feed. Batch frames fall
+    back to plain dropDuplicates (same semantics when all data is present).
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -112,3 +112,53 @@ def test_streaming_session_and_sliding_run(spark, tmp_path):
     # batch forms produce rows
     assert sliding_rates(batch_df).count() > 0
     assert session_windows(batch_df).count() > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from realestatedeals_spark.streaming.windows import stream_dedup
+
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("ts", TimestampType())]
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+
+    # batch 1: id 1 twice (in-batch dup) + id 2; batch 2 (newer mtime): id 1
+    # again within the watermark horizon → must also be dropped
+    spark.createDataFrame([(1, t0), (1, t0), (2, t0)], schema).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5)), (3, t0 + dt.timedelta(minutes=5))], schema
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        src + "/*"
+    )
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream_dedup(stream, keys=["event_id"], watermark="30 minutes")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3], ids
