@@ -1,0 +1,101 @@
+"""X7 — deterministic sampling / dataset splitting for training pipelines.
+
+A 100 TB corpus is never trained on wholesale: it is split (train/valid/
+test), stratified (per-language quotas), and subsampled — and every one of
+those operations must be DETERMINISTIC so that reruns, backfills, and
+incremental appends land each document in the same split. ``rand()`` fails
+that bar (retry/partitioning dependent); content-hash assignment does not.
+
+The reference has no sampling at all (its corpus is 6k rows,
+/root/reference/listings.csv); these are engine additions mandated by the
+north star alongside X1-X6.
+
+Portability note: the split hash is the first hex character of
+``md5(cast(key as string))`` — md5 is bit-identical across Spark, DuckDB,
+and every other engine, so the oracle checks the REAL assignment, not a
+lookalike. 16 hex buckets give 12/2/2 = 75%/12.5%/12.5% splits.
+
+Scale notes (100 TB discipline):
+- ``x7_hash_split`` is a narrow map + one partial-agg shuffle of ≤3 rows —
+  no data movement beyond the final 3-row reduce.
+- ``x7_stratified_sample`` shuffles once on ``lang`` for the per-group
+  window. Quota-per-group top-N keeps only N rows per partition after the
+  rank filter. With few giant strata the window sort dominates; the hash
+  rank is uniform, so at scale you pre-filter with an approximate per-lang
+  hash threshold (keep ~2N by hash range, exact-rank the survivors) — at
+  fixture scale the direct window is the honest plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.plans.registry import register
+
+_SPLIT_SQL_CASE = """
+CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'valid'
+     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+     ELSE 'train' END
+"""
+
+_X7_SPLIT_ORACLE = f"""
+SELECT {_SPLIT_SQL_CASE} AS split,
+       COUNT(*) AS n_docs,
+       SUM(CAST(n_chars AS BIGINT)) AS total_chars
+FROM documents
+GROUP BY split
+"""
+
+
+def _split_col() -> F.Column:
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        F.when(h.isin("c", "d"), F.lit("valid"))
+        .when(h.isin("e", "f"), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+@register("x7_hash_split", oracle=_X7_SPLIT_ORACLE, tags=("X7", "sampling"))
+def x7_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/valid/test split by content-hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(_split_col().alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+    )
+
+
+_X7_STRAT_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 40
+"""
+
+
+@register("x7_stratified_sample", oracle=_X7_STRAT_ORACLE, tags=("X7", "sampling", "window"))
+def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample: 40 docs per lang, ranked by content hash.
+
+    Hash-ordered rank = a uniform random draw that is reproducible across
+    runs, partitionings, and engines (no seed state to ship around).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "lang")
+    )
