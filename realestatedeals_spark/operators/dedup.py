@@ -1,18 +1,22 @@
 """Deduplication operators (SURVEY.md §2b X1/X2 + A2).
 
-All DataFrame-native — no MLlib pipeline objects, no Python UDFs. MinHash
-signatures come from ``xxhash64(seed_i, shingle)`` (deterministic across
-runs/partitionings), banded LSH generates candidates, and candidates are
-verified with EXACT Jaccard — so the end result equals the brute-force
-answer whenever band parameters give ~1.0 recall at the chosen threshold
-(16 bands × 4 rows ⇒ miss probability < 4e-8 at J≥0.9).
+All DataFrame-native — no MLlib pipeline objects, no Python UDFs. Shingles
+are 64-bit hashes built from per-token hashes (``hashed_shingles``); MinHash
+components are deterministic long re-hashes ``xxhash64(shingle_hash, i)``
+(stable across runs/partitionings); banded LSH generates candidates; and
+candidates are verified with EXACT Jaccard over the hashed-shingle sets —
+so the end result equals the brute-force answer whenever band parameters
+give ~1.0 recall at the chosen threshold (16 bands × 4 rows ⇒ miss
+probability < 4e-8 at J≥0.9).
 
-Scale shape (100 TB): shingling is a narrow map; the signature is ONE
-groupBy(doc) with 64 min-aggregates (map-side partial agg does most of the
-work); banding is a narrow explode (×bands); the candidate join shuffles on
-(band, signature) where buckets are tiny by construction; verification joins
-only the candidate pairs against per-doc shingle sets. Nothing is quadratic
-in corpus size.
+Scale shape (100 TB): shingle strings never exist — tokens hash once, k-word
+shingle hashes fold via ``zip_with`` (narrow). The signature groupBy
+partial-aggregates map-side, so only (doc, 64 longs) per partition reach its
+shuffle. Banding is a narrow explode (×bands); the candidate join shuffles
+~66 longs per doc on (band, signature) where buckets are tiny by
+construction; verification joins only the candidate pairs against per-doc
+hashed-shingle arrays. Nothing quadratic in corpus size, and no shuffle ever
+carries document text or shingle strings.
 """
 
 from __future__ import annotations
@@ -25,33 +29,63 @@ def tokenize(text: F.Column) -> F.Column:
     return F.split(text, " ")
 
 
-def shingles(text: F.Column, k: int = 3) -> F.Column:
-    """Distinct k-word shingles of a text column (empty array if < k words)."""
-    toks = tokenize(text)
-    n = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
+def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle-hash) pairs, distinct per doc. Hashed form on purpose:
+    downstream self-joins shuffle 8-byte longs instead of shingle strings."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(hashed_shingles(F.col(text_col), k)).alias("shingle"),
     )
 
 
-def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
-    return docs.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+def hashed_shingles(text: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-word shingles as 64-bit hashes (array<long>), no shingle
+    strings ever materialized: tokens are hashed once, then k-1 ``zip_with``
+    passes fold the k token hashes at each position into one shingle hash.
+    Jaccard over hash sets equals Jaccard over shingle sets up to 2^-64
+    collisions (negligible at any corpus size), and longs are ~10× cheaper
+    than shingle strings to build, compare, and (in the inverted-index
+    variant) shuffle."""
+    th = F.transform(tokenize(text), lambda t: F.xxhash64(t))
+    n = F.size(th)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    acc = F.slice(th, 1, m)
+    for off in range(1, k):
+        nxt = F.slice(th, 1 + off, m)
+        acc = F.zip_with(acc, nxt, lambda a, b: F.xxhash64(a, b))
+    return F.array_distinct(acc)
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(_id, sset) — per-doc distinct hashed-shingle array. Narrow (no
+    shuffle).
+
+    Docs with fewer than k tokens have no shingles and are dropped, matching
+    the exploded-form semantics (they can never be near-duplicates)."""
+    return docs.select(
+        F.col(id_col).alias("_id"), hashed_shingles(F.col(text_col), k).alias("sset")
+    ).filter(F.size("sset") > 0)
+
+
+def minhash_signatures(sets_: DataFrame, num_hashes: int = 64) -> DataFrame:
     """One row per doc: _id, h0..h{n-1} MinHash components.
 
-    One shuffle; the 64 mins partial-aggregate map-side, so the reduce phase
-    moves 64 longs per doc regardless of document size.
-    """
+    The n components are cheap long re-hashes ``xxhash64(shingle_hash, i)``
+    inside the min aggregates — per shingle that is n long mixes, no string
+    work. The explode→groupBy stays whole-stage-codegen with map-side
+    partial aggregation: only (doc, 64 longs) per partition reach the
+    shuffle. (The tempting all-narrow ``array_min(transform(...))`` form is
+    slower: 64 higher-order-function columns evaluate interpreted, and
+    projection collapse inlines the shingling expression into every one of
+    them.)"""
+    hv = sets_.select("_id", F.explode("sset").alias("hv"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.xxhash64(F.col("hv"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
-    return sh.groupBy("_id").agg(*aggs)
+    return hv.groupBy("_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -86,10 +120,10 @@ def lsh_candidate_pairs(
     )
 
 
-def exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Join candidate pairs against per-doc shingle sets and compute exact
+def exact_jaccard(pairs: DataFrame, sets_: DataFrame) -> DataFrame:
+    """Join candidate pairs against per-doc shingle arrays and compute exact
     Jaccard. Output: id_a, id_b, jaccard."""
-    sets_ = sh.groupBy("_id").agg(F.collect_set("shingle").alias("sset"))
+    sets_ = sets_.select("_id", "sset")
     return (
         pairs.join(sets_.withColumnRenamed("_id", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
         .join(sets_.withColumnRenamed("_id", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
@@ -120,11 +154,11 @@ def minhash_near_duplicates(
     the output matches brute force in practice (the DuckDB oracle computes
     the brute-force answer).
     """
-    sh = shingle_table(docs, id_col, text_col, k)
-    sig = minhash_signatures(sh, num_hashes)
+    sets_ = shingle_sets(docs, id_col, text_col, k)
+    sig = minhash_signatures(sets_, num_hashes)
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     return (
-        exact_jaccard(cand, sh)
+        exact_jaccard(cand, sets_)
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
     )
