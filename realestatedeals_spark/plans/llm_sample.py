@@ -1,4 +1,5 @@
-"""X7 — deterministic sampling / dataset splitting for training pipelines.
+"""X7/X8 — deterministic sampling, dataset splitting, and corpus-pipeline
+composites for training pipelines.
 
 A 100 TB corpus is never trained on wholesale: it is split (train/valid/
 test), stratified (per-language quotas), and subsampled — and every one of
@@ -98,4 +99,92 @@ def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 40)
         .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8 — end-to-end corpus cleaning: quality gate → exact near-identical dedup
+# → per-language accounting. The composite every training-data run starts
+# with, expressed as ONE lazy plan (filter is narrow; dedup is one shuffle on
+# the content hash; accounting partial-aggregates). At 100 TB the content
+# hash shuffles 16 bytes + key columns per doc, never the text.
+# ---------------------------------------------------------------------------
+
+_X8_CLEAN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, text, n_chars,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents),
+qual AS (
+  SELECT * FROM toks
+  WHERE n_tokens >= 10 AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 12),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM qual)
+  WHERE rn = 1)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+FROM dedup GROUP BY lang
+"""
+
+
+@register("x8_corpus_clean", oracle=_X8_CLEAN_ORACLE, tags=("X8", "pipeline", "dedup"))
+def x8_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter, content-hash dedup (first doc_id wins), per-lang totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    toks = docs.select("doc_id", "lang", "text", "n_chars", n_tokens.alias("n_tokens"))
+    qual = toks.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens")).between(3, 12)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = qual.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return dedup.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8 — token-budget shard assignment: writing a corpus as ~budget-token
+# output shards, per language, order-preserving. The running-total window is
+# one shuffle on lang; at scale the same plan runs per (lang, date-bucket) so
+# no single partition holds a whole language.
+# ---------------------------------------------------------------------------
+
+_X8_SHARDS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_toks
+  FROM toks)
+SELECT lang, CAST(FLOOR(COALESCE(before_toks, 0) / 2000) AS BIGINT) AS shard,
+       COUNT(*) AS n_docs, CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS shard_tokens
+FROM c GROUP BY lang, shard
+"""
+
+
+@register("x8_token_shards", oracle=_X8_SHARDS_ORACLE, tags=("X8", "pipeline", "window"))
+def x8_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign docs to ~2000-token output shards per language (sequential
+    packing: a doc straddling a boundary stays in the earlier shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    toks = docs.select("doc_id", "lang", n_tokens.cast("bigint").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = toks.withColumn("before_toks", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.groupBy(
+        "lang", F.floor(F.col("before_toks") / 2000).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
     )
