@@ -661,3 +661,34 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt) — inverse of olap_pivot_status: wide measure columns to
+# (measure, value) rows. Spark's unpivot lowers to Expand (each input row
+# emitted once per measure, no shuffle, no join); the oracle is the portable
+# UNION ALL formulation.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value
+FROM part WHERE p_size > 40
+UNION ALL
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+FROM part WHERE p_size > 40
+"""
+
+
+@register("olap_unpivot_part", oracle=_UNPIVOT_ORACLE, tags=("unpivot",))
+def olap_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
