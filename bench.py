@@ -23,8 +23,11 @@ def main() -> None:
     from realestatedeals_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm the JVM + file listing outside the timed region
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm-up outside the timed region: one untimed pass of the full set so
+    # the timed pass measures steady-state plan execution, not JVM/codegen
+    # warmup of whichever query happens to run first.
+    for name, fn in bench_queries().items():
+        fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
