@@ -110,6 +110,42 @@ def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding (hopping) 10-minute window, 5-minute slide, per event_type. Each
+# event lands in exactly length/slide = 2 windows; Spark's window() aligns
+# starts to the epoch, so the oracle enumerates the two epoch-aligned starts
+# per event (floor to the 300 s grid, minus 0 or 300 s) and aggregates.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+SELECT strftime(to_timestamp(CAST(floor(epoch_us(ts) / 300000000) * 300 - o.off AS BIGINT)) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN (VALUES (0), (300)) AS o(off)
+GROUP BY 1, 2
+"""
+
+
+@register("e5_sliding_window", oracle=_SLIDING_ORACLE, tags=("window", "streaming-batch"))
+def e5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON prop extraction (the reference's property_details dict analog,
 # listing.py:34) — parse props, aggregate by event_type.
 # ---------------------------------------------------------------------------
