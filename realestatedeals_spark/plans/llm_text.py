@@ -271,7 +271,7 @@ def x4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .join(F.broadcast(n))
         .select(
             "doc_id",

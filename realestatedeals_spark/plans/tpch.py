@@ -68,7 +68,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q3-shaped — shipping priority: 3-way join + filter + grouped revenue + top-k.
-# customer ⋈ orders ⋈ lineitem with broadcast of the filtered customer side.
+# customer ⋈ orders ⋈ lineitem; SF-scaling sides carry no broadcast hint —
+# Catalyst stats broadcast them at small SF, AQE decides at cluster scale.
 # ---------------------------------------------------------------------------
 
 _Q3_ORACLE = """
@@ -98,7 +99,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -145,7 +146,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
@@ -297,7 +298,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
     zero = F.lit(0).cast("decimal(25,6)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -330,8 +331,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("l_suppkey")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, on="l_suppkey", how="left_anti")
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -396,7 +397,7 @@ WHERE l_partkey = p_partkey
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10) & q.between(5, 20))

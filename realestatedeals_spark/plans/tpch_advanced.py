@@ -72,7 +72,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -124,12 +124,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("volume")
     zero = F.lit(0).cast("decimal(25,6)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -170,9 +170,9 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(_dsum(_rev(), 6).alias("sum_profit"))
@@ -243,7 +243,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
         revenue.join(F.broadcast(mx), revenue.total_revenue == mx.max_rev)
-        .join(F.broadcast(sup), F.col("supplier_no") == sup.s_suppkey)
+        .join(sup, F.col("supplier_no") == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -278,7 +278,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(pq, li.l_partkey == F.col("pq_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
@@ -328,7 +328,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l1.join(l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2), "left_semi")
         .join(l3, (l1.l_orderkey == l3.k3) & (l1.l_suppkey != l3.s3), "left_anti")
-        .join(F.broadcast(sup), l1.l_suppkey == sup.s_suppkey)
+        .join(sup, l1.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -404,8 +404,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     ps = li.select("l_partkey", "l_suppkey").distinct()
     x = (
-        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), ps.l_suppkey == sup.s_suppkey)
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(sup, ps.l_suppkey == sup.s_suppkey)
         .select("p_partkey", "p_name", "s_name", "s_acctbal")
     )
     m = x.groupBy(F.col("p_partkey").alias("mk")).agg(F.min("s_acctbal").alias("min_bal"))
@@ -643,7 +643,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").between("1996-01-01", "1996-12-31")
     )
     pair = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(_dsum(F.col("l_quantity"), 2).alias("pair_qty"))
     )
@@ -657,7 +657,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     return (
-        sup.join(F.broadcast(dominant), sup.s_suppkey == F.col("l_suppkey"), "left_semi")
+        sup.join(dominant, sup.s_suppkey == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
