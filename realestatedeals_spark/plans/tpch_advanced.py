@@ -692,3 +692,45 @@ def olap_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (operators/skew.py) — revenue per supplier nation with the
+# lineitem→(supplier⋈nation) join running through explicit key salting. The
+# small side is supplier-scale: too big to broadcast at cluster SF, and when
+# a handful of suppliers dominate lineitem, AQE's post-shuffle skew split is
+# the fallback — salting scatters the hot keys before the shuffle. Result is
+# row-identical to the plain equi-join, which is exactly what the oracle
+# asserts.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("skew_salted_join_revenue", oracle=_SALTED_ORACLE, tags=("skew", "join", "agg"))
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.operators.skew import salted_join
+
+    apply_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    small = sup.join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey).select(
+        "l_suppkey", "n_name"
+    )
+    return (
+        salted_join(li, small, on=["l_suppkey"], salt=8)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_dsum(_rev(), 6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
