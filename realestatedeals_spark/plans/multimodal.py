@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realestatedeals_spark.io.sources import load_table
-from realestatedeals_spark.operators.multimodal import image_features
+from realestatedeals_spark.operators.multimodal import image_features, sample_frames
 from realestatedeals_spark.plans.registry import register
 
 
@@ -52,3 +52,33 @@ def x5_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         *[F.element_at("features", j + 1).cast("double").alias(f"f{j}") for j in range(4)],
     )
+
+
+_X5_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(octet_length(encode(text)) // 64 AS BIGINT), 4)) AS i,
+         hex(encode(text)) AS hx
+  FROM documents
+)
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+       substring(hx, CAST(i * 128 + 1 AS BIGINT), 128) AS frame_hex
+FROM f
+"""
+
+
+@register("x5_frame_sample", oracle=_X5_FRAMES_ORACLE, tags=("X5", "multimodal"))
+def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the mapInPandas chunking path:
+    frame i = content[i*64:(i+1)*64], keep every 4th. The byte stream is the
+    document text, so the oracle re-derives each kept frame from the hex of
+    the same bytes — the Arrow batch plumbing gets a real value-hash check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    frames = sample_frames(media, every_k=4, frame_bytes=64)
+    return frames.select("media_id", "frame_idx", F.hex("frame").alias("frame_hex"))
