@@ -97,3 +97,67 @@ def x3_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "rk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@register("x3_cosine_topk_gemm", oracle=_X3_ORACLE, tags=("X3", "vectors", "pandas-udf"), bench=True)
+def x3_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-5 as x3_cosine_topk_bruteforce, via the vectorized
+    Pandas-UDF path: the bounded query batch is broadcast as a numpy matrix,
+    each corpus partition computes all query scores with one fused
+    multiply-add sweep and emits its partial top-k, and a final window merges
+    partials — shuffle volume is partitions × |Q| × k rows, never the corpus.
+
+    Bit-exactness with the oracle: products accumulate dimension-by-
+    dimension (vectorized over the pair axis, sequential over dims), the
+    same left-to-right double addition as F.aggregate / DuckDB list_reduce.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = emb.filter(F.col("vec_id") % 100 == 0).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qn = np.zeros(len(qids))
+    for d in range(qm.shape[1]):
+        qn += qm[:, d] * qm[:, d]
+    qn = np.sqrt(qn)
+    bq = spark.sparkContext.broadcast((qids, qm, qn))
+
+    k = 5
+
+    def part(batches):
+        qids, qm, qn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(nid), len(qids)))
+            en = np.zeros(len(nid))
+            for d in range(e.shape[1]):
+                ed = e[:, d]
+                acc += np.outer(ed, qm[:, d])
+                en += ed * ed
+            cos = acc / (np.sqrt(en)[:, None] * qn[None, :])
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                keep = nid != qids[j]
+                cj, nj = cos[keep, j], nid[keep]
+                top = np.lexsort((nj, -cj))[:k]
+                out_q.extend([qids[j]] * len(top))
+                out_n.extend(nj[top])
+                out_c.extend(cj[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        part, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("cosine", 6).alias("cosine"))
+    )
