@@ -154,7 +154,11 @@ def minhash_near_duplicates(
     the output matches brute force in practice (the DuckDB oracle computes
     the brute-force answer).
     """
-    sets_ = shingle_sets(docs, id_col, text_col, k)
+    # Materialize the shingle table once: it feeds the signature aggregation
+    # AND both sides of the exact-verify join, and re-tokenizing the corpus
+    # three times dominates the pipeline otherwise. At cluster scale this is
+    # the step to persist to storage (or DISK_ONLY) instead.
+    sets_ = shingle_sets(docs, id_col, text_col, k).localCheckpoint(eager=True)
     sig = minhash_signatures(sets_, num_hashes)
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     return (
