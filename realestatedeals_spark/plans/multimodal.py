@@ -82,3 +82,53 @@ def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = sample_frames(media, every_k=4, frame_bytes=64)
     return frames.select("media_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
+_X5_PROFILE_ORACLE = """
+WITH media AS (
+  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         CASE WHEN doc_id % 3 <> 1 THEN CAST(n_chars % 1920 AS INT) END AS width,
+         CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars % 300 AS INT) END AS n_frames
+  FROM documents
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(AVG(width) AS DOUBLE) AS avg_width,
+       max(n_frames) AS max_frames
+FROM media GROUP BY kind
+"""
+
+
+@register("x5_media_profile", oracle=_X5_PROFILE_ORACLE, tags=("X5", "multimodal"))
+def x5_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media profiling: the plan must aggregate the typed meta
+    struct and byte lengths without the binary payload ever leaving the scan
+    stage (column pruning keeps ``content`` access JVM-side; no mapInPandas).
+    Media derives deterministically from documents so DuckDB can mirror it.
+    """
+    from realestatedeals_spark.operators.multimodal import media_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    kind = (F.col("doc_id") % 3).cast("int")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(kind == 0, "image").when(kind == 1, "audio").otherwise("video").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.when(kind == 0, "png").when(kind == 1, "wav").otherwise("mp4").alias("format"),
+            F.when(kind != 1, (F.col("n_chars") % 1920).cast("int")).alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(kind == 1, F.lit(16000)).alias("sample_rate"),
+            F.when(kind == 2, (F.col("n_chars") % 300).cast("int")).alias("n_frames"),
+        ).alias("meta"),
+    )
+    prof = media_profile(media)
+    return prof.select(
+        "kind",
+        "n_items",
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("avg_width").cast("double").alias("avg_width"),
+        "max_frames",
+    )
