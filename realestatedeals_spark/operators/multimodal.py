@@ -72,33 +72,24 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
     return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
 
 
-def _real_image_decode_available() -> bool:
-    try:
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 _FEATURE_DIM = 8
 
 
-def image_features(media: DataFrame) -> DataFrame:
+def image_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """Decode + feature-extract per image, Arrow-batched.
 
-    Real path (PIL) decodes and pools pixels; fake path (this container)
-    derives a deterministic ``_FEATURE_DIM``-float vector from the content
-    hash — FAKE values, real plumbing (batch iteration, schema, null
-    handling). Output: media_id, n_bytes, features array<float>.
+    The real-codec path is OPT-IN (``use_real_codec=True``) and currently a
+    marked stub — merely having PIL installed must not change behavior. The
+    default path derives a deterministic ``_FEATURE_DIM``-float vector from
+    the content hash — FAKE values, real plumbing (batch iteration, schema,
+    null handling). Output: media_id, n_bytes, features array<float>.
     """
-    use_real = _real_image_decode_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if use_real:
+        if use_real_codec:
             raise NotImplementedError(
-                "real image decode path: PIL present but decode for the fake "
-                "format is undefined; plug a codec here"
+                "real image decode path not implemented in this container; "
+                "plug a codec (e.g. PIL) into this mapInPandas body"
             )
         for pdf in batches:
             ids, nbytes, feats = [], [], []
@@ -124,12 +115,15 @@ def image_features(media: DataFrame) -> DataFrame:
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, use_real_codec: bool = False
+) -> DataFrame:
     """Resize stub: metadata transforms are real column ops; pixel work is
-    import-gated (raises without a codec). Output keeps the media schema with
-    updated meta so downstream plumbing is exercisable."""
-    if _real_image_decode_available():
-        raise NotImplementedError("plug PIL resize into the mapInPandas body here")
+    an opt-in stub (``use_real_codec=True`` raises until a codec is plugged
+    in). Output keeps the media schema with updated meta so downstream
+    plumbing is exercisable."""
+    if use_real_codec:
+        raise NotImplementedError("plug a codec resize into a mapInPandas body here")
     return media.withColumn(
         "meta",
         F.struct(

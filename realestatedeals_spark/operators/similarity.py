@@ -67,6 +67,114 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).tolist()
 
 
+def rp_lsh_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table RP-LSH candidates + exact
+    cosine verify — the bucketed mirror of ``minhash_near_duplicates``.
+
+    Candidate generation is an equi-join on (table, bucket): a pair is a
+    candidate iff it lands in the same sign-bucket of ANY of the
+    ``n_tables`` independent hyperplane sets (OR-amplification). Every
+    candidate is exact-verified, so false positives are impossible; recall
+    is 1 − (1 − p^b)^L with p = 1 − θ/π. The shuffle carries only
+    (id, table, bucket) longs plus the candidate pairs — never a cross
+    product — and bucket skew is bounded by 2^n_planes fan-out per table.
+
+    Parameter honesty: near the default threshold 0.45 (θ ≈ 63°, p ≈ 0.65)
+    the LSH gap is weak — recall-safe settings (4 planes × 16 tables) keep
+    roughly 2/3 of all pairs as candidates, so pruning is modest. At real
+    production near-dup thresholds (cosine ≥ 0.9, p ≈ 0.9) the same
+    construction prunes aggressively; raise ``n_planes`` (and trim
+    ``n_tables``) as the threshold rises.
+
+    Output: id_a, id_b, cosine (rounded to 6), matching ``cosine_pairs``.
+    """
+    import pandas as pd
+
+    # All n_tables × n_planes sign bits in one vectorized sweep per Arrow
+    # batch (one (batch × dim) @ (dim × T·P) matmul). The column-expression
+    # form (rp_bucket per table) builds T·P aggregate expressions over
+    # dim-literal arrays — the planner, not the executors, becomes the
+    # bottleneck (same lesson as _best_cells).
+    flat_planes = np.stack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    ).reshape(n_tables * n_planes, dim)
+
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_id"].to_numpy()
+            e = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (e @ flat_planes.T > 0).reshape(len(ids), n_tables, n_planes)
+            keys = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
+                    "bucket": keys.reshape(-1),
+                }
+            )
+
+    # materialized once — it feeds BOTH sides of the candidate self-join
+    keyed = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
+        .mapInPandas(bucketize, schema="_id long, tbl int, bucket long")
+        .localCheckpoint(eager=True)
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = cand.join(va, "id_a").join(vb, "id_b")
+
+    # Vectorized exact verify: one fused sweep per Arrow batch instead of
+    # three interpreted higher-order aggregates per pair. Dimension-by-
+    # dimension accumulation (vectorized over pairs, sequential over dims)
+    # keeps the double adds in the same left-to-right order as F.aggregate /
+    # DuckDB list_reduce, so results stay bit-identical to cosine_pairs.
+    def verify(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            va_ = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            vb_ = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(va_))
+            na = np.zeros(len(va_))
+            nb = np.zeros(len(va_))
+            for d in range(va_.shape[1]):
+                acc += va_[:, d] * vb_[:, d]
+                na += va_[:, d] * va_[:, d]
+                nb += vb_[:, d] * vb_[:, d]
+            out = pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(),
+                    "id_b": pdf["id_b"].to_numpy(),
+                    "cosine": acc / (np.sqrt(na) * np.sqrt(nb)),
+                }
+            )
+            yield out[out["cosine"] >= threshold]
+
+    return joined.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
+
+
 def rp_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
     """Sign pattern of the vector against each hyperplane → one long key."""
     bits = [

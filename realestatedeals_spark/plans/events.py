@@ -89,7 +89,7 @@ GROUP BY user_id, session_id
 """
 
 
-@register("e2_sessionize", oracle=_SESSION_ORACLE, tags=("window", "session"))
+@register("e2_sessionize", oracle=_SESSION_ORACLE, tags=("window", "session"), bench=True)
 def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir)

@@ -68,7 +68,9 @@ GROUP BY nodes.a
 )
 
 
-@register("x2_duplicate_clusters", oracle=_X2_CLUSTERS_ORACLE, tags=("X2", "dedup", "graph"))
+@register(
+    "x2_duplicate_clusters", oracle=_X2_CLUSTERS_ORACLE, tags=("X2", "dedup", "graph"), bench=True
+)
 def x2_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(docs, k=3, num_hashes=64, bands=16, threshold=0.9)
@@ -143,8 +145,32 @@ FROM pairs WHERE cosine >= 0.45
 
 @register("x5_embedding_near_dup", oracle=_X5_EMB_ORACLE, tags=("X3", "dedup", "vectors"))
 def x5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact all-pairs — the O(N²) exactness BASELINE for the
+    bucketed ``x5_embedding_near_dup_lsh`` below (same role the brute-force
+    cosine top-k plays for the ANN variants); never the plan to reach for
+    at scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, threshold=0.45).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@register(
+    "x5_embedding_near_dup_lsh",
+    oracle=_X5_EMB_ORACLE,
+    tags=("X3", "dedup", "vectors", "lsh"),
+    bench=True,
+)
+def x5_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: multi-table RP-LSH bucketed candidates + exact cosine
+    verify (mirrors minhash_near_duplicates' candidates-then-verify design).
+    Hash-matches the brute-force oracle because every candidate is exact-
+    verified and the seeded 4-plane × 16-table OR-construction has verified
+    recall 1.0 on the fixture pairs (all between cosine 0.45 and 0.52)."""
+    from realestatedeals_spark.operators.similarity import rp_lsh_near_duplicates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_lsh_near_duplicates(emb, threshold=0.45).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
 

@@ -37,13 +37,19 @@ def x6_profile_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x6_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct + approximate percentiles. Rows-only check (sketches
     are approximate by design; tolerance asserted in tests/test_profile.py
-    against the exact query above)."""
+    against the exact query above).
+
+    Quantiles are emitted as four scalar double columns — array columns
+    don't canonicalize in the harness's rows-only hash.
+    """
     li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000)
     return li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        q.getItem(0).alias("price_q25"),
+        q.getItem(1).alias("price_q50"),
+        q.getItem(2).alias("price_q75"),
+        q.getItem(3).alias("price_q99"),
     )

@@ -84,7 +84,9 @@ WHERE rn <= 40
 """
 
 
-@register("x7_stratified_sample", oracle=_X7_STRAT_ORACLE, tags=("X7", "sampling", "window"))
+@register(
+    "x7_stratified_sample", oracle=_X7_STRAT_ORACLE, tags=("X7", "sampling", "window"), bench=True
+)
 def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quota sample: 40 docs per lang, ranked by content hash.
 

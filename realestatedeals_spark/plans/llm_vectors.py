@@ -99,65 +99,111 @@ def x3_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x3_cosine_topk_gemm", oracle=_X3_ORACLE, tags=("X3", "vectors", "pandas-udf"), bench=True)
-def x3_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same exact top-5 as x3_cosine_topk_bruteforce, via the vectorized
-    Pandas-UDF path: the bounded query batch is broadcast as a numpy matrix,
-    each corpus partition computes all query scores with one fused
-    multiply-add sweep and emits its partial top-k, and a final window merges
-    partials — shuffle volume is partitions × |Q| × k rows, never the corpus.
+def gemm_cosine_topk(
+    emb: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    query_batch_rows: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via the vectorized Pandas-UDF (blocked-GEMM) path.
 
-    Bit-exactness with the oracle: products accumulate dimension-by-
+    Driver memory is O(``query_batch_rows``), never O(corpus): queries are
+    hash-split into ⌈|Q| / batch⌉ chunks, each chunk is collected + broadcast
+    as a numpy matrix, every corpus partition computes that chunk's scores
+    with one fused multiply-add sweep and emits its partial top-k, and the
+    partial (partitions × |chunk| × k rows — tiny) is eagerly materialized so
+    the chunk broadcast can be destroyed before the next chunk is collected.
+    A final window merges partials. Shuffle volume is partials only, never
+    the corpus. With multiple chunks the corpus is rescanned per chunk —
+    cache/persist ``emb`` upstream when |Q| exceeds one batch.
+
+    Bit-exactness with the SQL oracle: products accumulate dimension-by-
     dimension (vectorized over the pair axis, sequential over dims), the
     same left-to-right double addition as F.aggregate / DuckDB list_reduce.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    q_rows = emb.filter(F.col("vec_id") % 100 == 0).select("vec_id", "embedding").collect()
-    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    qn = np.zeros(len(qids))
-    for d in range(qm.shape[1]):
-        qn += qm[:, d] * qm[:, d]
-    qn = np.sqrt(qn)
-    bq = spark.sparkContext.broadcast((qids, qm, qn))
+    spark = emb.sparkSession
+    q_df = emb.filter(query_pred).select(id_col, vec_col)
+    n_q = q_df.count()
+    if n_q == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rk int, cosine double"
+        )
+    n_chunks = math.ceil(n_q / query_batch_rows)
 
-    k = 5
+    partials = []
+    for chunk in range(n_chunks):
+        chunk_df = q_df if n_chunks == 1 else q_df.filter(
+            F.abs(F.xxhash64(F.col(id_col))) % n_chunks == chunk
+        )
+        q_rows = chunk_df.collect()
+        if not q_rows:
+            continue
+        qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+        qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+        qn = np.zeros(len(qids))
+        for d in range(qm.shape[1]):
+            qn += qm[:, d] * qm[:, d]
+        qn = np.sqrt(qn)
+        bq = spark.sparkContext.broadcast((qids, qm, qn))
 
-    def part(batches):
-        qids, qm, qn = bq.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            acc = np.zeros((len(nid), len(qids)))
-            en = np.zeros(len(nid))
-            for d in range(e.shape[1]):
-                ed = e[:, d]
-                acc += np.outer(ed, qm[:, d])
-                en += ed * ed
-            cos = acc / (np.sqrt(en)[:, None] * qn[None, :])
-            out_q, out_n, out_c = [], [], []
-            for j in range(len(qids)):
-                keep = nid != qids[j]
-                cj, nj = cos[keep, j], nid[keep]
-                top = np.lexsort((nj, -cj))[:k]
-                out_q.extend([qids[j]] * len(top))
-                out_n.extend(nj[top])
-                out_c.extend(cj[top])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
-            )
+        def part(batches, _bq=bq):
+            qids, qm, qn = _bq.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                nid = pdf[id_col].to_numpy(dtype=np.int64)
+                e = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                acc = np.zeros((len(nid), len(qids)))
+                en = np.zeros(len(nid))
+                for d in range(e.shape[1]):
+                    ed = e[:, d]
+                    acc += np.outer(ed, qm[:, d])
+                    en += ed * ed
+                cos = acc / (np.sqrt(en)[:, None] * qn[None, :])
+                out_q, out_n, out_c = [], [], []
+                for j in range(len(qids)):
+                    keep = nid != qids[j]
+                    cj, nj = cos[keep, j], nid[keep]
+                    top = np.lexsort((nj, -cj))[:k]
+                    out_q.extend([qids[j]] * len(top))
+                    out_n.extend(nj[top])
+                    out_c.extend(cj[top])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+                )
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(
-        part, schema="query_id long, neighbor_id long, cosine double"
-    )
+        partial = emb.select(id_col, vec_col).mapInPandas(
+            part, schema="query_id long, neighbor_id long, cosine double"
+        )
+        if n_chunks > 1:
+            # materialize this chunk's (tiny) partial so the broadcast can be
+            # released before the next chunk lands on the driver
+            partial = partial.localCheckpoint(eager=True)
+            bq.destroy()
+        partials.append(partial)
+
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        partial.withColumn("rk", F.row_number().over(w))
+        merged.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@register("x3_cosine_topk_gemm", oracle=_X3_ORACLE, tags=("X3", "vectors", "pandas-udf"), bench=True)
+def x3_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-5 as x3_cosine_topk_bruteforce via ``gemm_cosine_topk``
+    (blocked queries — driver memory stays O(query_batch_rows) however large
+    the corpus-proportional query set grows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gemm_cosine_topk(emb, F.col("vec_id") % 100 == 0, k=5)

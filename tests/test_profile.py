@@ -14,5 +14,5 @@ def test_sketches_within_tolerance(spark, sf_dir):
         (exact["distinct_orders"], approx["approx_orders"]),
     ]:
         assert abs(a - e) / e < 0.05, (e, a)
-    q = approx["price_quantiles"]
-    assert list(q) == sorted(q) and len(q) == 4
+    q = [approx["price_q25"], approx["price_q50"], approx["price_q75"], approx["price_q99"]]
+    assert q == sorted(q)
