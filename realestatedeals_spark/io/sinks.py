@@ -153,37 +153,129 @@ def graph_edges(listings: DataFrame) -> DataFrame:
     return agent_of.unionByName(brokered_by).unionByName(works_for).distinct()
 
 
+def connector_save_plans(
+    listings: DataFrame, source_label: str = "URE"
+) -> list[tuple[str, DataFrame, dict[str, str]]]:
+    """The full Neo4j-Spark-Connector write plan for the property graph:
+    (element_name, frame, connector options) for all 3 node types and all 3
+    edge types (database_ops.py:11-92). Node/relationship match keys mirror
+    the reference's MERGE keys (mls for listings, name for agents/brokers —
+    the same keys the J4 edge MATCHes use).
+
+    Pure metadata + lazy frames — testable without a connector jar.
+    """
+    nodes = graph_nodes_listings(listings, source_label)
+    agents = graph_nodes_agents(listings)
+    brokers = graph_nodes_brokers(listings)
+    edges = graph_edges(listings)
+    lbl = f":{source_label}"
+    plans: list[tuple[str, DataFrame, dict[str, str]]] = [
+        ("listing_nodes", nodes, {"labels": lbl, "node.keys": "key"}),
+        ("agent_nodes", agents, {"labels": ":Agent", "node.keys": "name"}),
+        ("broker_nodes", brokers, {"labels": ":Broker", "node.keys": "name"}),
+    ]
+    rel_specs = {
+        # edge_type -> (source labels, source key col:prop, target labels, target key col:prop)
+        "AGENT_OF": (":Agent", "src_key:name", lbl, "dst_key:key"),
+        "BROKERED_BY": (lbl, "src_key:key", ":Broker", "dst_key:name"),
+        "WORKS_FOR": (":Agent", "src_key:name", ":Broker", "dst_key:name"),
+    }
+    for edge_type, (slbl, skey, tlbl, tkey) in rel_specs.items():
+        plans.append(
+            (
+                f"{edge_type.lower()}_edges",
+                edges.filter(F.col("edge_type") == edge_type).select("src_key", "dst_key"),
+                {
+                    "relationship": edge_type,
+                    "relationship.save.strategy": "keys",
+                    "relationship.source.save.mode": "Match",
+                    "relationship.source.labels": slbl,
+                    "relationship.source.node.keys": skey,
+                    "relationship.target.save.mode": "Match",
+                    "relationship.target.labels": tlbl,
+                    "relationship.target.node.keys": tkey,
+                },
+            )
+        )
+    return plans
+
+
+def _bolt_upsert_statements(source_label: str) -> dict[str, str]:
+    """Per-element batched (UNWIND) Cypher for the bolt fallback — one
+    round-trip per partition per element type, never the reference's five
+    statements per row (database_ops.py:47-90)."""
+    return {
+        "listing_nodes": (
+            f"UNWIND $rows AS r MERGE (n:{source_label} {{key: r.key}}) SET n += r"
+        ),
+        "agent_nodes": (
+            "UNWIND $rows AS r MERGE (n:Agent {name: r.name}) SET n.phone = r.phone"
+        ),
+        "broker_nodes": (
+            "UNWIND $rows AS r MERGE (n:Broker {name: r.name}) SET n.phone = r.phone"
+        ),
+        "agent_of_edges": (
+            "UNWIND $rows AS r MATCH (a:Agent {name: r.src_key}), "
+            f"(l:{source_label} {{key: r.dst_key}}) MERGE (a)-[:AGENT_OF]->(l)"
+        ),
+        "brokered_by_edges": (
+            f"UNWIND $rows AS r MATCH (l:{source_label} {{key: r.src_key}}), "
+            "(b:Broker {name: r.dst_key}) MERGE (l)-[:BROKERED_BY]->(b)"
+        ),
+        "works_for_edges": (
+            "UNWIND $rows AS r MATCH (a:Agent {name: r.src_key}), "
+            "(b:Broker {name: r.dst_key}) MERGE (a)-[:WORKS_FOR]->(b)"
+        ),
+    }
+
+
+def _connector_missing(exc: Exception) -> bool:
+    """True only for 'the connector jar is not on the classpath' failures —
+    genuine write errors from a present connector must propagate, not be
+    swallowed into a silent fallback."""
+    msg = str(exc)
+    return (
+        "Failed to find data source" in msg
+        or "Failed to find the data source" in msg
+        or "ClassNotFoundException" in msg
+        or "org.neo4j.spark" in msg
+    )
+
+
 def write_graph(
     listings: DataFrame,
     url: str = "bolt://localhost:7687",
     auth: tuple[str, str] | None = None,
     source_label: str = "URE",
 ) -> None:
-    """Upsert the property graph into Neo4j.
+    """Upsert the property graph — 3 node types + 3 edge types
+    (database_ops.py:11-92) — into Neo4j.
 
     Prefers the Neo4j Spark Connector (batched, transactional); falls back
-    to a per-partition bolt writer (still batched per partition — never the
-    reference's 5 round-trips per row); raises if neither is available.
-    """
-    spark = listings.sparkSession
-    nodes = graph_nodes_listings(listings, source_label)
-    agents = graph_nodes_agents(listings)
-    brokers = graph_nodes_brokers(listings)
-    edges = graph_edges(listings)
+    to a per-partition bolt writer (one UNWIND round-trip per partition per
+    element — never the reference's 5 round-trips per row) only when the
+    connector jar is absent; raises if neither is available, and re-raises
+    genuine write failures instead of silently dropping graph elements.
 
-    try:  # connector path
-        (
-            nodes.write.format("org.neo4j.spark.DataSource")
-            .mode("Overwrite")
-            .option("url", url)
-            .option("labels", f":{source_label}")
-            .option("node.keys", "key")
-            .save()
-        )
-        # agents/brokers/edges elided for brevity — same pattern
+    Node writes run before edge writes on both paths so relationship MATCHes
+    find their endpoints.
+    """
+    plans = connector_save_plans(listings, source_label)
+
+    try:  # connector path — all six element types
+        for _name, frame, opts in plans:
+            writer = (
+                frame.write.format("org.neo4j.spark.DataSource")
+                .mode("Overwrite")
+                .option("url", url)
+            )
+            for key, val in opts.items():
+                writer = writer.option(key, val)
+            writer.save()
         return
-    except Exception:
-        pass
+    except Exception as e:
+        if not _connector_missing(e):
+            raise
 
     try:
         import neo4j  # noqa: F401
@@ -194,15 +286,21 @@ def write_graph(
             "graph_nodes_*/graph_edges to materialize the graph as tables"
         ) from e
 
-    def upsert(rows) -> None:
-        driver = neo4j.GraphDatabase.driver(url, auth=auth)
-        with driver.session() as s:
-            for row in rows:
-                s.run(
-                    f"MERGE (n:{source_label} {{key: $key}}) SET n += $props",
-                    key=row["key"],
-                    props=row.asDict(),
-                )
-        driver.close()
+    statements = _bolt_upsert_statements(source_label)
+    for name, frame, _opts in plans:  # bolt fallback — same six elements
+        cypher = statements[name]
 
-    nodes.foreachPartition(upsert)
+        def upsert(rows, _cypher=cypher) -> None:
+            import neo4j as _neo4j
+
+            batch = [row.asDict() for row in rows]
+            if not batch:
+                return
+            driver = _neo4j.GraphDatabase.driver(url, auth=auth)
+            try:
+                with driver.session() as s:
+                    s.run(_cypher, rows=batch)
+            finally:
+                driver.close()
+
+        frame.foreachPartition(upsert)

@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 
 from realestatedeals_spark.io.sources import load_table
 from realestatedeals_spark.operators.dedup import (
-    duplicate_clusters,
     minhash_near_duplicates,
     simhash_near_duplicates,
 )
@@ -72,9 +71,14 @@ GROUP BY nodes.a
     "x2_duplicate_clusters", oracle=_X2_CLUSTERS_ORACLE, tags=("X2", "dedup", "graph"), bench=True
 )
 def x2_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters via alternating large-star/small-star (O(log n) rounds —
+    the 100 TB path; ``duplicate_clusters`` is the O(diameter) label-
+    propagation alternative, equivalence-tested in tests/test_dedup.py)."""
+    from realestatedeals_spark.operators.dedup import duplicate_clusters_star
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(docs, k=3, num_hashes=64, bands=16, threshold=0.9)
-    return duplicate_clusters(pairs)
+    return duplicate_clusters_star(pairs)
 
 
 _X2_NGRAM_ORACLE = _BRUTE_JACCARD + """

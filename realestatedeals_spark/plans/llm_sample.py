@@ -84,24 +84,63 @@ WHERE rn <= 40
 """
 
 
+def stratified_sample(
+    docs: DataFrame, quota: int = 40, prefilter: bool = True, safety: float = 3.0
+) -> DataFrame:
+    """Per-group quota sample: ``quota`` docs per lang, ranked by content
+    hash (a uniform, reproducible draw — no seed state to ship around).
+
+    Scale path (``prefilter=True``): with giant strata, the naive plan
+    full-sorts every stratum inside the window. Instead, keep only rows
+    whose 60-bit md5 prefix falls below a per-lang threshold sized to pass
+    ~``safety × quota`` rows (md5 hex sorts lexicographically = numerically,
+    so the numeric prefix cut keeps a strict prefix of the hash order), then
+    exact-rank the survivors. The window then sorts O(safety × quota) rows
+    per lang, not the stratum. EXACTNESS GUARD: per-lang survivor counts are
+    checked against min(quota, stratum size); any shortfall (probability
+    ~e^{-quota·safety·(1−1/safety)²/2} per lang — negligible, but not zero)
+    falls back to the full window, so the output is always identical to the
+    unfiltered plan. Cost: one tiny per-lang count agg (n_langs rows to the
+    driver) before the scan.
+    """
+    base = docs.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("h"), F.col("doc_id"))
+    ranked = lambda df: (  # noqa: E731
+        df.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= quota)
+        .select("doc_id", "lang")
+    )
+    if not prefilter:
+        return ranked(base)
+
+    counts = {r["lang"]: r["c"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    space = float(16**15)  # 60-bit prefix of the md5 hex
+    cut_entries = []
+    for lang, c in counts.items():
+        frac = min(1.0, safety * quota / max(c, 1))
+        cut_entries += [F.lit(lang), F.lit(int(frac * space))]
+    cut = F.create_map(*cut_entries)[F.col("lang")]
+    pref = F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+    kept = base.filter((pref < cut) | F.col("lang").isNull())
+    survivors = {r["lang"]: r["c"] for r in
+                 kept.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for lang, c in counts.items():
+        if survivors.get(lang, 0) < min(quota, c):
+            return ranked(base)  # exactness guard — never emit a short stratum
+    return ranked(kept)
+
+
 @register(
     "x7_stratified_sample", oracle=_X7_STRAT_ORACLE, tags=("X7", "sampling", "window"), bench=True
 )
 def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language quota sample: 40 docs per lang, ranked by content hash.
-
-    Hash-ordered rank = a uniform random draw that is reproducible across
-    runs, partitionings, and engines (no seed state to ship around).
-    """
+    """Per-language quota sample (40/lang) with the hash-threshold
+    pre-filter on — exact output, window sort bounded per stratum."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 40)
-        .select("doc_id", "lang")
-    )
+    return stratified_sample(docs, quota=40, prefilter=True)
 
 
 # ---------------------------------------------------------------------------

@@ -67,3 +67,42 @@ def test_minhash_chain_cluster(spark):
     if {(10, 20), (20, 30)} <= got and (10, 30) not in got:
         clusters = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
         assert clusters[10] == clusters[20] == clusters[30] == 10
+
+
+def test_star_clusters_match_label_propagation(spark):
+    from realestatedeals_spark.operators.dedup import duplicate_clusters_star
+
+    pairs = minhash_near_duplicates(docs_df(spark), threshold=0.5)
+    lp = {(r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(pairs).collect()}
+    star = {(r["doc_id"], r["cluster_id"]) for r in duplicate_clusters_star(pairs).collect()}
+    assert star == lp
+
+
+def test_star_clusters_long_chain_converges_logarithmically(spark):
+    """A 100-node path graph: label propagation needs ~100 rounds, the
+    alternating star algorithm must collapse it within 10 (O(log n))."""
+    from realestatedeals_spark.operators.dedup import duplicate_clusters_star
+
+    chain = [(i, i + 1, 1.0) for i in range(100)]  # nodes 0..100 in one path
+    extra = [(200, 201, 1.0), (203, 201, 1.0)]  # second component, min=200
+    pairs = spark.createDataFrame(chain + extra, ["doc_a", "doc_b", "jaccard"])
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           duplicate_clusters_star(pairs, max_iter=10).collect()}
+    assert all(out[i] == 0 for i in range(101))
+    assert out[200] == out[201] == out[203] == 200
+    assert len(out) == 104
+
+
+def test_star_clusters_random_graph_matches_label_propagation(spark):
+    import random
+
+    from realestatedeals_spark.operators.dedup import duplicate_clusters_star
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(60), rng.randrange(60)) for _ in range(50)}
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges if a != b], ["doc_a", "doc_b", "jaccard"]
+    )
+    lp = {(r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(pairs, max_iter=60).collect()}
+    star = {(r["doc_id"], r["cluster_id"]) for r in duplicate_clusters_star(pairs).collect()}
+    assert star == lp

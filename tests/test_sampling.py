@@ -44,3 +44,16 @@ def test_stratified_sample_quota_and_determinism(spark):
     assert (
         s.join(docs, ["doc_id", "lang"], "left_anti").count() == 0
     )
+
+
+def test_stratified_prefilter_matches_full_window(spark):
+    """The hash-threshold pre-filter must be output-invariant (the guard
+    falls back on any shortfall), including at tiny quotas and quotas
+    exceeding the stratum size."""
+    from realestatedeals_spark.plans.llm_sample import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for quota in (1, 7, 40, 10_000):
+        fast = {tuple(r) for r in stratified_sample(docs, quota, prefilter=True).collect()}
+        full = {tuple(r) for r in stratified_sample(docs, quota, prefilter=False).collect()}
+        assert fast == full, quota

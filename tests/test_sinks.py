@@ -68,6 +68,64 @@ def test_graph_construction(spark):
     assert by_type == {"AGENT_OF": 2, "BROKERED_BY": 2, "WORKS_FOR": 2}
 
 
+def test_graph_connector_plan_covers_all_six_elements(spark):
+    """S11 — the connector write plan must carry every graph element type the
+    reference upserts (database_ops.py:11-92): 3 node + 3 edge types."""
+    from realestatedeals_spark.io.sinks import connector_save_plans
+
+    plans = connector_save_plans(listings_df(spark), source_label="URE")
+    names = [name for name, _, _ in plans]
+    assert names == [
+        "listing_nodes",
+        "agent_nodes",
+        "broker_nodes",
+        "agent_of_edges",
+        "brokered_by_edges",
+        "works_for_edges",
+    ]
+    by_name = {name: (frame, opts) for name, frame, opts in plans}
+    assert by_name["listing_nodes"][1]["node.keys"] == "key"
+    assert by_name["agent_nodes"][1] == {"labels": ":Agent", "node.keys": "name"}
+    rel = by_name["agent_of_edges"][1]
+    assert rel["relationship"] == "AGENT_OF"
+    assert rel["relationship.source.labels"] == ":Agent"
+    assert rel["relationship.target.labels"] == ":URE"
+    # every plan frame is materializable and non-degenerate
+    assert by_name["agent_of_edges"][0].count() == 2
+    assert by_name["works_for_edges"][0].columns == ["src_key", "dst_key"]
+
+
+def test_graph_bolt_statements_match_plan_names(spark):
+    from realestatedeals_spark.io.sinks import _bolt_upsert_statements, connector_save_plans
+
+    plans = connector_save_plans(listings_df(spark))
+    stmts = _bolt_upsert_statements("URE")
+    assert {name for name, _, _ in plans} == set(stmts)
+    for cypher in stmts.values():
+        assert cypher.startswith("UNWIND $rows AS r")  # batched, not per-row
+
+
+def test_write_graph_raises_without_connector_or_driver(spark):
+    """The connector jar is absent here and the neo4j driver is not
+    installed, so write_graph must raise the instructive RuntimeError —
+    never return after silently writing a partial graph."""
+    import pytest
+
+    from realestatedeals_spark.io.sinks import write_graph
+
+    with pytest.raises(RuntimeError, match="graph sink needs"):
+        write_graph(listings_df(spark))
+
+
+def test_connector_missing_classifier():
+    from realestatedeals_spark.io.sinks import _connector_missing
+
+    assert _connector_missing(Exception("Failed to find data source: org.neo4j.spark.DataSource"))
+    assert _connector_missing(Exception("java.lang.ClassNotFoundException: org.neo4j..."))
+    assert not _connector_missing(Exception("ServiceUnavailable: connection refused"))
+    assert not _connector_missing(Exception("Neo.ClientError.Security.Unauthorized"))
+
+
 def test_sink_counters_observe(spark, tmp_path):
     from realestatedeals_spark.io.sinks import with_sink_counters, write_csv
 
