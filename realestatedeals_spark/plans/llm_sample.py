@@ -144,6 +144,57 @@ def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X7 — deterministic weighted mixture sampling: every training run mixes
+# sources at target rates (e.g. 90% of English, 25% of zh). rand() sampling
+# is retry/partitioning-dependent; instead each (lang → rate) becomes a
+# 60-bit md5-prefix threshold, so membership is a pure function of doc_id.
+# The filter is narrow (no shuffle); only the per-lang accounting reduces.
+# md5 hex is lowercase and fixed-width on every engine, so the string
+# comparison is portable and the oracle checks the REAL kept set.
+# ---------------------------------------------------------------------------
+
+MIXTURE_WEIGHTS = {"en": 0.9, "fr": 0.75, "de": 0.5, "es": 0.5, "zh": 0.25}
+
+
+def _hex_threshold(frac: float) -> str:
+    return format(int(frac * 16**15), "015x")
+
+
+_X7_MIX_ORACLE = (
+    "WITH kept AS (SELECT lang, text FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < CASE lang "
+    + " ".join(
+        f"WHEN '{lang}' THEN '{_hex_threshold(w)}'" for lang, w in MIXTURE_WEIGHTS.items()
+    )
+    + " ELSE '000000000000000' END) "
+    + """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+         AS total_tokens
+FROM kept GROUP BY lang
+"""
+)
+
+
+@register("x7_mixture_sample", oracle=_X7_MIX_ORACLE, tags=("X7", "sampling", "mixture"))
+def x7_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture: keep each doc iff its 60-bit md5
+    prefix falls under its language's rate threshold; report per-lang doc
+    and token counts of the kept mix. Same narrow-filter shape at any
+    scale — membership never needs a shuffle, a seed, or driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    thresholds = F.create_map(
+        *[x for lang, w in MIXTURE_WEIGHTS.items() for x in (F.lit(lang), F.lit(_hex_threshold(w)))]
+    )
+    cut = F.coalesce(thresholds[F.col("lang")], F.lit("000000000000000"))
+    kept = docs.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15) < cut)
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("bigint")).alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X8 — end-to-end corpus cleaning: quality gate → exact near-identical dedup
 # → per-language accounting. The composite every training-data run starts
 # with, expressed as ONE lazy plan (filter is narrow; dedup is one shuffle on
