@@ -33,6 +33,38 @@ def x6_profile_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X6_HIST_ORACLE = """
+SELECT CAST(floor(l_extendedprice / 5000.0) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi
+FROM lineitem
+GROUP BY bucket
+"""
+
+
+@register("x6_profile_histogram", oracle=_X6_HIST_ORACLE, tags=("X6", "profile"))
+def x6_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width (5000-wide) histogram of l_extendedprice — exact, one
+    partial-agg shuffle of ≤ n_buckets rows per partition regardless of data
+    scale (the column-profiling primitive a 100 TB validation pass runs per
+    numeric column). Fixed bucket width keeps it single-pass; a data-driven
+    range would add one min/max pre-pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.floor(F.col("l_extendedprice") / 5000.0).cast("int").alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
 @register("x6_profile_sketches", tags=("X6", "profile", "approx"))
 def x6_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct + approximate percentiles. Rows-only check (sketches
