@@ -239,6 +239,51 @@ def x8_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X8 — benchmark decontamination: flag corpus docs sharing any 4-gram with
+# the eval/benchmark set (here: every 50th doc stands in for the eval set).
+# Scale shape: eval sets are tiny relative to the corpus, so their distinct
+# shingle set broadcasts and the probe is a narrow broadcast-hash join over
+# the corpus shingles — no shuffle of corpus text or IDs until the tiny
+# per-hit aggregation. Shingles are 64-bit hashes (operators/dedup.py), so
+# the broadcast carries longs; the oracle uses string shingles — identical
+# up to 2^-64 hash collisions.
+# ---------------------------------------------------------------------------
+
+_X8_DECON_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 3, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))
+         AS shingle
+  FROM toks),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh s JOIN ev USING (shingle)
+WHERE s.doc_id % 50 <> 0
+GROUP BY s.doc_id
+"""
+
+
+@register("x8_decontaminate", oracle=_X8_DECON_ORACLE, tags=("X8", "pipeline", "dedup"))
+def x8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: corpus docs sharing ≥1 distinct 4-gram with
+    the eval set, with the shared-shingle count per flagged doc. k=4 at
+    fixture vocabulary; production decontamination uses k≈13."""
+    from realestatedeals_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, k=4)
+    ev = sh.filter(F.col("_id") % 50 == 0).select("shingle").distinct()
+    return (
+        sh.filter(F.col("_id") % 50 != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # X8 — token-budget shard assignment: writing a corpus as ~budget-token
 # output shards, per language, order-preserving. The running-total window is
 # one shuffle on lang; at scale the same plan runs per (lang, date-bucket) so
