@@ -249,13 +249,20 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The dup graph is usually orders of magnitude smaller than the corpus;
+    # right-size the iterative shuffles to it (1 partition per ~50k edges, up
+    # to the session's shuffle parallelism) so a small graph doesn't schedule
+    # 32 near-empty tasks per round — the rounds are latency-bound.
+    n_edges = edges.count()
+    default_p = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = max(1, min(default_p, n_edges // 50_000 + 1))
 
     def undirected(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     for _ in range(max_iter):
         # large-star: (v, m) for v ∈ Γ(u), v > u, m = min(Γ(u) ∪ {u})
-        nbrs = undirected(edges)
+        nbrs = undirected(edges).repartition(p, "u")
         mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         large = (
             nbrs.join(mins, "u")
@@ -265,7 +272,7 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
             .distinct()
         )
         # small-star over the large-star output: (v, m) for v ∈ Γ≤(u) ∪ {u}
-        le = undirected(large).filter(F.col("v") <= F.col("u"))
+        le = undirected(large).filter(F.col("v") <= F.col("u")).repartition(p, "u")
         smins = le.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         small = (
             le.join(smins, "u")
@@ -276,11 +283,13 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # edge count is monotone under the star contractions, so count
+        # equality is a cheap first gate; only then pay the set-equality probe
+        new_count = small.count()
         converged = (
-            small.count() == edges.count()
-            and small.exceptAll(edges).limit(1).count() == 0
+            new_count == n_edges and small.exceptAll(edges).limit(1).count() == 0
         )
-        edges = small
+        edges, n_edges = small, new_count
         if converged:
             break
 
