@@ -1,0 +1,71 @@
+"""Frequency-sketch operators: exact heavy hitters via candidate pruning.
+
+The 100 TB design point: a naive ``groupBy(term).count()`` shuffles every
+token (at 100 TB of text that is the whole corpus through the exchange).
+Heavy hitters only need the terms whose global share exceeds ``1/k``, so we
+run the classic two-pass scheme:
+
+1. **Candidate pass** — an Arrow-batched Misra-Gries-style summary per batch
+   (`mapInPandas`): within each batch the exact ``value_counts`` is available
+   in memory, and any term whose *global* frequency exceeds ``n/(capacity+1)``
+   must exceed ``n_b/(capacity+1)`` in at least one batch (otherwise summing
+   the per-batch bounds gives ``freq ≤ Σ n_b/(capacity+1) = n/(capacity+1)``,
+   a contradiction). Emitting the per-batch over-threshold terms therefore
+   yields a **superset** of every global heavy hitter, with fewer than
+   ``capacity+1`` survivors per batch — a tiny, bounded candidate set.
+2. **Verify pass** — exact recount of candidates only: a broadcast semi-join
+   keeps the shuffle proportional to candidate occurrences, never the corpus.
+
+With ``capacity ≥ k`` the candidate superset is guaranteed, so the output is
+*exact* (hash-matches the brute-force SQL oracle) while the full-token
+shuffle of the naive plan is gone.
+
+Reference parity: the reference has no sketches (its "profiling" is print
+statements, e.g. /root/reference/main.py:30,52); this is a §2b X6 extension.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitter_candidates(tokens: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Misra-Gries-style candidate terms: a superset of every term with
+    global frequency > n/(capacity+1), ≤ capacity rows per Arrow batch."""
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vc = pdf[col].value_counts()
+            cand = vc[vc * (capacity + 1) > len(pdf)]
+            yield pd.DataFrame({col: cand.index.astype(str)})
+
+    return tokens.mapInPandas(mg, schema=f"{col} string").distinct()
+
+
+def heavy_hitters(tokens: DataFrame, col: str = "term", k: int = 100) -> DataFrame:
+    """Exact terms with global frequency > n/k, without a full-token shuffle.
+
+    Two passes over ``tokens`` (two scans, both with bounded shuffles): the
+    candidate pass shuffles < capacity+1 rows per batch, the verify pass only
+    candidate occurrences. ``capacity = 2k`` keeps the superset guarantee
+    with slack. Output: (col, cnt) exact — oracle-comparable.
+    """
+    capacity = 2 * k
+    candidates = heavy_hitter_candidates(tokens, col, capacity)
+    counts = (
+        tokens.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = tokens.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("n"))
+        .select(col, "cnt")
+    )

@@ -65,6 +65,32 @@ def x6_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X6_HH_ORACLE = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+     clean AS (SELECT term FROM toks WHERE term <> ''),
+     tot AS (SELECT count(*) AS n FROM clean)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM clean, tot
+GROUP BY term, n
+HAVING count(*) * 100 > n
+"""
+
+
+@register("x6_heavy_hitters", oracle=_X6_HH_ORACLE, tags=("X6", "profile", "sketch"))
+def x6_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (global term share > 1/100) via Misra-Gries-style
+    candidate pruning + exact recount — no full-token shuffle (see
+    operators/sketches.py for the superset-guarantee argument). Hash-matches
+    the brute-force GROUP BY oracle because the verify pass is exact."""
+    from realestatedeals_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return heavy_hitters(tokens, col="term", k=100)
+
+
 @register("x6_profile_sketches", tags=("X6", "profile", "approx"))
 def x6_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct + approximate percentiles. Rows-only check (sketches

@@ -287,3 +287,46 @@ def x4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "tfidf", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — token counting, whitespace vs BPE-ish: a GPT-2-style pretokenizer
+# regex (contraction suffixes, letter runs, 1-3 digit groups, punctuation
+# runs, whitespace runs). The pattern is restricted to constructs that the
+# JVM (Spark) and RE2 (DuckDB) regex engines evaluate identically —
+# leftmost-first alternation, greedy bounded repeats, ASCII classes — probed
+# on both engines. Fertility (bpe/ws ratio) is the usual tokenizer-cost
+# metric a corpus-budget pass needs per document.
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+|\s+"
+
+_X4_BPE_ORACLE = """
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\\s]+|\\s+'
+            )) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\\s]+|\\s+'
+            )) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS fertility
+FROM documents
+"""
+
+
+@register("x4_bpe_token_count", oracle=_X4_BPE_ORACLE, tags=("X4", "text", "tokens"))
+def x4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document, entirely JVM-side
+    (``regexp_extract_all`` — no Python in the loop). Fertility is a
+    per-row double of two exact ints, so it hash-matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " ")).cast("long")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe.cast("double") / ws.cast("double")).alias("fertility"),
+    )

@@ -1,0 +1,53 @@
+"""Heavy-hitter operator: exactness vs brute force + candidate-superset
+guarantee (operators/sketches.py)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.operators.sketches import (
+    heavy_hitter_candidates,
+    heavy_hitters,
+)
+
+
+def _tokens(spark, counts: dict[str, int], seed: int = 7):
+    rows = [(t,) for t, c in counts.items() for _ in range(c)]
+    random.Random(seed).shuffle(rows)
+    return spark.createDataFrame(rows, "term string").repartition(4)
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    counts = {"hot": 500, "warm": 120, "cool": 40, **{f"rare{i}": 2 for i in range(50)}}
+    toks = _tokens(spark, counts)
+    k = 10  # threshold n/k = 76; expect hot + warm only
+    got = {r.term: r.cnt for r in heavy_hitters(toks, k=k).collect()}
+    n = sum(counts.values())
+    want = {t: c for t, c in counts.items() if c * k > n}
+    assert got == want == {"hot": 500, "warm": 120}
+
+
+def test_candidate_pass_is_superset_of_true_heavies(spark):
+    counts = {f"t{i}": (i + 1) * 3 for i in range(80)}
+    toks = _tokens(spark, counts)
+    n = sum(counts.values())
+    for k in (5, 20, 50):
+        capacity = 2 * k
+        cand = {r.term for r in heavy_hitter_candidates(toks, "term", capacity).collect()}
+        heavies = {t for t, c in counts.items() if c * (capacity + 1) > n}
+        assert heavies <= cand
+
+
+def test_heavy_hitters_empty_and_no_heavy(spark):
+    uniform = _tokens(spark, {f"u{i}": 5 for i in range(40)})
+    assert heavy_hitters(uniform, k=10).count() == 0  # all shares = 1/40 < 1/10
+    empty = spark.createDataFrame([], "term string")
+    assert heavy_hitters(empty, k=10).count() == 0
+
+
+def test_heavy_hitters_single_batch_of_one_term(spark):
+    toks = spark.range(100).select(F.lit("only").alias("term"))
+    got = heavy_hitters(toks, k=2).collect()
+    assert [(r.term, r.cnt) for r in got] == [("only", 100)]
