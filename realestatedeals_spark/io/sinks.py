@@ -77,6 +77,38 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-partitioned parquet sink — the layout lever for 100 TB scans:
+    a filter on a partition column prunes directories at planning time
+    (PartitionFilters in the scan), so a one-partition query reads one
+    partition's files, not the corpus. Partition columns should be
+    low-cardinality (date / region / lang), never a key."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink — the co-location lever for 100 TB joins:
+    two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle (no Exchange in the plan; asserted in
+    tests/test_bucketing.py). ``sort_cols`` additionally pre-sorts each
+    bucket file so sort-merge joins skip their sorts. Use for the fact
+    tables a pipeline joins repeatedly (lineitem⋈orders, tokens⋈doc_meta):
+    one write-side shuffle is amortized over every subsequent join."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 # ---------------------------------------------------------------------------
 # S11 — property-graph sink.
 # Nodes: Listing (label = source site, database_ops.py:15), Agent

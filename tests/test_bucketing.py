@@ -1,58 +1,79 @@
-"""Bucketed tables: the 100 TB co-located-join story, asserted on the plan.
+"""Bucketed-table co-location and partition pruning (io/sinks.py).
 
-Writing both join sides bucketed by the join key (same bucket count) lets
-Spark's sort-merge join read matching buckets directly — zero shuffle
-exchanges in the executed plan. At cluster scale this is the difference
-between re-shuffling 100 TB per join and none.
+The 100 TB claims these pin down:
+- two tables bucketed by the join key into the same bucket count join with
+  ZERO exchanges (the write-side shuffle is amortized over every join);
+- a filter on a hive-partition column reaches the scan as PartitionFilters
+  (directory pruning at planning time, not a data filter).
 """
 
 from __future__ import annotations
 
+import re
+
+import pytest
 from pyspark.sql import functions as F
 
+from realestatedeals_spark.io.sinks import write_bucketed_table, write_partitioned
+from realestatedeals_spark.io.sources import load_table
 
-def _executed_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
-def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_quantity"
-    )
-    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+@pytest.fixture()
+def bucketed_tables(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(orders, "bkt_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed_table(lineitem, "bkt_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    yield "bkt_orders", "bkt_lineitem"
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
+    t_orders, t_lineitem = bucketed_tables
+    # Force the sort-merge path (broadcast would hide the co-location proof).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        # force SMJ so the assertion is about bucketing, not broadcast
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        (
-            orders.write.bucketBy(4, "o_orderkey")
-            .sortBy("o_orderkey")
-            .option("path", str(tmp_path / "orders_b"))
-            .saveAsTable("orders_bucketed")
+        joined = spark.table(t_lineitem).join(
+            spark.table(t_orders), F.col("l_orderkey") == F.col("o_orderkey")
         )
-        (
-            li.write.bucketBy(4, "l_orderkey")
-            .sortBy("l_orderkey")
-            .option("path", str(tmp_path / "lineitem_b"))
-            .saveAsTable("lineitem_bucketed")
-        )
-        ob = spark.table("orders_bucketed")
-        lb = spark.table("lineitem_bucketed")
-        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy("o_orderstatus").agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        n = joined.count()
-        assert n > 0
-        plan = _executed_plan(ob.join(lb, ob.o_orderkey == lb.l_orderkey))
-        assert "SortMergeJoin" in plan
-        # co-located buckets: the join itself needs no shuffle exchange
-        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
 
-        # same join on the un-bucketed parquet MUST shuffle — the assertion
-        # above is meaningful only if this control shows the exchanges
-        control = _executed_plan(orders.join(li, orders.o_orderkey == li.l_orderkey))
-        assert "Exchange hashpartitioning" in control
+        # Same join from the raw (unbucketed) parquet must shuffle both sides
+        # — proves the absence above comes from bucketing, not plan luck.
+        raw = load_table(spark, sf_dir, "lineitem").join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert "Exchange" in _plan(raw)
+
+        # And the answers agree.
+        assert joined.count() == raw.count()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_aggregation_reuses_layout(spark, bucketed_tables):
+    _, t_lineitem = bucketed_tables
+    agg = spark.table(t_lineitem).groupBy("l_orderkey").agg(F.sum("l_quantity"))
+    assert "Exchange" not in _plan(agg)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    one = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = _plan(one)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
+    # the lang predicate is partition-pruned, so no data-filter on lang remains
+    assert one.count() == docs.filter(F.col("lang") == "en").count()
