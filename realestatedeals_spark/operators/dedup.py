@@ -218,7 +218,48 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
+def _finish_components_local(edges: DataFrame) -> DataFrame:
+    """Union-find over a small edge list inside ONE executor task (not a
+    driver collect): ``coalesce(1)`` + ``mapInPandas`` accumulating batches.
+    Only ever called on an edge set already known to be under the hybrid
+    threshold — the star rounds have contracted the graph to it. Returns
+    (node, label) with label = component-min node id."""
+    import pandas as pd
+
+    def components(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        rows_u, rows_v = [], []
+        for pdf in batches:
+            rows_u.append(pdf["u"])
+            rows_v.append(pdf["v"])
+        if not rows_u:
+            return
+        us = pd.concat(rows_u, ignore_index=True)
+        vs = pd.concat(rows_v, ignore_index=True)
+        for a, b in zip(us, vs):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # union by min → root IS the min
+        nodes = list(parent)
+        yield pd.DataFrame({"node": nodes, "label": [find(n) for n in nodes]})
+
+    return edges.coalesce(1).mapInPandas(components, schema="node long, label long")
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame, max_iter: int = 16, local_threshold: int = 1_000_000
+) -> DataFrame:
     """Connected components via alternating large-star/small-star — the
     O(log n)-round scale path (vs label propagation's O(diameter) rounds in
     ``duplicate_clusters``; a 100-node chain needs ~7 rounds here, ~100
@@ -233,22 +274,24 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
     The edge set monotonically contracts toward per-component stars rooted
     at the component minimum. Per round: two groupBy shuffles on node id +
     two joins; edge count never grows, so the shuffles shrink as components
-    collapse.
+    collapse. Once the edge set is under ``local_threshold`` (checked before
+    the loop and after each round), a single-task union-find finishes the
+    remaining contraction in one job — the iterative rounds are pure
+    scheduling latency at that size.
 
     Output matches ``duplicate_clusters``: (doc_id, cluster_id) for every
     node appearing in ``pairs``, cluster_id = component-min doc id.
     """
+    # ONE materialization of the upstream pair pipeline (shingle → MinHash →
+    # LSH → verify); nodes/edges derive lazily from it — a second eager
+    # checkpoint would re-execute the whole pipeline for a trivial reshaping.
+    pairs_m = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     nodes = (
-        pairs.select(F.col("doc_a").alias("node"))
-        .union(pairs.select(F.col("doc_b")))
+        pairs_m.select(F.col("doc_a").alias("node"))
+        .union(pairs_m.select(F.col("doc_b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = pairs_m.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).distinct()
     # The dup graph is usually orders of magnitude smaller than the corpus;
     # right-size the iterative shuffles to it (1 partition per ~50k edges, up
     # to the session's shuffle parallelism) so a small graph doesn't schedule
@@ -259,6 +302,20 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
 
     def undirected(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def finish(e: DataFrame) -> DataFrame:
+        labels = nodes.join(
+            _finish_components_local(e).withColumnRenamed("label", "root"), "node", "left"
+        ).select("node", F.coalesce(F.col("root"), F.col("node")).alias("label"))
+        return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+    # Hybrid: star rounds contract the graph distributedly; once the edge set
+    # (monotonically shrinking) fits the local threshold, one union-find task
+    # replaces the remaining O(log n) rounds of multi-job scheduling. At
+    # 100 TB the rounds do the heavy lifting; locally the graph is usually
+    # already under the threshold and clustering is a single job.
+    if n_edges <= local_threshold:
+        return finish(edges)
 
     for _ in range(max_iter):
         # large-star: (v, m) for v ∈ Γ(u), v > u, m = min(Γ(u) ∪ {u})
@@ -290,14 +347,12 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
             new_count == n_edges and small.exceptAll(edges).limit(1).count() == 0
         )
         edges, n_edges = small, new_count
-        if converged:
+        if converged or n_edges <= local_threshold:
             break
 
-    # at convergence edges are (child, root) stars; roots label themselves
-    labels = nodes.join(
-        edges.select(F.col("u").alias("node"), F.col("v").alias("root")), "node", "left"
-    ).select("node", F.coalesce(F.col("root"), F.col("node")).alias("label"))
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    # finish locally (star contraction preserves components and their mins,
+    # so union-find over the contracted edges yields the original labels)
+    return finish(edges)
 
 
 # ---------------------------------------------------------------------------

@@ -74,8 +74,14 @@ def test_star_clusters_match_label_propagation(spark):
 
     pairs = minhash_near_duplicates(docs_df(spark), threshold=0.5)
     lp = {(r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(pairs).collect()}
-    star = {(r["doc_id"], r["cluster_id"]) for r in duplicate_clusters_star(pairs).collect()}
-    assert star == lp
+    # local_threshold=0 forces the pure distributed star rounds; the default
+    # takes the single-task union-find finish — both must agree with LP
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters_star(pairs, local_threshold=0).collect()
+    }
+    hybrid = {(r["doc_id"], r["cluster_id"]) for r in duplicate_clusters_star(pairs).collect()}
+    assert star == lp == hybrid
 
 
 def test_star_clusters_long_chain_converges_logarithmically(spark):
@@ -87,10 +93,26 @@ def test_star_clusters_long_chain_converges_logarithmically(spark):
     extra = [(200, 201, 1.0), (203, 201, 1.0)]  # second component, min=200
     pairs = spark.createDataFrame(chain + extra, ["doc_a", "doc_b", "jaccard"])
     out = {r["doc_id"]: r["cluster_id"] for r in
-           duplicate_clusters_star(pairs, max_iter=10).collect()}
+           duplicate_clusters_star(pairs, max_iter=10, local_threshold=0).collect()}
     assert all(out[i] == 0 for i in range(101))
     assert out[200] == out[201] == out[203] == 200
     assert len(out) == 104
+
+
+def test_star_clusters_hybrid_cutover_mid_contraction(spark):
+    """local_threshold between 0 and the edge count: at least one star round
+    runs, then the union-find finish takes over — output must be identical
+    to the pure star path."""
+    from realestatedeals_spark.operators.dedup import duplicate_clusters_star
+
+    chain = [(i, i + 1, 1.0) for i in range(60)]
+    pairs = spark.createDataFrame(chain, ["doc_a", "doc_b", "jaccard"])
+    pure = {(r["doc_id"], r["cluster_id"])
+            for r in duplicate_clusters_star(pairs, local_threshold=0).collect()}
+    mid = {(r["doc_id"], r["cluster_id"])
+           for r in duplicate_clusters_star(pairs, local_threshold=30).collect()}
+    assert pure == mid
+    assert all(c == 0 for _, c in pure)
 
 
 def test_star_clusters_random_graph_matches_label_propagation(spark):
@@ -104,5 +126,8 @@ def test_star_clusters_random_graph_matches_label_propagation(spark):
         [(a, b, 1.0) for a, b in edges if a != b], ["doc_a", "doc_b", "jaccard"]
     )
     lp = {(r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(pairs, max_iter=60).collect()}
-    star = {(r["doc_id"], r["cluster_id"]) for r in duplicate_clusters_star(pairs).collect()}
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters_star(pairs, local_threshold=0).collect()
+    }
     assert star == lp
