@@ -201,3 +201,100 @@ def e3_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel: signup → first click at-or-after signup → first purchase at-or-
+# after that click, per user; one summary row with stage counts + rates.
+# Scale shape: ONE user-keyed exchange feeds the stacked windows AND the
+# per-user dedup (same partitioning, Catalyst reuses it); the final global
+# agg sees one row per user. No self-joins, no collect.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s AS (SELECT user_id, min(ts) AS st FROM events WHERE event_type = 'signup' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS ct
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s.st GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.ct GROUP BY e.user_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+       CAST((SELECT count(*) FROM c) AS DOUBLE)
+         / CAST((SELECT count(*) FROM s) AS DOUBLE) AS click_rate,
+       CAST((SELECT count(*) FROM p) AS DOUBLE)
+         / CAST((SELECT count(*) FROM s) AS DOUBLE) AS purchase_rate
+"""
+
+
+@register("e6_funnel", oracle=_FUNNEL_ORACLE, tags=("events", "funnel", "window"))
+def e6_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id")
+    s = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    ev = ev.withColumn("s", s)
+    c = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") >= F.col("s")), F.col("ts"))
+    ).over(w)
+    ev = ev.withColumn("c", c)
+    p = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("c")), F.col("ts"))
+    ).over(w)
+    per_user = (
+        ev.withColumn("p", p)
+        .groupBy("user_id")
+        .agg(F.first("s").alias("s"), F.first("c").alias("c"), F.first("p").alias("p"))
+    )
+    n_s = F.count(F.col("s")).alias("n_signup")
+    n_c = F.count(F.col("c")).alias("n_click")
+    n_p = F.count(F.col("p")).alias("n_purchase")
+    return per_user.agg(n_s, n_c, n_p).select(
+        "n_signup",
+        "n_click",
+        "n_purchase",
+        (F.col("n_click").cast("double") / F.col("n_signup").cast("double")).alias("click_rate"),
+        (F.col("n_purchase").cast("double") / F.col("n_signup").cast("double")).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: cohort = user's first-seen day; report distinct active
+# users per (cohort_day, day_offset) for offsets 0..7. The (user, day)
+# dedup bounds the join input to active-user-days; both the first-seen agg
+# and the join shuffle on user_id (co-partitioned), the final agg is on the
+# tiny (cohort, offset) grid.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH fu AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1),
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT strftime(fu.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', fu.cohort_day, ud.d) AS INTEGER) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN fu USING (user_id)
+WHERE datediff('day', fu.cohort_day, ud.d) BETWEEN 0 AND 7
+GROUP BY fu.cohort_day, day_offset
+"""
+
+
+@register("e7_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("events", "retention"))
+def e7_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    user_days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    off = F.datediff(F.col("d"), F.col("cohort_day"))
+    return (
+        user_days.join(first_seen, "user_id")
+        .filter((off >= 0) & (off <= 7))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            off.cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
