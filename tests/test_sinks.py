@@ -154,3 +154,22 @@ def test_flatten_zip_config(spark):
     assert not any(z == "bad1" for _, _, z in allrows)  # F6 valid-zip guard
     only = flatten_zip_config(nested, counties=["Utah"]).collect()
     assert {r["county"] for r in only} == {"Utah"}  # F4 county filter
+
+
+def test_snapshot_read_tolerates_schema_drift(spark, tmp_path):
+    """S6 drift semantics (listing.py:48-52 — from_dict accepts any shape;
+    trulia sets undeclared beds/baths): the schema-enforced read maps
+    missing fields to null and silently drops unknown fields, instead of
+    failing or letting the schema drift row-by-row."""
+    import json
+
+    from realestatedeals_spark.io.sources import read_listing_snapshot
+
+    old_style = {"mls": "111", "price": 100}  # old snapshot: most fields absent
+    drifted = {"mls": "222", "price": 200, "beds": 3, "not_a_field": "x"}  # unknown extra
+    path = tmp_path / "snap.json"
+    path.write_text(json.dumps([old_style, drifted], indent=4))
+    rows = {r["mls"]: r for r in read_listing_snapshot(spark, str(path)).collect()}
+    assert rows["111"]["price"] == 100 and rows["111"]["beds"] is None
+    assert rows["222"]["beds"] == 3
+    assert "not_a_field" not in rows["222"].asDict()
