@@ -74,3 +74,33 @@ def test_q1_aggregates_partially_before_shuffle(spark):
     assert int(partial.group(1)) < int(exchange.group(1))
     # sums accumulate in decimal for partitioning-independent results
     assert re.search(r"partial_sum\(cast\(l_quantity#\d+ as decimal", plan)
+
+
+def test_funnel_single_user_exchange(spark):
+    """SCALE.md claim: funnel stepping = stacked conditional-min windows over
+    ONE user-keyed exchange (no per-stage self-joins); the only other
+    exchange is the single-row global summary."""
+    plan = plan_of("e6_funnel", spark)
+    assert len(re.findall(r"Arguments: hashpartitioning\(user_id", plan)) == 1
+    assert plan.count("Join") == 0
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3
+
+
+def test_heavy_hitters_semi_joins_candidates_before_counting(spark):
+    """SCALE.md claim: the exact recount happens AFTER a broadcast LeftSemi
+    against the candidate set — never a full groupBy of raw terms feeding
+    the final filter. The only nested-loop is the 1-row total broadcast."""
+    plan = plan_of("x6_heavy_hitters", spark)
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the threshold join builds on a SinglePartition (1-row) broadcast
+    assert re.search(r"BroadcastNestedLoopJoin Cross", plan)
+
+
+def test_retention_no_cartesian_and_user_copartitioned(spark):
+    plan = plan_of("e7_retention_cohorts", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # (user, day) dedup and first-seen agg both key their exchanges on user_id
+    assert len(re.findall(r"Arguments: hashpartitioning\(user_id", plan)) == 2
