@@ -330,3 +330,57 @@ def x4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("n_bpe_tokens"),
         (bpe.cast("double") / ws.cast("double")).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash every
+# k-gram (k=3), slide a w=4 window over the hash sequence, keep each
+# window's minimum. Guarantee: any match of w+k-1 = 6 consecutive tokens
+# between two documents shares at least one fingerprint. Fingerprints are
+# md5 hex prefixes — identical bytes on both engines, and hex order =
+# numeric order so window MIN agrees. We keep the distinct (doc, hash)
+# set (the standard position-free simplification), which also makes the
+# output tie-break-free.
+# ---------------------------------------------------------------------------
+
+_WINNOW_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+kh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                        i -> substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)) AS hs
+  FROM toks),
+wm AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(hs) + 1),
+                              i -> list_min(hs[greatest(i - 3, 1):i])))) AS fp
+  FROM kh)
+SELECT doc_id, fp FROM wm
+"""
+
+
+@register("x4_winnow_fingerprints", oracle=_WINNOW_ORACLE, tags=("X4", "text", "fingerprint"))
+def x4_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing over (doc, position): ONE doc-keyed exchange feeds both the
+    k-gram lead()s and the trailing-window min; the distinct dedups per
+    (doc, hash). Shuffles carry 8-char hashes, never text. At 100 TB the
+    fingerprint table is the corpus-representation for plagiarism-style
+    overlap joins (fingerprint equi-join ≈ the MinHash candidate pattern)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    wl = W.partitionBy("doc_id").orderBy("pos")
+    l1, l2 = F.lead("tok", 1).over(wl), F.lead("tok", 2).over(wl)
+    kh = (
+        tok.select("doc_id", "pos", F.col("tok").alias("t0"), l1.alias("t1"), l2.alias("t2"))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(F.md5(F.concat_ws(" ", "t0", "t1", "t2")), 1, 8).alias("h"),
+        )
+    )
+    ww = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    return kh.select("doc_id", F.min("h").over(ww).alias("fp")).distinct()

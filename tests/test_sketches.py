@@ -51,3 +51,29 @@ def test_heavy_hitters_single_batch_of_one_term(spark):
     toks = spark.range(100).select(F.lit("only").alias("term"))
     got = heavy_hitters(toks, k=2).collect()
     assert [(r.term, r.cnt) for r in got] == [("only", 100)]
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing guarantee (SIGMOD'03): documents sharing w+k-1 = 6
+    consecutive tokens share at least one fingerprint; disjoint docs
+    share none."""
+    from realestatedeals_spark.plans.llm_text import x4_winnow_fingerprints  # noqa: F401
+    from realestatedeals_spark.plans.registry import QUERIES
+    import tempfile
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, f"one two three {shared} four five six", "en", "t", 1),
+        (2, f"seven eight {shared} nine ten eleven twelve", "en", "t", 1),
+        (3, "totally different words with no overlap at all here", "en", "t", 1),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars int")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = QUERIES["x4_winnow_fingerprints"].fn(spark, d).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "docs sharing a 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
