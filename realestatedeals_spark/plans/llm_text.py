@@ -360,16 +360,11 @@ SELECT doc_id, fp FROM wm
 """
 
 
-@register("x4_winnow_fingerprints", oracle=_WINNOW_ORACLE, tags=("X4", "text", "fingerprint"))
-def x4_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing over (doc, position): ONE doc-keyed exchange feeds both the
-    k-gram lead()s and the trailing-window min; the distinct dedups per
-    (doc, hash). Shuffles carry 8-char hashes, never text. At 100 TB the
-    fingerprint table is the corpus-representation for plagiarism-style
-    overlap joins (fingerprint equi-join ≈ the MinHash candidate pattern)."""
+def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) distinct winnowing fingerprints — shared by the
+    fingerprint query and the overlap join below."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
     wl = W.partitionBy("doc_id").orderBy("pos")
     l1, l2 = F.lead("tok", 1).over(wl), F.lead("tok", 2).over(wl)
@@ -384,3 +379,42 @@ def x4_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ww = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
     return kh.select("doc_id", F.min("h").over(ww).alias("fp")).distinct()
+
+
+@register("x4_winnow_fingerprints", oracle=_WINNOW_ORACLE, tags=("X4", "text", "fingerprint"))
+def x4_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing over (doc, position): ONE doc-keyed exchange feeds both the
+    k-gram lead()s and the trailing-window min; the distinct dedups per
+    (doc, hash). Shuffles carry 8-char hashes, never text. At 100 TB the
+    fingerprint table is the corpus-representation for plagiarism-style
+    overlap joins (fingerprint equi-join ≈ the MinHash candidate pattern)."""
+    return _winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_WINNOW_OVERLAP_ORACLE = (
+    _WINNOW_ORACLE.replace("SELECT doc_id, fp FROM wm", "")
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM wm a JOIN wm b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 5
+"""
+)
+
+
+@register("x2_winnow_overlap", oracle=_WINNOW_OVERLAP_ORACLE, tags=("X2", "dedup", "fingerprint"))
+def x2_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap via the winnowing fingerprint inverted index:
+    a fp-keyed self-join (equi-join — shuffle bounded by posting-list
+    sizes, the n-gram-Jaccard pattern) counts shared fingerprints per doc
+    pair. With the winnowing guarantee, any pair sharing ≥ 5 fingerprints
+    shares substantial verbatim runs — the plagiarism/contamination
+    detection primitive at corpus scale."""
+    fp = _winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
