@@ -229,7 +229,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
 """
 
 
-@register("e6_funnel", oracle=_FUNNEL_ORACLE, tags=("events", "funnel", "window"))
+@register("e6_funnel", oracle=_FUNNEL_ORACLE, tags=("events", "funnel", "window"), bench=True)
 def e6_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir)

@@ -76,7 +76,9 @@ HAVING count(*) * 100 > n
 """
 
 
-@register("x6_heavy_hitters", oracle=_X6_HH_ORACLE, tags=("X6", "profile", "sketch"))
+@register(
+    "x6_heavy_hitters", oracle=_X6_HH_ORACLE, tags=("X6", "profile", "sketch"), bench=True
+)
 def x6_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (global term share > 1/100) via Misra-Gries-style
     candidate pruning + exact recount — no full-token shuffle (see

@@ -402,7 +402,10 @@ HAVING count(*) >= 5
 )
 
 
-@register("x2_winnow_overlap", oracle=_WINNOW_OVERLAP_ORACLE, tags=("X2", "dedup", "fingerprint"))
+@register(
+    "x2_winnow_overlap", oracle=_WINNOW_OVERLAP_ORACLE, tags=("X2", "dedup", "fingerprint"),
+    bench=True,
+)
 def x2_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document overlap via the winnowing fingerprint inverted index:
     a fp-keyed self-join (equi-join — shuffle bounded by posting-list
