@@ -414,6 +414,12 @@ def x2_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares substantial verbatim runs — the plagiarism/contamination
     detection primitive at corpus scale."""
     fp = _winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    # Posting-list honesty (same note as x2_ngram_jaccard): winnowing's MIN
+    # selection concentrates globally-small hashes, so a corpus-ubiquitous
+    # run can produce a hot fingerprint. The standard mitigation is
+    # stop-fingerprint capping (drop fps with document frequency above a
+    # threshold before the self-join); at fixture scale no cap is needed,
+    # so none is applied — documented, not silently capped.
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -27,6 +27,11 @@ DEFAULT_CONF: dict[str, str] = {
     # Broadcast threshold: dims (region/nation/supplier/contacts) are tiny at
     # every SF; 64 MB keeps them broadcast even at sf100-equivalent dims.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime Bloom-filter join pruning (build a Bloom filter from the
+    # selective side, push it into the probe-side scan) — on by default in
+    # Spark 4, pinned here so a cluster-wide override can't silently drop a
+    # scan-reduction lever the 100 TB join plans assume.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Scans: 128 MB split targets — the parquet default, stated explicitly
     # because the 100 TB sizing math depends on it.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
