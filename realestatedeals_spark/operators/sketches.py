@@ -34,8 +34,11 @@ from pyspark.sql import functions as F
 
 
 def heavy_hitter_candidates(tokens: DataFrame, col: str, capacity: int) -> DataFrame:
-    """Misra-Gries-style candidate terms: a superset of every term with
-    global frequency > n/(capacity+1), ≤ capacity rows per Arrow batch."""
+    """Misra-Gries-style batch summary in ONE scan of ``tokens``: candidate
+    rows (a superset of every term with global frequency > n/(capacity+1),
+    ≤ capacity rows per Arrow batch) plus one null-term sentinel row per
+    batch carrying the batch's token count — so the global total rides along
+    instead of costing a second scan."""
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -43,27 +46,35 @@ def heavy_hitter_candidates(tokens: DataFrame, col: str, capacity: int) -> DataF
                 continue
             vc = pdf[col].value_counts()
             cand = vc[vc * (capacity + 1) > len(pdf)]
-            yield pd.DataFrame({col: cand.index.astype(str)})
+            yield pd.DataFrame(
+                {
+                    col: list(cand.index.astype(str)) + [None],
+                    "bn": [0] * len(cand) + [len(pdf)],
+                }
+            )
 
-    return tokens.mapInPandas(mg, schema=f"{col} string").distinct()
+    return tokens.mapInPandas(mg, schema=f"{col} string, bn long")
 
 
 def heavy_hitters(tokens: DataFrame, col: str = "term", k: int = 100) -> DataFrame:
     """Exact terms with global frequency > n/k, without a full-token shuffle.
 
-    Two passes over ``tokens`` (two scans, both with bounded shuffles): the
-    candidate pass shuffles < capacity+1 rows per batch, the verify pass only
-    candidate occurrences. ``capacity = 2k`` keeps the superset guarantee
-    with slack. Output: (col, cnt) exact — oracle-comparable.
+    Exactly TWO scans of ``tokens``, both with bounded shuffles: the summary
+    pass emits < capacity+2 rows per batch (candidates + the batch-count
+    sentinel, materialized once — it is consumed by both the candidate set
+    and the global total), the verify pass shuffles only candidate
+    occurrences. ``capacity = 2k`` keeps the superset guarantee with slack.
+    Output: (col, cnt) exact — oracle-comparable.
     """
     capacity = 2 * k
-    candidates = heavy_hitter_candidates(tokens, col, capacity)
+    summary = heavy_hitter_candidates(tokens, col, capacity).localCheckpoint(eager=True)
+    candidates = summary.filter(F.col(col).isNotNull()).select(col).distinct()
+    total = summary.agg(F.sum("bn").alias("n"))
     counts = (
         tokens.join(F.broadcast(candidates), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = tokens.agg(F.count(F.lit(1)).alias("n"))
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * k > F.col("n"))
