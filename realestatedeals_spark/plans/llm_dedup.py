@@ -107,11 +107,15 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    # NO broadcast hint on the per-doc count tables: they are
+    # corpus-proportional (one row per document), so a forced broadcast is
+    # exactly the kind of scale bug AQE exists to avoid — locally it
+    # broadcasts anyway (tiny), at 100 TB it picks a shuffled join.
     ca = cnt.select(F.col("_id").alias("doc_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col("_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -275,9 +275,13 @@ def x8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, k=4)
     ev = sh.filter(F.col("_id") % 50 == 0).select("shingle").distinct()
+    # No broadcast hint: the fixture's "eval set" is defined as 2% of the
+    # corpus, so its shingle table scales with data. Real eval sets are
+    # bounded (AQE will broadcast them at runtime); hinting here would bake
+    # a corpus-proportional broadcast into the plan.
     return (
         sh.filter(F.col("_id") % 50 != 0)
-        .join(F.broadcast(ev), "shingle")
+        .join(ev, "shingle")
         .groupBy(F.col("_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
