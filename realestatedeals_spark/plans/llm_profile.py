@@ -113,3 +113,52 @@ def x6_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.getItem(2).alias("price_q75"),
         q.getItem(3).alias("price_q99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X6 — whole-table column profile: nulls / distinct / min / max per column
+# in ONE pass (Spark expands the multi-distinct agg; still a single scan) —
+# the per-column validation sweep a 100 TB ingest runs before accepting a
+# drop. Long format (one row per column) so adding columns never changes
+# the schema. Numeric columns only: min/max emit as exact doubles (string
+# formatting of doubles differs between engines).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_X6_COLPROF_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_v,
+       CAST(max({c}) AS DOUBLE) AS max_v
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("x6_profile_columns", oracle=_X6_COLPROF_ORACLE, tags=("X6", "profile"))
+def x6_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.inline(rows))
