@@ -77,3 +77,10 @@ def test_winnowing_shared_run_guarantee(spark):
     assert fps[1] & fps[2], "docs sharing a 6-token run must share a fingerprint"
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
+
+
+def test_cli_list_and_unknown_query():
+    from realestatedeals_spark.__main__ import main
+
+    assert main(["list", "--tag", "X6"]) == 0
+    assert main(["run", "no_such_query"]) == 2
