@@ -329,3 +329,77 @@ def x8_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("shard_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8 — the full training-corpus pipeline as ONE lazy plan: quality gate →
+# content-hash dedup → eval-set decontamination → deterministic train/valid/
+# test split → per-(split, lang) accounting. Every stage is the registered
+# standalone query's exact logic, composed; Catalyst pipelines the narrow
+# stages and the whole thing is 3 shuffles (content-hash window, shingle
+# probe, final grid agg) + the anti-join — no intermediate materialization,
+# no driver state, rerun-stable end to end.
+# ---------------------------------------------------------------------------
+
+_X8_MIX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, n_chars,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents),
+qual AS (
+  SELECT * FROM toks
+  WHERE n_tokens >= 10 AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 12),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM qual)
+  WHERE rn = 1),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 3, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))
+         AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle) WHERE s.doc_id % 50 <> 0),
+clean AS (
+  SELECT * FROM dedup
+  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT {_SPLIT_SQL_CASE} AS split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+FROM clean
+GROUP BY split, lang
+"""
+
+
+@register("x8_training_mix", oracle=_X8_MIX_ORACLE, tags=("X8", "pipeline", "composite"))
+def x8_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality → dedup → decontaminate → split → account, composed lazily
+    from the standalone stages' exact logic (x8_corpus_clean,
+    x8_decontaminate, x7_hash_split)."""
+    from realestatedeals_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    toks = docs.select("doc_id", "lang", "text", "n_chars", n_tokens.alias("n_tokens"))
+    qual = toks.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens")).between(3, 12)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = qual.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sh = shingle_table(docs, k=4)
+    ev = sh.filter(F.col("_id") % 50 == 0).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("_id") % 50 != 0)
+        .join(ev, "shingle")
+        .select(F.col("_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = dedup.filter(F.col("doc_id") % 50 != 0).join(contaminated, "doc_id", "left_anti")
+    return clean.groupBy(_split_col().alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+    )
