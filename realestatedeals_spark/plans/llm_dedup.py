@@ -133,8 +133,8 @@ def x2_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs, max_hamming=3)
 
 
-_X5_EMB_ORACLE = """
-WITH pairs AS (
+_X5_EMB_PAIRS_CTE = """
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_reduce(list_transform(range(1, 65),
                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
@@ -146,9 +146,14 @@ WITH pairs AS (
                        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
                        (acc, x) -> acc + x))) AS cosine
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+"""
+
+_X5_EMB_ORACLE = (
+    "WITH " + _X5_EMB_PAIRS_CTE + """
 SELECT id_a, id_b, round(cosine, 6) AS cosine
 FROM pairs WHERE cosine >= 0.45
 """
+)
 
 
 @register("x5_embedding_near_dup", oracle=_X5_EMB_ORACLE, tags=("X3", "dedup", "vectors"))
@@ -205,3 +210,43 @@ def x3_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return rp_lsh_topk(emb, queries, k=5)
+
+
+_X5_EMB_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE " + _X5_EMB_PAIRS_CTE.lstrip() + """,
+p AS (SELECT id_a, id_b FROM pairs WHERE cosine >= 0.45),
+edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+nodes AS (SELECT DISTINCT a FROM edges)
+SELECT nodes.a AS vec_id,
+       CAST(least(nodes.a, coalesce(min(reach.b), nodes.a)) AS BIGINT) AS cluster_id
+FROM nodes LEFT JOIN reach ON reach.a = nodes.a
+GROUP BY nodes.a
+"""
+)
+
+
+@register(
+    "x5_embedding_dedup_clusters",
+    oracle=_X5_EMB_CLUSTERS_ORACLE,
+    tags=("X3", "dedup", "vectors", "graph"),
+)
+def x5_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup → connected components → canonical (min-id)
+    cluster per vector: the pick-one-representative step of embedding
+    dedup, composed from the bucketed RP-LSH pair generator and the
+    star/union-find clusterer (both individually oracle-checked). At scale
+    this is the plan that turns 'pairs' into 'rows to drop'."""
+    from realestatedeals_spark.operators.dedup import duplicate_clusters_star
+    from realestatedeals_spark.operators.similarity import rp_lsh_near_duplicates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = rp_lsh_near_duplicates(emb, threshold=0.45).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return duplicate_clusters_star(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
