@@ -80,3 +80,86 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel progress: the batch e6_funnel semantics (earliest signup →
+# earliest click at-or-after it → earliest purchase at-or-after that) carried
+# across micro-batches as per-user state.
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("s_us", LongType()),
+        StructField("c_us", LongType()),
+        StructField("p_us", LongType()),
+        StructField("stage", LongType()),
+    ]
+)
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("s", LongType()),
+        StructField("c", LongType()),
+        StructField("p", LongType()),
+    ]
+)
+
+_ABSENT = -1
+
+
+def _update_funnel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    s, c, p = state.get if state.exists else (_ABSENT, _ABSENT, _ABSENT)
+    for pdf in pdfs:
+        ts = pdf["ts_us"]
+        et = pdf["event_type"]
+        sig = ts[et == "signup"]
+        if len(sig):
+            m = int(sig.min())
+            s = m if s == _ABSENT else min(s, m)
+        if s != _ABSENT:
+            clk = ts[(et == "click") & (ts >= s)]
+            if len(clk):
+                m = int(clk.min())
+                c = m if c == _ABSENT else min(c, m)
+        if c != _ABSENT:
+            pur = ts[(et == "purchase") & (ts >= c)]
+            if len(pur):
+                m = int(pur.min())
+                p = m if p == _ABSENT else min(p, m)
+    state.update((s, c, p))
+    stage = 3 if p != _ABSENT else (2 if c != _ABSENT else (1 if s != _ABSENT else 0))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "s_us": [s], "c_us": [c], "p_us": [p], "stage": [stage]}
+    )
+
+
+def funnel_progress(events: DataFrame) -> DataFrame:
+    """Per-user funnel stage (0 none, 1 signed up, 2 clicked, 3 purchased)
+    maintained across micro-batches; state is three longs per user.
+
+    Matches the batch ``e6_funnel`` stepping exactly when per-user event
+    time is non-decreasing across micro-batches (the usual log-ingest
+    discipline; enforce with a watermark + sorted replay for backfills).
+    Under out-of-order arrival it is conservative: a late-arriving earlier
+    signup lowers ``s`` immediately, but clicks discarded by the old ``s``
+    in prior batches are not re-observed — exactly the retraction problem
+    batch recomputation (e6_funnel) exists for.
+
+    Input columns: user_id, ts_us (epoch micros), event_type.
+    """
+    return (
+        events.select("user_id", "ts_us", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUTPUT,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

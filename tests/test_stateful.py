@@ -94,3 +94,75 @@ def test_running_user_stats_matches_batch_aggregate(spark, sf_dir, tmp_path):
         assert g["n_events"] == w["n_events"]
         assert abs(g["total_value"] - w["total_value"]) < 1e-6
         assert abs(g["max_value"] - w["max_value"]) < 1e-9
+
+
+def test_funnel_progress_matches_batch_funnel(spark, sf_dir, tmp_path):
+    """Two ts-ordered micro-batches over the events fixture must land every
+    user on the same funnel stage as the batch e6 stepping on the full
+    data (state carries s/c/p across the batch boundary)."""
+    from pyspark.sql.types import StringType
+
+    from realestatedeals_spark.io.sources import load_events
+    from realestatedeals_spark.streaming.stateful import funnel_progress
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    cut = ev.agg(F.percentile_approx("ts_us", 0.5, 10000)).collect()[0][0]
+    ev.filter(F.col("ts_us") < cut).coalesce(1).write.parquet(src + "/b1")
+    ev.filter(F.col("ts_us") >= cut).coalesce(1).write.parquet(src + "/b2")
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src + "/*")
+
+    def sink(batch_df, epoch_id):
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+    q = (
+        funnel_progress(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {}
+    for r in sorted(spark.read.parquet(out).collect(), key=lambda r: r["epoch"]):
+        got[r["user_id"]] = r["stage"]
+
+    # batch oracle: the e6 stepping on the full data, per user
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id")
+    s = F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(w)
+    b = ev.withColumn("s", s)
+    c = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts_us") >= F.col("s")), F.col("ts_us"))
+    ).over(w)
+    b = b.withColumn("c", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") >= F.col("c")), F.col("ts_us")
+        )
+    ).over(w)
+    per_user = (
+        b.withColumn("p", p)
+        .groupBy("user_id")
+        .agg(F.first("s").alias("s"), F.first("c").alias("c"), F.first("p").alias("p"))
+        .collect()
+    )
+    want = {}
+    for r in per_user:
+        want[r["user_id"]] = 3 if r["p"] is not None else (
+            2 if r["c"] is not None else (1 if r["s"] is not None else 0)
+        )
+    assert got == want
