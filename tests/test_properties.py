@@ -94,3 +94,24 @@ def test_dedup_key_uniqueness_invariant(spark, batch):
     n = deduped.count()
     assert n == deduped.select("mls").distinct().count()
     assert n == df.select("mls").distinct().count()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=60),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+def test_heavy_hitters_equals_bruteforce(spark, counts, k):
+    from realestatedeals_spark.operators.sketches import heavy_hitters
+
+    rows = [(t,) for t, c in counts.items() for _ in range(c)]
+    toks = spark.createDataFrame(rows, "term string").repartition(3)
+    got = {(r.term, r.cnt) for r in heavy_hitters(toks, k=k).collect()}
+    n = sum(counts.values())
+    want = {(t, c) for t, c in counts.items() if c * k > n}
+    assert got == want
