@@ -572,6 +572,25 @@ def setop_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.subtract(f)
 
 
+_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("setop_except_all_keys", oracle=_EXCEPT_ALL_ORACLE, tags=("except", "bag-semantics"))
+def setop_except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicities subtract instead of the
+    set difference above): a customer with 3 open and 1 filled order keeps
+    2 copies. Lowers to one aggregate over a union with signed counts, not
+    a join per duplicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.exceptAll(f)
+
+
 # ---------------------------------------------------------------------------
 # Exact interpolated percentiles per group — Spark percentile() vs DuckDB
 # quantile_cont (same linear-interpolation definition; verified bit-equal).
