@@ -579,3 +579,20 @@ def setop_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.intersect(o)
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("setop_intersect_all_keys", oracle=_INTERSECT_ALL_ORACLE, tags=("intersect", "bag-semantics"))
+def setop_intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — min multiplicity per key survives),
+    completing the set-op surface alongside EXCEPT ALL."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(o)
