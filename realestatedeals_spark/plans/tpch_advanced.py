@@ -753,3 +753,57 @@ def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(_dsum(_rev(), 6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments per group — variance / stddev / correlation. The
+# engines' built-in stddev/corr are single-pass accumulators whose float
+# error depends on partitioning, so they can never hash-match. Instead both
+# sides compute the EXACT decimal sums (n, Σx, Σx², Σy, Σy², Σxy), cast to
+# double, and evaluate the textbook formulas in the same order — the sums
+# are partitioning-independent, so the doubles are bit-identical. Same
+# map-side partial-agg shuffle shape as any sum.
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12) AS corr_qty_price
+FROM s
+"""
+
+
+@register("olap_stats_moments", oracle=_MOMENTS_ORACLE, tags=("agg", "stats"))
+def olap_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(25,4)")
+    dy = F.col("l_extendedprice").cast("decimal(25,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return s.select(
+        "l_returnflag",
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        # corr is rounded to 12 decimals: the two engines fuse the double
+        # ops differently (~4e-16 absolute drift); var/stddev are exact
+        F.round(
+            (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12
+        ).alias("corr_qty_price"),
+    )
