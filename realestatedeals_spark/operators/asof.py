@@ -38,11 +38,17 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join of ``left`` to ``right`` on key ``on``.
+    """As-of join of ``left`` to ``right`` on key ``on``.
+
+    ``direction="backward"`` (default): latest right row with
+    ``right_ts <= left_ts``. ``direction="forward"``: earliest right row
+    with ``right_ts >= left_ts`` — the same ONE-shuffle union +
+    carry window, scanned in mirror order.
 
     ``right_cols`` (default: every non-key, non-ts right column) are attached
-    to each left row from the latest right row with ``right_ts <= left_ts``;
+    to each left row from the matched right row;
     the matched right timestamp is attached as ``{right_ts}{suffix}``. NULL
     values inside a matched right row are preserved (the whole row is carried
     as one struct, so ignorenulls only skips *absent* matches, never null
@@ -71,9 +77,14 @@ def asof_join(
         F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    order = [F.col("_t").asc(), F.col("_side").asc()] if direction == "backward" else [
+        F.col("_t").desc(), F.col("_side").asc()
+    ]
     w = (
         W.partitionBy(*on)
-        .orderBy("_t", "_side")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = l_.unionByName(r).withColumn("_m", F.last("_r", ignorenulls=True).over(w))

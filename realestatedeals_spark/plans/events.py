@@ -298,3 +298,38 @@ def e7_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: each click picks up the NEXT error at-or-after it for
+# the same user (time-to-next-failure analysis) — the mirror of e4's
+# backward carry, same single keyed shuffle (operators/asof.py
+# direction="forward"). Oracle is DuckDB's native forward ASOF (<=).
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = f"""
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+errors AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+SELECT c.event_id, c.user_id, strftime(c.ts, '{_TS_FMT_DUCK}') AS ts,
+       strftime(e.ts, '{_TS_FMT_DUCK}') AS next_error_ts,
+       e.value AS next_error_value
+FROM clicks c ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts <= e.ts
+"""
+
+
+@register("e8_asof_next_error", oracle=_ASOF_FWD_ORACLE, tags=("asof", "window"))
+def e8_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.operators.asof import asof_join
+
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    joined = asof_join(clicks, errors, on=["user_id"], right_cols=["value"], direction="forward")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        F.date_format("ts_right", _TS_FMT_SPARK).alias("next_error_ts"),
+        F.col("value").alias("next_error_value"),
+    )

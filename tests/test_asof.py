@@ -57,3 +57,29 @@ def test_asof_default_right_cols_and_collision_suffix(spark):
     right = spark.createDataFrame([Row(k="a", ts=_ts("2024-01-01T00:30:00"), v=9, w=3)])
     [row] = asof_join(left, right, on=["k"]).collect()
     assert row["v"] == 1 and row["v_right"] == 9 and row["w"] == 3
+
+
+def test_asof_forward_small_fixture(spark):
+    from realestatedeals_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 5)], "uid long, ts long")
+    right = spark.createDataFrame(
+        [(1, 12, "a"), (1, 20, "b"), (1, 30, "c"), (2, 3, "d")], "uid long, ts long, v string"
+    )
+    out = {
+        (r["uid"], r["ts"]): (r["ts_right"], r["v"])
+        for r in asof_join(left, right, on=["uid"], direction="forward").collect()
+    }
+    assert out[(1, 10)] == (12, "a")   # earliest right >= 10
+    assert out[(1, 25)] == (30, "c")
+    assert out[(2, 5)] == (None, None)  # no right at-or-after 5 for uid 2
+
+
+def test_asof_bad_direction_raises(spark):
+    import pytest as _pytest
+
+    from realestatedeals_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1)], "uid long, ts long")
+    with _pytest.raises(ValueError):
+        asof_join(left, left, on=["uid"], direction="sideways")
