@@ -54,3 +54,51 @@ def bucketed_range_join(
     # driver-built band frame has no stats and Catalyst would otherwise pick
     # the (known-size) fact scan as the broadcast side
     return f.join(F.broadcast(b), on=["_bucket"], how=how).filter(residual).drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 10.0,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Interval × interval overlap join (half-open [lo, hi)), equi-keyed on
+    ``keys``: pairs where ``a.lo < b.hi AND b.lo < a.hi``.
+
+    Scale path: both sides explode into the buckets they overlap and
+    equi-join on (keys, bucket); the overlap predicate is a residual filter.
+    DEDUP-FREE by construction: an overlapping pair shares every bucket in
+    the overlap region, so the join also requires
+    ``bucket == greatest(floor(a.lo/w), floor(b.lo/w))`` — the canonical
+    first shared bucket — and each pair is emitted exactly once, no
+    ``distinct`` over the pair stream. Shuffle is linear in exploded
+    intervals; width should sit near the median interval length.
+    """
+    w = float(bucket_width)
+
+    def exploded(df: DataFrame, suffix: str) -> DataFrame:
+        cols = [F.col(c).alias(f"{c}{suffix}") for c in df.columns if c not in keys]
+        return df.select(
+            *keys,
+            *cols,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_col) / w).cast("long"),
+                    F.floor((F.col(hi_col) - F.lit(1e-9)) / w).cast("long"),
+                )
+            ).alias("_bucket"),
+        )
+
+    sa, sb = suffixes
+    a = exploded(left, sa)
+    b = exploded(right, sb)
+    lo_a, hi_a, lo_b, hi_b = (F.col(f"{c}{s}") for c, s in
+                              ((lo_col, sa), (hi_col, sa), (lo_col, sb), (hi_col, sb)))
+    overlap = (lo_a < hi_b) & (lo_b < hi_a)
+    canonical = F.col("_bucket") == F.greatest(
+        F.floor(lo_a / w).cast("long"), F.floor(lo_b / w).cast("long")
+    )
+    return a.join(b, on=keys + ["_bucket"]).filter(overlap & canonical).drop("_bucket")

@@ -333,3 +333,42 @@ def e8_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_right", _TS_FMT_SPARK).alias("next_error_ts"),
         F.col("value").alias("next_error_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval × interval overlap: per-(user, day) activity intervals, pairs of
+# users whose intervals overlap within the day, counted per day. Runs
+# through operators/range_join.interval_overlap_join — bucketed equi-join
+# on (day, 6h-bucket) with residual + canonical-bucket dedup, never a
+# nested-loop inequality join. Oracle is the quadratic within-day join.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         min(epoch_us(ts)) AS lo, max(epoch_us(ts)) + 1 AS hi
+  FROM events GROUP BY 1, 2)
+SELECT strftime(a.d, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n_overlapping_pairs
+FROM iv a JOIN iv b
+  ON a.d = b.d AND a.user_id < b.user_id AND a.lo < b.hi AND b.lo < a.hi
+GROUP BY a.d
+"""
+
+
+@register("range_join_daily_overlap", oracle=_OVERLAP_ORACLE, tags=("range-join", "interval"))
+def range_join_daily_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.operators.range_join import interval_overlap_join
+
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    iv = (
+        ev.select("user_id", F.to_date("ts").alias("d"), F.unix_micros("ts").alias("us"))
+        .groupBy("user_id", "d")
+        .agg(F.min("us").alias("lo"), (F.max("us") + 1).alias("hi"))
+    )
+    pairs = interval_overlap_join(
+        iv, iv, keys=["d"], lo_col="lo", hi_col="hi", bucket_width=6 * 3600 * 1e6
+    ).filter(F.col("user_id_a") < F.col("user_id_b"))
+    return pairs.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_overlapping_pairs")
+    )

@@ -57,3 +57,34 @@ def test_salted_join_rejects_right_joins(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_interval_overlap_join_dedup_free_and_exact(spark):
+    """Pairs sharing MANY buckets must be emitted exactly once (canonical-
+    bucket rule), and the pair set must equal the brute-force answer."""
+    from itertools import combinations
+
+    from realestatedeals_spark.operators.range_join import interval_overlap_join
+
+    ivals = [  # (id, lo, hi) — widths from sub-bucket to many-bucket
+        (1, 0.0, 100.0),
+        (2, 5.0, 7.0),
+        (3, 50.0, 160.0),
+        (4, 99.0, 101.0),
+        (5, 200.0, 210.0),
+        (6, 100.0, 105.0),  # touches 1 only at the open boundary → no overlap
+    ]
+    df = spark.createDataFrame([(i, lo, hi, "k") for i, lo, hi, in ivals] if False else
+                               [(i, "k", lo, hi) for i, lo, hi in ivals],
+                               "id long, g string, lo double, hi double")
+    out = interval_overlap_join(df, df, keys=["g"], bucket_width=10.0)
+    got = sorted(
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in out.filter(F.col("id_a") < F.col("id_b")).collect()
+    )
+    want = sorted(
+        (a[0], b[0])
+        for a, b in combinations(ivals, 2)
+        if a[1] < b[2] and b[1] < a[2]
+    )
+    assert got == want  # exact AND no duplicates (sorted lists compare equal)
