@@ -74,9 +74,10 @@ def test_interval_overlap_join_dedup_free_and_exact(spark):
         (5, 200.0, 210.0),
         (6, 100.0, 105.0),  # touches 1 only at the open boundary → no overlap
     ]
-    df = spark.createDataFrame([(i, lo, hi, "k") for i, lo, hi, in ivals] if False else
-                               [(i, "k", lo, hi) for i, lo, hi in ivals],
-                               "id long, g string, lo double, hi double")
+    df = spark.createDataFrame(
+        [(i, "k", lo, hi) for i, lo, hi in ivals],
+        "id long, g string, lo double, hi double",
+    )
     out = interval_overlap_join(df, df, keys=["g"], bucket_width=10.0)
     got = sorted(
         (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
