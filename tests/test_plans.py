@@ -104,3 +104,17 @@ def test_retention_no_cartesian_and_user_copartitioned(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # (user, day) dedup and first-seen agg both key their exchanges on user_id
     assert len(re.findall(r"Arguments: hashpartitioning\(user_id", plan)) == 2
+
+
+def test_forward_asof_single_keyed_shuffle(spark):
+    """Forward as-of must keep the one-shuffle union+carry shape (the
+    direction flag only mirrors the scan order)."""
+    plan = plan_of("e8_asof_next_error", spark)
+    assert len(re.findall(r"Arguments: hashpartitioning\(user_id", plan)) == 1
+    assert plan.count("Join") == 0  # union + window, never a join
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark):
+    plan = plan_of("range_join_daily_overlap", spark)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
