@@ -264,13 +264,21 @@ def _bolt_upsert_statements(source_label: str) -> dict[str, str]:
 def _connector_missing(exc: Exception) -> bool:
     """True only for 'the connector jar is not on the classpath' failures —
     genuine write errors from a present connector must propagate, not be
-    swallowed into a silent fallback."""
+    swallowed into a silent fallback.
+
+    Matches only the planner's missing-data-source message ("Failed to find
+    [the] data source", Spark raises it as DATA_SOURCE_NOT_FOUND before any
+    write is attempted). Package names or bare ClassNotFoundException are
+    NOT matched: Py4JJavaError messages embed the full JVM stack trace, so a
+    genuine connector failure (auth, connection refused, constraint error)
+    raised from org.neo4j.spark.* frames would contain those substrings and
+    be silently diverted to the fallback.
+    """
     msg = str(exc)
     return (
         "Failed to find data source" in msg
         or "Failed to find the data source" in msg
-        or "ClassNotFoundException" in msg
-        or "org.neo4j.spark" in msg
+        or "DATA_SOURCE_NOT_FOUND" in msg
     )
 
 

@@ -15,8 +15,34 @@ produced at most once — no post-join dedup needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _bucket_seq(df: DataFrame, lo_col: str, hi_col: str, w: float) -> Column:
+    """Buckets overlapped by the half-open interval [lo, hi):
+    ``floor(lo/w) .. last`` where ``last`` excludes a hi sitting exactly on a
+    bucket boundary.
+
+    For integral domains the largest contained value is ``hi - 1`` exactly —
+    an absolute float epsilon (hi - 1e-9) is a double no-op at epoch-micro
+    magnitudes (~1e15), which would leak boundary-aligned intervals into one
+    extra bucket (correctness survives the residual filter, but the shuffle
+    grows). Float domains get an epsilon scaled to the bucket width instead
+    of an absolute one.
+    """
+    hi_adj = (
+        F.col(hi_col) - F.lit(1)
+        if isinstance(df.schema[hi_col].dataType, _INTEGRAL)
+        else F.col(hi_col) - F.lit(1e-9 * w)
+    )
+    return F.sequence(
+        F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
+        F.floor(hi_adj / F.lit(w)).cast("long"),
+    )
 
 
 def bucketed_range_join(
@@ -35,19 +61,9 @@ def bucketed_range_join(
     the median band width so most bands explode into O(1) buckets.
     """
     w = float(bucket_width)
-    b = bands.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / w).cast("long"),
-                # hi is exclusive: a band ending exactly on a bucket boundary
-                # does not overlap the next bucket
-                F.floor(
-                    (F.col(hi_col) - F.lit(1e-9)) / w
-                ).cast("long"),
-            )
-        ),
-    )
+    # hi is exclusive: a band ending exactly on a bucket boundary does not
+    # overlap the next bucket (see _bucket_seq)
+    b = bands.withColumn("_bucket", F.explode(_bucket_seq(bands, lo_col, hi_col, w)))
     f = fact.withColumn("_bucket", F.floor(F.col(value_col) / w).cast("long"))
     residual = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     # bands are the small side by assumption; hint it explicitly because a
@@ -84,12 +100,7 @@ def interval_overlap_join(
         return df.select(
             *keys,
             *cols,
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(lo_col) / w).cast("long"),
-                    F.floor((F.col(hi_col) - F.lit(1e-9)) / w).cast("long"),
-                )
-            ).alias("_bucket"),
+            F.explode(_bucket_seq(df, lo_col, hi_col, w)).alias("_bucket"),
         )
 
     sa, sb = suffixes

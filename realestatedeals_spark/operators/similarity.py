@@ -67,9 +67,8 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).tolist()
 
 
-def rp_lsh_near_duplicates(
+def rp_lsh_candidate_pairs(
     emb: DataFrame,
-    threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
@@ -77,26 +76,11 @@ def rp_lsh_near_duplicates(
     n_tables: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup pairs via multi-table RP-LSH candidates + exact
-    cosine verify — the bucketed mirror of ``minhash_near_duplicates``.
-
-    Candidate generation is an equi-join on (table, bucket): a pair is a
-    candidate iff it lands in the same sign-bucket of ANY of the
-    ``n_tables`` independent hyperplane sets (OR-amplification). Every
-    candidate is exact-verified, so false positives are impossible; recall
-    is 1 − (1 − p^b)^L with p = 1 − θ/π. The shuffle carries only
-    (id, table, bucket) longs plus the candidate pairs — never a cross
-    product — and bucket skew is bounded by 2^n_planes fan-out per table.
-
-    Parameter honesty: near the default threshold 0.45 (θ ≈ 63°, p ≈ 0.65)
-    the LSH gap is weak — recall-safe settings (4 planes × 16 tables) keep
-    roughly 2/3 of all pairs as candidates, so pruning is modest. At real
-    production near-dup thresholds (cosine ≥ 0.9, p ≈ 0.9) the same
-    construction prunes aggressively; raise ``n_planes`` (and trim
-    ``n_tables``) as the threshold rises.
-
-    Output: id_a, id_b, cosine (rounded to 6), matching ``cosine_pairs``.
-    """
+    """RP-LSH candidate pairs (id_a < id_b, distinct): a pair is a candidate
+    iff it shares the sign-bucket of ANY of the ``n_tables`` independent
+    hyperplane sets (OR-amplification). Exposed separately so pruning can be
+    measured directly — candidate count vs N(N−1)/2 is THE scale number for
+    this operator (asserted in tests/test_similarity.py)."""
     import pandas as pd
 
     # All n_tables × n_planes sign bits in one vectorized sweep per Arrow
@@ -131,7 +115,7 @@ def rp_lsh_near_duplicates(
         .localCheckpoint(eager=True)
     )
     a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -140,6 +124,43 @@ def rp_lsh_near_duplicates(
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
+    )
+
+
+def rp_lsh_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table RP-LSH candidates + exact
+    cosine verify — the bucketed mirror of ``minhash_near_duplicates``.
+
+    Candidate generation: see ``rp_lsh_candidate_pairs``. Every candidate is
+    exact-verified, so false positives are impossible; recall is
+    1 − (1 − p^b)^L with p = 1 − θ/π. The shuffle carries only
+    (id, table, bucket) longs plus the candidate pairs — never a cross
+    product — and bucket skew is bounded by 2^n_planes fan-out per table.
+
+    Parameter honesty: near the default threshold 0.45 (θ ≈ 63°, p ≈ 0.65)
+    the LSH gap is weak — recall-safe settings (4 planes × 16 tables) keep
+    roughly 2/3 of all pairs as candidates, so pruning is modest. At real
+    production near-dup thresholds (cosine ≥ 0.9, p ≈ 0.9) the same
+    construction prunes aggressively — 12 planes × 8 tables keeps ~0.2% of
+    random pairs (measured: x5_embedding_near_dup_lsh_hi) — raise
+    ``n_planes`` (and trim ``n_tables``) as the threshold rises.
+
+    Output: id_a, id_b, cosine (rounded to 6), matching ``cosine_pairs``.
+    """
+    import pandas as pd
+
+    cand = rp_lsh_candidate_pairs(
+        emb, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

@@ -188,6 +188,75 @@ def x5_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X5_HI_PAIRS_CTE = """
+base AS (
+  SELECT vec_id, list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS v
+  FROM embeddings),
+pert AS (
+  SELECT base.vec_id + 1000000 AS pid,
+         list_transform(range(1, 65),
+                        i -> v[i] + (CASE WHEN i - 1 = base.vec_id % 64 THEN 0.1 ELSE 0.0 END)) AS v
+  FROM base WHERE base.vec_id % 5 = 0),
+allv AS (SELECT vec_id, v FROM base UNION ALL SELECT pid AS vec_id, v FROM pert),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.v[i] * a.v[i]), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), (acc, x) -> acc + x))) AS cosine
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+"""
+
+_X5_HI_ORACLE = (
+    "WITH " + _X5_HI_PAIRS_CTE + """
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= 0.9
+"""
+)
+
+
+def _hi_sim_embeddings(emb: DataFrame) -> DataFrame:
+    """Deterministic high-similarity fixture derived from the embeddings
+    table on BOTH engines: every 5th vector gets a twin (id + 1,000,000)
+    with +0.1 added to dimension ``vec_id % 64`` — cosine ≈ 0.999 to its
+    source, while all natural fixture pairs top out near 0.52. Arithmetic is
+    cast-to-double-then-add in both engines so values are bit-identical."""
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pert = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x
+            + F.when(i == F.col("vec_id") % 64, F.lit(0.1)).otherwise(F.lit(0.0)),
+        ).alias("v"),
+    )
+    return base.unionByName(pert)
+
+
+@register(
+    "x5_embedding_near_dup_lsh_hi",
+    oracle=_X5_HI_ORACLE,
+    tags=("X3", "dedup", "vectors", "lsh"),
+)
+def x5_embedding_near_dup_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-threshold RP-LSH near-dup (cosine ≥ 0.9) — demonstrates the
+    aggressive pruning the 0.45-threshold demo can't: at 12 planes × 8
+    tables a random pair survives w.p. ≈ 8 · 2⁻¹² ≈ 0.2%, while the planted
+    twins (cosine ≥ 0.999, per-plane agreement p ≥ 0.99) are recalled w.p.
+    ≥ 1 − (1 − 0.99¹²)⁸ ≈ 1 − 3e-8 — recall is structural here, not a
+    fixture accident (the ADVICE-flagged fragility of the 0.45 variant).
+    Candidate-vs-N² pruning ratio is asserted in tests/test_similarity.py.
+    """
+    from realestatedeals_spark.operators.similarity import rp_lsh_near_duplicates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = _hi_sim_embeddings(emb)
+    return rp_lsh_near_duplicates(
+        hi, threshold=0.9, vec_col="v", n_planes=12, n_tables=8
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 @register("x3_ivf_topk", tags=("X3", "vectors", "approx"))
 def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse cells + nprobe probing + exact rerank. No SQL

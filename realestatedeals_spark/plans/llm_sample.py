@@ -120,8 +120,14 @@ def stratified_sample(
     space = float(16**15)  # 60-bit prefix of the md5 hex
     cut_entries = []
     for lang, c in counts.items():
+        if lang is None:
+            continue  # null-lang rows are kept unconditionally below; a
+            # None map key would fail at execution ("Cannot use null as
+            # map key") and null never equals a lookup key anyway.
         frac = min(1.0, safety * quota / max(c, 1))
         cut_entries += [F.lit(lang), F.lit(int(frac * space))]
+    if not cut_entries:
+        return ranked(base)  # every row null-lang — nothing to prefilter
     cut = F.create_map(*cut_entries)[F.col("lang")]
     pref = F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
     kept = base.filter((pref < cut) | F.col("lang").isNull())

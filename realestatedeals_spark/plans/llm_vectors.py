@@ -140,7 +140,9 @@ def gemm_cosine_topk(
     partials = []
     for chunk in range(n_chunks):
         chunk_df = q_df if n_chunks == 1 else q_df.filter(
-            F.abs(F.xxhash64(F.col(id_col))) % n_chunks == chunk
+            # pmod, not abs(...)%n: abs(Long.MIN_VALUE) stays negative and
+            # would silently drop that query row (cf. operators/skew.py).
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == chunk
         )
         q_rows = chunk_df.collect()
         if not q_rows:

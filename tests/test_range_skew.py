@@ -37,6 +37,56 @@ def test_bucketed_range_join_band_on_bucket_boundary(spark):
     assert bucketed_range_join(fact, bands, "v", bucket_width=10.0).count() == 0
 
 
+def test_bucket_seq_integral_boundary_at_epoch_micros(spark):
+    """An ABSOLUTE float epsilon (hi - 1e-9) is a double no-op at ~1e15, so
+    boundary-aligned integer intervals would explode into one extra bucket.
+    The integral path must use hi - 1 and keep the half-open claim exact."""
+    from realestatedeals_spark.operators.range_join import _bucket_seq
+
+    base = 1_700_000_000_000_000  # epoch micros, multiple of the width below
+    w = 1_000_000.0
+    df = spark.createDataFrame(
+        [(base, base + 1_000_000), (base, base + 1)],
+        "lo long, hi long",
+    )
+    spans = [r["s"] for r in df.select(F.size(_bucket_seq(df, "lo", "hi", w)).alias("s")).collect()]
+    assert spans == [1, 1]  # boundary-aligned hi stays in exactly one bucket
+
+    # float domain: epsilon scales with bucket width, boundary stays half-open
+    fdf = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+    assert [r["s"] for r in fdf.select(F.size(_bucket_seq(fdf, "lo", "hi", 10.0)).alias("s")).collect()] == [1]
+
+
+def test_interval_overlap_join_integer_epoch_domain(spark):
+    """Exactness of the overlap join on a long epoch-micros domain where the
+    old epsilon silently degraded bucketization."""
+    from itertools import combinations
+
+    from realestatedeals_spark.operators.range_join import interval_overlap_join
+
+    base = 1_700_000_000_000_000
+    m = 1_000_000
+    ivals = [
+        (1, base, base + 10 * m),
+        (2, base + 10 * m, base + 11 * m),  # touches 1 at the open boundary only
+        (3, base + 5 * m, base + 20 * m),
+        (4, base + 30 * m, base + 31 * m),
+    ]
+    df = spark.createDataFrame(
+        [(i, "k", lo, hi) for i, lo, hi in ivals],
+        "id long, g string, lo long, hi long",
+    )
+    out = interval_overlap_join(df, df, keys=["g"], bucket_width=float(m))
+    got = sorted(
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in out.filter(F.col("id_a") < F.col("id_b")).collect()
+    )
+    want = sorted(
+        (a[0], b[0]) for a, b in combinations(ivals, 2) if a[1] < b[2] and b[1] < a[2]
+    )
+    assert got == want
+
+
 def test_salted_join_equivalence_on_skewed_keys(spark):
     # 90% of big rows share one hot key — the salting target scenario
     rows = [(("hot" if i % 10 else f"k{i}"), i) for i in range(1000)]

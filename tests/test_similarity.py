@@ -67,6 +67,59 @@ def test_rp_lsh_noise_recall_sane(spark, sf_dir):
     assert recall >= 0.2, f"multi-probe RP-LSH noise recall: {recall}"
 
 
+def test_rp_lsh_near_dup_fixture_recall_is_one(spark, sf_dir):
+    """NAMED ASSUMPTION (ADVICE r2): x5_embedding_near_dup_lsh registers the
+    probabilistic-recall RP-LSH plan against the EXACT brute-force oracle.
+    That gate is valid only while the 4-plane × 16-table seed-42 config
+    recalls every fixture pair (all between cosine 0.45 and 0.52). This test
+    pins the assumption: if the fixture or the LSH settings change and any
+    pair drops out, THIS test fails with a recall number — pointing at the
+    assumption, not a mystery hash mismatch in the driver gate."""
+    from realestatedeals_spark.operators.similarity import rp_lsh_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs(emb, threshold=0.45).collect()}
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in rp_lsh_near_duplicates(emb, threshold=0.45).collect()
+    }
+    assert exact, "fixture lost its near-dup pairs — oracle gate is vacuous"
+    missed = exact - lsh
+    recall = 1 - len(missed) / len(exact)
+    assert lsh == exact, (
+        f"LSH recall {recall:.4f} < 1.0 on the fixture (missed {sorted(missed)[:5]}); "
+        "x5_embedding_near_dup_lsh's exact-oracle registration is no longer valid — "
+        "re-tune n_planes/n_tables/seed or tag the query rows-only"
+    )
+
+
+def test_rp_lsh_hi_threshold_prunes_aggressively(spark, sf_dir):
+    """Production-threshold config (12 planes × 8 tables, cosine ≥ 0.9):
+    candidate pairs must be a small fraction of N(N−1)/2 — this is the scale
+    claim of x5_embedding_near_dup_lsh_hi — while still recalling every
+    planted twin (cosine ≈ 0.999, structurally near-certain)."""
+    from realestatedeals_spark.operators.similarity import (
+        rp_lsh_candidate_pairs,
+        rp_lsh_near_duplicates,
+    )
+    from realestatedeals_spark.plans.llm_dedup import _hi_sim_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hi = _hi_sim_embeddings(emb)
+    n = hi.count()
+    all_pairs = n * (n - 1) / 2
+    n_cand = rp_lsh_candidate_pairs(hi, vec_col="v", n_planes=12, n_tables=8).count()
+    ratio = n_cand / all_pairs
+    assert ratio < 0.05, f"hi-threshold LSH kept {ratio:.1%} of all pairs — not pruning"
+
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs(hi, vec_col="v", threshold=0.9).collect()}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in rp_lsh_near_duplicates(hi, threshold=0.9, vec_col="v", n_planes=12, n_tables=8).collect()
+    }
+    assert exact and got == exact, f"hi-threshold recall broke: {len(got)}/{len(exact)}"
+
+
 def test_ivf_planted_neighbors_found(spark):
     # same planted-twin setup as the LSH test: IVF must put a near-identical
     # twin in the same k-means cell and return it as the top neighbor.

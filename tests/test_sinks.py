@@ -121,9 +121,31 @@ def test_connector_missing_classifier():
     from realestatedeals_spark.io.sinks import _connector_missing
 
     assert _connector_missing(Exception("Failed to find data source: org.neo4j.spark.DataSource"))
-    assert _connector_missing(Exception("java.lang.ClassNotFoundException: org.neo4j..."))
+    assert _connector_missing(
+        Exception("[DATA_SOURCE_NOT_FOUND] Failed to find the data source: org.neo4j.spark")
+    )
     assert not _connector_missing(Exception("ServiceUnavailable: connection refused"))
     assert not _connector_missing(Exception("Neo.ClientError.Security.Unauthorized"))
+    # Py4J-shaped genuine failures embed the full JVM stack trace — frames
+    # from org.neo4j.spark.* and nested ClassNotFoundExceptions must NOT be
+    # classified as connector-absent (they would silently divert real write
+    # errors into the bolt fallback).
+    assert not _connector_missing(
+        Exception(
+            "py4j.protocol.Py4JJavaError: An error occurred while calling o93.save.\n"
+            ": org.neo4j.driver.exceptions.AuthenticationException: unauthorized\n"
+            "\tat org.neo4j.spark.writer.Neo4jDataWriter.commit(Neo4jDataWriter.scala:52)\n"
+            "\tat org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2Exec\n"
+        )
+    )
+    assert not _connector_missing(
+        Exception(
+            "py4j.protocol.Py4JJavaError\n"
+            ": java.lang.NoClassDefFoundError: could not initialize\n"
+            "Caused by: java.lang.ClassNotFoundException: some.other.Dependency\n"
+            "\tat org.neo4j.spark.util.Validations.validate(Validations.scala:10)\n"
+        )
+    )
 
 
 def test_sink_counters_observe(spark, tmp_path):
