@@ -34,42 +34,73 @@ from pyspark.sql import functions as F
 
 
 def heavy_hitter_candidates(tokens: DataFrame, col: str, capacity: int) -> DataFrame:
-    """Misra-Gries-style batch summary in ONE scan of ``tokens``: candidate
-    rows (a superset of every term with global frequency > n/(capacity+1),
-    ≤ capacity rows per Arrow batch) plus one null-term sentinel row per
-    batch carrying the batch's token count — so the global total rides along
-    instead of costing a second scan."""
+    """Trimmed Misra-Gries summary per Arrow batch, ONE scan of ``tokens``:
+    the batch's top-``capacity`` terms weighted ``count − d`` where ``d`` is
+    the (capacity+1)-th largest in-batch count (the MG decrement — the top
+    capacity+1 counts each ≥ d sum to ≤ n_b, so d ≤ n_b/(capacity+1) and the
+    per-batch undercount of ANY term is ≤ n_b/(capacity+1)), plus one
+    null-term sentinel row carrying the batch's token count so the global
+    total rides along instead of costing a second scan.
+
+    MG summaries are MERGEABLE (Agarwal et al., Mergeable Summaries, PODS'12):
+    pointwise-adding the weights keeps the total undercount ≤ Σ n_b/(cap+1)
+    = n/(capacity+1) — which is what lets the second level bound the global
+    candidate set (see ``heavy_hitter_candidate_set``)."""
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            vc = pdf[col].value_counts()
-            cand = vc[vc * (capacity + 1) > len(pdf)]
+            vc = pdf[col].value_counts()  # descending
+            d = int(vc.iloc[capacity]) if len(vc) > capacity else 0
+            trimmed = vc.iloc[:capacity] - d
+            trimmed = trimmed[trimmed > 0]
             yield pd.DataFrame(
                 {
-                    col: list(cand.index.astype(str)) + [None],
-                    "bn": [0] * len(cand) + [len(pdf)],
+                    col: list(trimmed.index.astype(str)) + [None],
+                    "w": list(trimmed.astype("int64")) + [len(pdf)],
                 }
             )
 
-    return tokens.mapInPandas(mg, schema=f"{col} string, bn long")
+    return tokens.mapInPandas(mg, schema=f"{col} string, w long")
+
+
+def heavy_hitter_candidate_set(summary: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Second-level Misra-Gries merge: sum the per-batch weights (map-side
+    partial agg — the shuffle carries ≤ capacity+1 rows per batch, never
+    tokens) and keep terms whose merged weight exceeds n/(capacity+1).
+
+    GLOBALLY BOUNDED: merged weights sum to ≤ n, so fewer than capacity+1
+    terms can pass the filter — the candidate broadcast is ≤ ~capacity rows
+    REGARDLESS of batch count (an adversarially bursty distribution used to
+    grow it linearly with batches). SUPERSET-SAFE: a term with global
+    frequency f > n/k (capacity = 2k) has merged weight ≥ f − n/(cap+1)
+    > n/k − n/(2k+1) = n(k+1)/(k(2k+1)) > n/(2k+1), so it always passes."""
+    total = summary.filter(F.col(col).isNull()).agg(F.sum("w").alias("n"))
+    merged = summary.filter(F.col(col).isNotNull()).groupBy(col).agg(F.sum("w").alias("mw"))
+    return (
+        merged.crossJoin(F.broadcast(total))
+        .filter(F.col("mw") * (capacity + 1) > F.col("n"))
+        .select(col)
+    )
 
 
 def heavy_hitters(tokens: DataFrame, col: str = "term", k: int = 100) -> DataFrame:
     """Exact terms with global frequency > n/k, without a full-token shuffle.
 
     Exactly TWO scans of ``tokens``, both with bounded shuffles: the summary
-    pass emits < capacity+2 rows per batch (candidates + the batch-count
-    sentinel, materialized once — it is consumed by both the candidate set
-    and the global total), the verify pass shuffles only candidate
-    occurrences. ``capacity = 2k`` keeps the superset guarantee with slack.
-    Output: (col, cnt) exact — oracle-comparable.
+    pass emits ≤ capacity+1 rows per batch (trimmed MG summary + the
+    batch-count sentinel, materialized once — consumed by the candidate set
+    AND the global total), the second-level MG merge bounds the candidate
+    broadcast at ~capacity terms regardless of batch count, and the verify
+    pass shuffles only candidate occurrences. ``capacity = 2k`` keeps the
+    superset guarantee with slack. Output: (col, cnt) exact —
+    oracle-comparable.
     """
     capacity = 2 * k
     summary = heavy_hitter_candidates(tokens, col, capacity).localCheckpoint(eager=True)
-    candidates = summary.filter(F.col(col).isNotNull()).select(col).distinct()
-    total = summary.agg(F.sum("bn").alias("n"))
+    candidates = heavy_hitter_candidate_set(summary, col, capacity)
+    total = summary.filter(F.col(col).isNull()).agg(F.sum("w").alias("n"))
     counts = (
         tokens.join(F.broadcast(candidates), col, "left_semi")
         .groupBy(col)
