@@ -115,6 +115,27 @@ def test_star_clusters_hybrid_cutover_mid_contraction(spark):
     assert all(c == 0 for _, c in pure)
 
 
+def test_star_clusters_exact_threshold_boundary(spark):
+    """Pin the ``n_edges <= local_threshold`` boundary (dedup.py:317,350):
+    with exactly `threshold` distinct edges the graph goes straight to the
+    single-task union-find finish; at `threshold - 1` the star rounds run
+    first. Both sides must produce identical labels (and match label
+    propagation), so the coalesce(1) finish is only ever fed a bounded edge
+    set and the cutover point itself cannot change results."""
+    from realestatedeals_spark.operators.dedup import duplicate_clusters_star
+
+    edges = [(i, i + 1, 1.0) for i in range(8)]  # exactly 8 distinct edges
+    # duplicate pair rows must not push the DISTINCT edge count over the gate
+    pairs = spark.createDataFrame(edges + edges[:3], ["doc_a", "doc_b", "jaccard"])
+    lp = {(r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(pairs).collect()}
+    at = {(r["doc_id"], r["cluster_id"])
+          for r in duplicate_clusters_star(pairs, local_threshold=8).collect()}
+    below = {(r["doc_id"], r["cluster_id"])
+             for r in duplicate_clusters_star(pairs, local_threshold=7).collect()}
+    assert at == below == lp
+    assert all(c == 0 for _, c in at) and len(at) == 9
+
+
 def test_star_clusters_random_graph_matches_label_propagation(spark):
     import random
 
