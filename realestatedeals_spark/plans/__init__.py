@@ -18,6 +18,7 @@ from . import graph  # noqa: E402,F401
 from . import tpch_advanced  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import llm_sample  # noqa: E402,F401
+from . import streaming_cdc  # noqa: E402,F401
 
 
 def flagship(spark, sf_dir):
