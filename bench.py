@@ -25,9 +25,15 @@ def main() -> None:
     spark = get_spark("bench")
     # Warm-up outside the timed region: one untimed pass of the full set so
     # the timed pass measures steady-state plan execution, not JVM/codegen
-    # warmup of whichever query happens to run first.
+    # warmup of whichever query happens to run first. Failure-isolated: a
+    # raising query is recorded and skipped, never aborts the harness.
+    failed: dict[str, str] = {}
     for name, fn in bench_queries().items():
-        fn(spark, sf_dir).count()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — isolate per-query failures
+            failed[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED in warm-up: {failed[name]}", file=sys.stderr)
 
     # Best-of-2 timed runs per query: the host shows 2-4× run-to-run noise
     # under load, and the min of repeated full executions is the standard
@@ -35,11 +41,18 @@ def main() -> None:
     # end-to-end — nothing is cached between runs beyond the JVM warm-up).
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
+        if name in failed:
+            continue
         best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            failed[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED in timed run: {failed[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
@@ -48,17 +61,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload: dict = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {**timings, **{k: "error" for k in failed}},
+        "sf": sf_val,
+    }
+    if failed:
+        payload["errors"] = failed
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -42,15 +42,30 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with a usable TimestampType ``ts``.
 
-    The fixture stores ``ts`` as parquet TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects; we read nanos as long (legacy conf, runtime
-    settable) and convert to micros ourselves. Truncation (floor to micros)
-    matches DuckDB's nanos→micros cast for positive epochs.
+    The fixture's ``ts`` encoding has changed across driver regenerations
+    (parquet TIMESTAMP(NANOS) originally, timestamp[us] today), so dispatch on
+    the dtype Spark actually reads rather than hard-coding one encoding:
+
+    - ``LongType``: nanos read as long via the legacy conf — convert to
+      micros ourselves (floor division matches DuckDB's nanos→micros cast
+      for positive epochs).
+    - ``TimestampNTZType``: plain cast; identity under the UTC session conf.
+    - ``TimestampType``: already usable, pass through.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer division: double division would lose micros at epoch-nano scale
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # integer division: double division would lose micros at epoch-nano scale
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(ts_type, T.TimestampType):
+        return raw
+    raise TypeError(
+        f"events.parquet ts has unsupported dtype {ts_type}; "
+        "update load_events dispatch (io/sources.py)"
+    )
 
 
 # ---------------------------------------------------------------------------
