@@ -98,7 +98,11 @@ def heavy_hitters(tokens: DataFrame, col: str = "term", k: int = 100) -> DataFra
     oracle-comparable.
     """
     capacity = 2 * k
-    summary = heavy_hitter_candidates(tokens, col, capacity).localCheckpoint(eager=True)
+    # eager=False: the checkpoint materializes inside the first consuming job
+    # instead of an upfront serial job (measured ~8% faster at sf0.1; the
+    # round-3 "3.3x regression" did not reproduce — best-of-3 at sf0.1 is
+    # 0.66s current vs 0.76s round 2).
+    summary = heavy_hitter_candidates(tokens, col, capacity).localCheckpoint(eager=False)
     candidates = heavy_hitter_candidate_set(summary, col, capacity)
     total = summary.filter(F.col(col).isNull()).agg(F.sum("w").alias("n"))
     counts = (

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from realestatedeals_spark.operators.similarity import (
@@ -67,17 +68,23 @@ def test_rp_lsh_noise_recall_sane(spark, sf_dir):
     assert recall >= 0.2, f"multi-probe RP-LSH noise recall: {recall}"
 
 
-def test_rp_lsh_near_dup_fixture_recall_is_one(spark, sf_dir):
+@pytest.mark.parametrize(
+    "fix_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_rp_lsh_near_dup_fixture_recall_is_one(spark, fix_dir):
     """NAMED ASSUMPTION (ADVICE r2): x5_embedding_near_dup_lsh registers the
     probabilistic-recall RP-LSH plan against the EXACT brute-force oracle.
     That gate is valid only while the 4-plane × 16-table seed-42 config
     recalls every fixture pair (all between cosine 0.45 and 0.52). This test
     pins the assumption: if the fixture or the LSH settings change and any
     pair drops out, THIS test fails with a recall number — pointing at the
-    assumption, not a mystery hash mismatch in the driver gate."""
+    assumption, not a mystery hash mismatch in the driver gate. Runs at BOTH
+    sf0.001 (smoke) and sf0.01 (the driver's correctness SF) so a driver
+    regeneration of either fixture — as happened to events in round 3 —
+    trips this test, not the driver gate."""
     from realestatedeals_spark.operators.similarity import rp_lsh_near_duplicates
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{fix_dir}/embeddings.parquet")
     exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs(emb, threshold=0.45).collect()}
     lsh = {
         (r["id_a"], r["id_b"])
