@@ -4,6 +4,7 @@ source — decode itself is a deterministic fake in this environment."""
 from __future__ import annotations
 
 from realestatedeals_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     image_features,
     media_profile,
     read_binary_files,
@@ -52,3 +53,83 @@ def test_binary_file_source(spark, tmp_path):
     assert df.count() == 3
     row = df.select("length", "content").first()
     assert row["length"] == 100 and len(bytes(row["content"])) == 100
+
+
+# --- real stdlib codec (VERDICT r3 item 8) -------------------------------
+
+
+def test_png_encode_decode_roundtrip():
+    import numpy as np
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_image_header,
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    px = ((np.arange(17)[:, None] * 7 + np.arange(23)[None, :] * 13) % 256).astype(
+        "uint8"
+    )
+    b = encode_png_gray(px)
+    assert decode_image_header(b) == ("png", 23, 17)
+    assert (decode_png_gray(b) == px).all()
+
+
+def test_header_decode_jpeg_gif_and_garbage():
+    import struct
+
+    from realestatedeals_spark.operators.multimodal import decode_image_header
+
+    jpeg = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        b"\xff\xc0\x00\x11\x08\x01\x40\x00\xf0\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    assert decode_image_header(jpeg) == ("jpeg", 240, 320)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 240) + b"\x00" * 5
+    assert decode_image_header(gif) == ("gif", 320, 240)
+    assert decode_image_header(b"not an image at all") == (None, None, None)
+
+
+def test_real_codec_features_and_meta(spark):
+    import numpy as np
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_media_meta,
+        encode_png_gray,
+        image_features,
+    )
+
+    px = ((np.arange(10)[:, None] + np.arange(12)[None, :]) % 256).astype("uint8")
+    rows = [(1, "image", bytearray(encode_png_gray(px)), None),
+            (2, "image", bytearray(b"garbage"), None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = {r["media_id"]: r for r in decode_media_meta(media).collect()}
+    assert (meta[1]["format"], meta[1]["width"], meta[1]["height"]) == ("png", 12, 10)
+    assert meta[2]["format"] is None
+    feats = {r["media_id"]: r["features"] for r in
+             image_features(media, use_real_codec=True).collect()}
+    assert feats[2] is None  # undecodable -> null features, no crash
+    got = feats[1]
+    assert got[0] == 120.0  # n_px
+    assert abs(got[5] - float(px.sum())) < 1e-6  # px_sum
+
+
+def test_real_codec_resize_rerenders_pixels(spark):
+    import numpy as np
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    px = ((np.arange(16)[:, None] * 3 + np.arange(16)[None, :]) % 256).astype("uint8")
+    rows = [(1, "image", bytearray(encode_png_gray(px)),
+             {"format": "png", "width": 16, "height": 16,
+              "sample_rate": None, "n_frames": None})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(media, 8, 8, use_real_codec=True).collect()[0]
+    resized = decode_png_gray(bytes(out["content"]))
+    assert resized.shape == (8, 8)
+    # nearest-neighbor: resized[r,c] == px[2r, 2c]
+    assert (resized == px[::2, ::2]).all()
+    assert out["meta"]["width"] == 8 and out["meta"]["height"] == 8
