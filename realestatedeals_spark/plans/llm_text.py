@@ -427,3 +427,59 @@ def x2_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
+
+
+_WINNOW_OVERLAP_CAPPED_ORACLE = (
+    _WINNOW_ORACLE.replace("SELECT doc_id, fp FROM wm", "")
+    + """
+, nd AS (SELECT count(*) AS n FROM documents),
+rare AS (
+  SELECT fp FROM wm GROUP BY fp
+  HAVING count(*) * 50 <= (SELECT n FROM nd)
+),
+wr AS (SELECT wm.doc_id, wm.fp FROM wm JOIN rare USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM wr a JOIN wr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 5
+"""
+)
+
+
+@register(
+    "x2_winnow_overlap_capped",
+    oracle=_WINNOW_OVERLAP_CAPPED_ORACLE,
+    tags=("X2", "dedup", "fingerprint"),
+)
+def x2_winnow_overlap_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-fingerprint-capped overlap join — the mitigation for corpora
+    with boilerplate: fingerprints held by more than 2% of documents are
+    ubiquity, not copying (the MOSS rule), and their posting lists are what
+    makes the self-join quadratic. The cap is RELATIVE (df * 50 <= n_docs,
+    integer arithmetic both engines) so semantics are scale-covariant, and
+    it is applied before the self-join so hot posting lists never reach the
+    shuffle. Measured honestly (SCALE.md): on THIS fixture no fingerprint
+    crosses the 2% cap (synthetic docs have no boilerplate runs), so the
+    query returns identical rows to the uncapped form and the df pre-pass
+    is pure cost — which is why the UNCAPPED form carries the bench flag;
+    the uncapped slope at 10x docs is ~0.5x/doc (sub-linear wall-clock,
+    tools/gen_scale.py), fine as-is. This variant exists, oracle-checked,
+    for the corpora where the cap is load-bearing."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _winnow_fingerprints(docs)
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 50 <= F.col("n"))
+        .select("fp")
+    )
+    fpr = fp.join(rare, "fp")
+    a, b = fpr.alias("a"), fpr.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )

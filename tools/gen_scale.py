@@ -165,11 +165,14 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 
-    # embeddings: 10 gaussian clusters in 64-dim (center + 0.3*noise), plus
-    # ~1% near-identical pairs so cosine>=0.9 near-dup queries have real work
+    # embeddings: 10 gaussian clusters in 64-dim. Noise std 1.0 matches the
+    # driver fixture's profile (natural pairwise cosine tops out ~0.5; mean
+    # within-cluster cosine = sigma_c^2/(sigma_c^2+sigma_n^2) = 0.5) so
+    # threshold-0.9 queries see realistic selectivity, plus ~1% planted
+    # near-identical pairs so they still have real work
     centers = rng.normal(0, 1, (10, 64))
     labels = rng.integers(0, 10, n_emb)
-    vecs = centers[labels] + rng.normal(0, 0.3, (n_emb, 64))
+    vecs = centers[labels] + rng.normal(0, 1.0, (n_emb, 64))
     for i in rng.integers(0, n_emb - 1, int(n_emb * 0.01)):
         vecs[i + 1] = vecs[i] + rng.normal(0, 0.01, 64)
         labels[i + 1] = labels[i]
