@@ -338,6 +338,90 @@ def x8_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X8 — sequence packing: the GPT-pretraining data-loader primitive. Docs are
+# concatenated per language in deterministic (doc_id) order and cut into
+# fixed-length training sequences (SEQ_LEN tokens); a doc straddling a cut
+# contributes one SEGMENT to each sequence it spans, with exact token
+# offsets. Everything is column arithmetic over ONE lang-keyed window
+# cumsum + a sequence() explode — no UDFs, no driver state, and the explode
+# fan-out per doc is ceil(n_tokens/SEQ_LEN)+1, so shuffle volume is
+# O(total_tokens/SEQ_LEN + n_docs) segments regardless of document size.
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 512
+
+_X8_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_toks
+  FROM toks),
+seg AS (
+  SELECT doc_id, lang, n_tokens, before_toks,
+         unnest(range(CAST(before_toks // {_SEQ_LEN} AS BIGINT), CAST((before_toks + n_tokens - 1) // {_SEQ_LEN} + 1 AS BIGINT))) AS seq_id
+  FROM c WHERE n_tokens > 0)
+SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(seq_id * {_SEQ_LEN} - before_toks, 0) AS BIGINT) AS doc_tok_start,
+       CAST(least((seq_id + 1) * {_SEQ_LEN} - before_toks, n_tokens) AS BIGINT) AS doc_tok_end,
+       CAST(greatest(before_toks - seq_id * {_SEQ_LEN}, 0) AS BIGINT) AS seq_offset
+FROM seg
+"""
+
+
+@register("x8_sequence_pack", oracle=_X8_PACK_ORACLE, tags=("X8", "pipeline", "packing"))
+def x8_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-{_SEQ_LEN}-token training sequences per
+    language, splitting docs across sequence boundaries with exact offsets
+    (seq_offset = where the segment starts inside the sequence;
+    doc_tok_start/end = which slice of the doc it carries). Deterministic by
+    (lang, doc_id) order so reruns and backfills produce identical packing —
+    the property that makes sharded pretraining resumable. One window cumsum
+    shuffle on lang + a sequence() explode; all JVM column arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    toks = docs.select("doc_id", "lang", n_tokens.cast("bigint").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = toks.withColumn("before_toks", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    seq_len = F.lit(_SEQ_LEN)
+    seg = c.filter(F.col("n_tokens") > 0).select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "before_toks",
+        F.explode(
+            F.sequence(
+                (F.col("before_toks") / seq_len).cast("bigint"),
+                ((F.col("before_toks") + F.col("n_tokens") - 1) / seq_len).cast("bigint"),
+            )
+        ).alias("seq_id"),
+    )
+    return seg.select(
+        "lang",
+        "seq_id",
+        "doc_id",
+        F.greatest(F.col("seq_id") * seq_len - F.col("before_toks"), F.lit(0))
+        .cast("bigint")
+        .alias("doc_tok_start"),
+        F.least(
+            (F.col("seq_id") + 1) * seq_len - F.col("before_toks"), F.col("n_tokens")
+        )
+        .cast("bigint")
+        .alias("doc_tok_end"),
+        F.greatest(F.col("before_toks") - F.col("seq_id") * seq_len, F.lit(0))
+        .cast("bigint")
+        .alias("seq_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X8 — the full training-corpus pipeline as ONE lazy plan: quality gate →
 # content-hash dedup → eval-set decontamination → deterministic train/valid/
 # test split → per-(split, lang) accounting. Every stage is the registered

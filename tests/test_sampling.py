@@ -57,3 +57,41 @@ def test_stratified_prefilter_matches_full_window(spark):
         fast = {tuple(r) for r in stratified_sample(docs, quota, prefilter=True).collect()}
         full = {tuple(r) for r in stratified_sample(docs, quota, prefilter=False).collect()}
         assert fast == full, quota
+
+
+def test_sequence_pack_tiles_exactly(spark, sf_dir):
+    """Packing invariants: per (lang, seq_id) the segments tile the sequence
+    contiguously from offset 0 (except the final partial sequence per lang),
+    segment lengths are positive, and every doc's segments cover exactly
+    [0, n_tokens) without gap or overlap."""
+    from pyspark.sql import functions as F
+
+    from realestatedeals_spark.plans.llm_sample import _SEQ_LEN, x8_sequence_pack
+
+    out = x8_sequence_pack(spark, sf_dir).collect()
+    assert out
+    by_seq: dict = {}
+    by_doc: dict = {}
+    for r in out:
+        assert r["doc_tok_end"] > r["doc_tok_start"]
+        by_seq.setdefault((r["lang"], r["seq_id"]), []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    max_seq = {}
+    for (lang, sid), segs in by_seq.items():
+        max_seq[lang] = max(max_seq.get(lang, -1), sid)
+    for (lang, sid), segs in by_seq.items():
+        segs.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for seg in segs:
+            assert seg["seq_offset"] == pos, (lang, sid, seg)
+            pos += seg["doc_tok_end"] - seg["doc_tok_start"]
+        if sid < max_seq[lang]:
+            assert pos == _SEQ_LEN, (lang, sid, pos)
+        else:
+            assert 0 < pos <= _SEQ_LEN
+    for did, segs in by_doc.items():
+        segs.sort(key=lambda r: r["doc_tok_start"])
+        pos = 0
+        for seg in segs:
+            assert seg["doc_tok_start"] == pos
+            pos = seg["doc_tok_end"]
