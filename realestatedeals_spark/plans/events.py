@@ -372,3 +372,46 @@ def range_join_daily_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
         F.count(F.lit(1)).alias("n_overlapping_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join, batch-checked: click→purchase attribution on
+# the same user within 30 minutes. The registered batch plan is the EXACT
+# plan streaming/windows.py::interval_join builds in streaming mode (both
+# sides watermarked, time-range bound in the join condition — the two
+# requirements that bound stream-stream join state); the streaming test
+# (tests/test_streaming.py) asserts stream == batch on the same input.
+# ---------------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       p.value AS purchase_value,
+       CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS lag_seconds
+FROM c JOIN p
+  ON c.user_id = p.user_id AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("e9_click_purchase_attribution", oracle=_ATTRIB_ORACLE, tags=("events", "stream-stream", "interval-join"))
+def e9_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.streaming.windows import interval_join
+
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = interval_join(clicks, purchases, within="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("r_value").alias("purchase_value"),
+        "lag_seconds",
+    )

@@ -78,3 +78,53 @@ def stream_dedup(
     if not events.isStreaming:
         return events.dropDuplicates(keys)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: right-side events that follow a left-side
+    event on the same key within ``within`` (click→purchase attribution).
+
+    In streaming mode BOTH sides carry watermarks and the join condition
+    includes the time-range bound — the two requirements that let Spark
+    bound join state (each side's buffer holds only rows younger than
+    watermark + interval) instead of retaining the full history. Batch
+    frames run the identical plan (same condition), which is what the
+    oracle checks; the streaming test asserts stream == batch.
+
+    Output: key, left ts/value as l_ts/l_value, right ts/value as
+    r_ts/r_value, lag_seconds.
+    """
+    lw = left.withWatermark("ts", watermark) if left.isStreaming else left
+    rw = right.withWatermark("ts", watermark) if right.isStreaming else right
+    l = lw.select(
+        F.col(key).alias("k"), F.col("ts").alias("l_ts"), F.col("value").alias("l_value")
+    )
+    r = rw.select(
+        F.col(key).alias("rk"), F.col("ts").alias("r_ts"), F.col("value").alias("r_value")
+    )
+    joined = l.join(
+        r,
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
+    return joined.select(
+        F.col("k").alias("user_id"),
+        "l_ts",
+        "l_value",
+        "r_ts",
+        "r_value",
+        # micros-diff then floor-divide: per-side unix_timestamp() floors
+        # BEFORE subtracting, which is off by one when the fractional parts
+        # straddle a second boundary
+        ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000)
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )

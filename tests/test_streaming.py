@@ -162,3 +162,40 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 2, 3], ids
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join (click→purchase within 30 min, both sides
+    watermarked, time-range bound in the condition): every pair the
+    streaming run emits must match the batch plan, and the inner-join
+    append mode must emit the complete result under availableNow."""
+    from realestatedeals_spark.streaming.windows import interval_join
+
+    stream_df, batch_df = events_stream(spark, tmp_path)
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        return clicks, purchases
+
+    sc, sp = split(stream_df)
+    bc, bp = split(batch_df)
+    # 12h interval: the sf0.001 slice is too sparse for 30-minute pairs
+    q = (
+        interval_join(sc, sp, within="12 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r["user_id"], r["l_ts"], r["r_ts"])
+    got = {key(r): r["lag_seconds"] for r in spark.sql("select * from ssj").collect()}
+    want = {key(r): r["lag_seconds"] for r in interval_join(bc, bp, within="12 hours").collect()}
+    assert got == want
+    assert want  # non-vacuous: the fixture slice must contain attributed pairs
