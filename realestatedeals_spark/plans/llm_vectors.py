@@ -209,3 +209,78 @@ def x3_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-proportional query set grows)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return gemm_cosine_topk(emb, F.col("vec_id") % 100 == 0, k=5)
+
+
+# ---------------------------------------------------------------------------
+# X3 — int8 scalar quantization: the storage form of a 100 TB vector corpus
+# (4x smaller than float32, SIMD-friendly dot products downstream). Symmetric
+# per-vector scheme: scale = max|x|/127, q_i = round(x_i/scale) ∈ [-127,127].
+# Entirely JVM column expressions (transform/aggregate) — no UDF; the oracle
+# recomputes the identical double arithmetic in DuckDB, so the hash match
+# proves the quantized representation, not a lookalike. round() is
+# HALF_UP in Spark SQL and half-away-from-zero in DuckDB — identical on
+# the strictly-positive/negative quotients here.
+# ---------------------------------------------------------------------------
+
+_X3_QUANT_ORACLE = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM base),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT)) AS qv
+  FROM s)
+SELECT vec_id, round(scale, 9) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_l2sq,
+       CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_max
+FROM q
+"""
+
+
+@register("x3_int8_quantize", oracle=_X3_QUANT_ORACLE, tags=("X3", "vectors", "quantize"))
+def x3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize every embedding to symmetric per-vector int8 and emit the
+    summary the oracle can recompute (component sum, squared L2, max |q| —
+    which must be exactly 127 for every non-zero vector). The quantized
+    array itself is what a production table stores (array<tinyint> + one
+    float scale per vector = 68 bytes/vec at dim 64 vs 256); the cosine
+    error this buys is pinned by tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+    s = base.withColumn(
+        "scale",
+        F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    q = s.withColumn(
+        "qv",
+        F.transform("v", lambda x: F.round(x / F.col("scale"), 0).cast("bigint")),
+    )
+    zero = F.lit(0).cast("bigint")
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("qv", zero, lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate("qv", zero, lambda acc, x: acc + x * x).alias("q_l2sq"),
+        F.array_max(F.transform("qv", lambda x: F.abs(x))).alias("q_max"),
+    )
+
+
+def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Reusable quantizer: adds ``scale`` (double) and ``qv``
+    (array<int> in [-127,127]) columns; downstream dot products run on
+    integers and rescale by scale_a*scale_b."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    out = emb.withColumn(
+        "scale", F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    return out.withColumn(
+        "qv",
+        F.transform(v, lambda x: F.round(x / F.col("scale"), 0).cast("int")),
+    )

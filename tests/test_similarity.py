@@ -174,3 +174,37 @@ def test_ivf_full_probe_is_exact(spark):
     }
     aset = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert aset == bset
+
+
+def test_int8_quantized_cosine_error_and_recall(spark, sf_dir):
+    """Symmetric int8 quantization: (a) every non-zero vector's max |q| is
+    exactly 127, (b) quantized cosine is within 0.01 of exact cosine on
+    fixture pairs, (c) int8 top-5 recall vs exact top-5 >= 0.9 — the bar
+    that makes int8 the storage form for the 100 TB corpus."""
+    import numpy as np
+
+    from realestatedeals_spark.plans.llm_vectors import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = quantize_embeddings(emb).select("vec_id", "embedding", "scale", "qv").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qs = {r["vec_id"]: (np.array(r["qv"], dtype=np.int64), r["scale"]) for r in rows}
+    for r in rows:
+        q, _ = qs[r["vec_id"]]
+        assert np.abs(q).max() == 127
+
+    ids = sorted(vecs)
+    V = np.stack([vecs[i] for i in ids])
+    Q = np.stack([qs[i][0] * qs[i][1] for i in ids])  # dequantized
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    exact = Vn @ Vn.T
+    approx = Qn @ Qn.T
+    assert np.abs(exact - approx).max() < 0.01
+
+    np.fill_diagonal(exact, -2)
+    np.fill_diagonal(approx, -2)
+    e_top = np.argsort(-exact, axis=1)[:, :5]
+    a_top = np.argsort(-approx, axis=1)[:, :5]
+    recall = np.mean([len(set(e) & set(a)) / 5 for e, a in zip(e_top, a_top)])
+    assert recall >= 0.9, f"int8 top-5 recall {recall}"
