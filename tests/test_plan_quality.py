@@ -1,0 +1,59 @@
+"""Global physical-plan quality gate.
+
+Walks EVERY registered query's executed plan (plan-build only, no
+execution) and asserts the two absolute bans hold engine-wide:
+
+- no ``CartesianProduct`` (an unbounded non-broadcast cross join is never
+  the right plan at 100 TB), and
+- no ``BatchEvalPython`` (row-at-a-time Python UDFs; Arrow-batched
+  ``ArrowEvalPython``/``mapInPandas`` are the sanctioned Python boundary).
+
+``BroadcastNestedLoopJoin`` is allowed ONLY for the whitelisted queries
+below, each of which crosses against a provably bounded side (a 1-row
+aggregate frame, a k-row centroid/model frame, or a documented O(N^2)
+brute-force oracle baseline). A new query that introduces BNLJ outside the
+whitelist fails here with its plan, at plan-build cost — before it can
+melt a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from realestatedeals_spark.plans import QUERIES
+
+# query -> why BroadcastNestedLoopJoin is acceptable there
+_BNLJ_WHITELIST = {
+    "x5_embedding_near_dup": "documented O(N^2) brute-force oracle baseline",
+    "x3_cosine_topk_bruteforce": "documented O(N^2) brute-force oracle baseline",
+    "x3_ivf_topk": "cross vs k-row broadcast centroid frame (model state)",
+    "x6_heavy_hitters": "cross vs 1-row broadcast global-total frame",
+    "tpch_q22_idle_rich_customers": "cross vs 1-row broadcast avg-balance frame",
+    "tpch_q11_important_suppliers": "cross vs 1-row broadcast threshold frame",
+    "x4_tfidf_top_terms": "cross vs 1-row broadcast corpus-size frame",
+    "x2_winnow_overlap_capped": "cross vs 1-row broadcast corpus-size frame",
+}
+
+# executes real streaming work on invocation; covered by its own tests
+_SKIP = {"c3_streaming_cdc"}
+
+
+@pytest.mark.parametrize("name", [n for n in QUERIES if n not in _SKIP])
+def test_physical_plan_bans(spark, sf_dir, name):
+    df = QUERIES[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in physical plan — a non-broadcast cross "
+        f"join reached the registry\n{plan[:2000]}"
+    )
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF (BatchEvalPython) — use built-in "
+        f"expressions or an Arrow-batched pandas UDF\n{plan[:2000]}"
+    )
+    if name not in _BNLJ_WHITELIST:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: BroadcastNestedLoopJoin outside the bounded-side "
+            f"whitelist — broadcast-cross is only sanctioned against 1-row/"
+            f"k-row frames (add to whitelist WITH a boundedness argument if "
+            f"intentional)\n{plan[:2000]}"
+        )
