@@ -36,6 +36,10 @@ DEFAULT_CONF: dict[str, str] = {
     # because the 100 TB sizing math depends on it.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Serve filterless MIN/MAX/COUNT straight from parquet footers (row-group
+    # statistics) — a full-corpus profiling pass (x6) touches metadata, not
+    # data. Only kicks in when every aggregate is pushable; harmless otherwise.
+    "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.ui.explainMode": "formatted",
 }
 
