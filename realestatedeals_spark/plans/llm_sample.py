@@ -384,13 +384,20 @@ def x8_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     toks = docs.select("doc_id", "lang", n_tokens.cast("bigint").alias("n_tokens"))
+    return pack_sequences(toks, _SEQ_LEN)
+
+
+def pack_sequences(toks: DataFrame, seq_len_v: int) -> DataFrame:
+    """Reusable packer over (doc_id, lang, n_tokens) rows — the plan
+    x8_sequence_pack registers; property-tested in tests/test_properties.py
+    against a sequential Python reference and for partitioning invariance."""
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     c = toks.withColumn("before_toks", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    seq_len = F.lit(_SEQ_LEN)
+    seq_len = F.lit(seq_len_v)
     seg = c.filter(F.col("n_tokens") > 0).select(
         "lang",
         "doc_id",

@@ -115,3 +115,49 @@ def test_heavy_hitters_equals_bruteforce(spark, counts, k):
     n = sum(counts.values())
     want = {(t, c) for t, c in counts.items() if c * k > n}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=16),
+)
+def test_sequence_pack_matches_sequential_reference(spark, docs, seq_len):
+    """pack_sequences == the obvious sequential packer, for any token-count
+    distribution and sequence length — including docs longer than several
+    sequences and zero-token docs (dropped), and invariant to input
+    partitioning (the lang-window defines order, not arrival)."""
+    from realestatedeals_spark.plans.llm_sample import pack_sequences
+
+    rows = [(i, lang, n) for i, (lang, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"]).repartition(5)
+    got = {
+        (r["lang"], r["seq_id"], r["doc_id"]): (
+            r["doc_tok_start"], r["doc_tok_end"], r["seq_offset"]
+        )
+        for r in pack_sequences(df, seq_len).collect()
+    }
+
+    want = {}
+    for lang in {l for _, l, _ in rows}:
+        pos = 0
+        for did, l, n in sorted(rows):
+            if l != lang or n == 0:
+                continue
+            done = 0
+            while done < n:
+                sid = (pos + done) // seq_len
+                take = min(n - done, (sid + 1) * seq_len - (pos + done))
+                want[(lang, sid, did)] = (
+                    done, done + take, (pos + done) - sid * seq_len
+                )
+                done += take
+            pos += n
+    assert got == want
