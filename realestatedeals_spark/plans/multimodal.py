@@ -207,3 +207,66 @@ def x5_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_width").cast("double").alias("avg_width"),
         "max_frames",
     )
+
+
+# Audio twin of the PNG round-trip: deterministic PCM per document —
+# n_samples = n_chars % 400 + 50, s_i = ((doc_id*7 + i*13) % 2003) - 1001 —
+# really encoded as RIFF/WAV bytes, really decoded back by the engine's
+# chunk-walking PCM parser. Integer sums are exact in both engines; rms is
+# sqrt(sum_sq/n) in double, identical IEEE arithmetic.
+_X5_WAV_ORACLE = """
+WITH s AS (
+  SELECT doc_id, CAST(n_chars % 400 + 50 AS BIGINT) AS n,
+         list_transform(range(0, CAST(n_chars % 400 + 50 AS BIGINT)),
+                        i -> (doc_id * 7 + i * 13) % 2003 - 1001) AS pcm
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(16000 AS INT) AS sample_rate,
+       n AS n_samples,
+       CAST(list_sum(pcm) AS BIGINT) AS s_sum,
+       CAST(list_max(list_transform(pcm, x -> abs(x))) AS BIGINT) AS s_peak,
+       round(sqrt(CAST(list_sum(list_transform(pcm, x -> x * x)) AS DOUBLE) / n), 6) AS rms
+FROM s
+"""
+
+
+@register("x5_wav_roundtrip", oracle=_X5_WAV_ORACLE, tags=("X5", "multimodal", "codec"))
+def x5_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end: per document, synthesize a deterministic
+    16-bit PCM signal, encode it as an actual RIFF/WAV file
+    (operators/multimodal.py:encode_wav_pcm16), and run the engine's real
+    decode (chunk walk + PCM parse) through ``audio_features``. The oracle
+    recomputes the signal arithmetically — a hash match proves the bytes are
+    valid WAV files decoding to the exact samples. Compressed audio decode
+    (MP3/AAC) is out of scope, same boundary as JPEG entropy decode.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(nch) % 400 + 50
+                i = np.arange(n, dtype=np.int64)
+                s = (int(did) * 7 + i * 13) % 2003 - 1001
+                rows.append((int(did), bytearray(encode_wav_pcm16(s, 16000))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    feats = audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "s_sum",
+        "s_peak",
+        F.round("s_rms", 6).alias("rms"),
+    )

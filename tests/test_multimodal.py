@@ -133,3 +133,27 @@ def test_real_codec_resize_rerenders_pixels(spark):
     # nearest-neighbor: resized[r,c] == px[2r, 2c]
     assert (resized == px[::2, ::2]).all()
     assert out["meta"]["width"] == 8 and out["meta"]["height"] == 8
+
+
+def test_wav_encode_decode_roundtrip_and_features(spark):
+    import numpy as np
+
+    from realestatedeals_spark.operators.multimodal import (
+        audio_features,
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    s = ((np.arange(500) * 37) % 2003 - 1001).astype(np.int16)
+    b = encode_wav_pcm16(s, 8000)
+    rate, back = decode_wav_pcm16(b)
+    assert rate == 8000 and (back == s).all()
+
+    rows = [(1, "audio", bytearray(b), None), (2, "audio", bytearray(b"garbage"), None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert got[1]["sample_rate"] == 8000
+    assert got[1]["n_samples"] == 500
+    assert got[1]["s_sum"] == int(s.astype(np.int64).sum())
+    assert got[1]["s_peak"] == int(np.abs(s.astype(np.int64)).max())
+    assert got[2]["sample_rate"] is None  # undecodable -> nulls, no crash
