@@ -620,3 +620,102 @@ def x8_training_mix_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8 — the capstone composite: training mix THROUGH sequence packing. The
+# cleaned train split (quality → exact dedup → decontaminate → hash split)
+# flows straight into pack_sequences, still ONE lazy plan — corpus in,
+# training sequences out, with per-sequence accounting the oracle recomputes
+# end to end. This is the shape of an actual pretraining data job.
+# ---------------------------------------------------------------------------
+
+_X8_PACKED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, n_chars,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents),
+qual AS (
+  SELECT * FROM toks
+  WHERE n_tokens >= 10 AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 12),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM qual)
+  WHERE rn = 1),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 3, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))
+         AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle) WHERE s.doc_id % 50 <> 0),
+clean AS (
+  SELECT * FROM dedup
+  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+train AS (
+  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM clean WHERE ({_SPLIT_SQL_CASE}) = 'train'),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_toks
+  FROM train),
+seg AS (
+  SELECT doc_id, lang, n_tokens, before_toks,
+         unnest(range(CAST(before_toks // {_SEQ_LEN} AS BIGINT),
+                      CAST((before_toks + n_tokens - 1) // {_SEQ_LEN} + 1 AS BIGINT))) AS seq_id
+  FROM c WHERE n_tokens > 0)
+SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(SUM(least((seq_id + 1) * {_SEQ_LEN}, before_toks + n_tokens)
+                - greatest(seq_id * {_SEQ_LEN}, before_toks)) AS BIGINT) AS seq_tokens
+FROM seg
+GROUP BY lang, seq_id
+"""
+
+
+@register(
+    "x8_training_mix_packed",
+    oracle=_X8_PACKED_ORACLE,
+    tags=("X8", "pipeline", "composite", "packing"),
+)
+def x8_training_mix_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → cleaned train split → packed training sequences, one lazy
+    plan: the x8_training_mix stages (quality gate, exact dedup, eval-set
+    decontamination, deterministic hash split) feed pack_sequences directly;
+    output is per-(lang, seq_id) segment count and filled-token count. Every
+    interior sequence must carry exactly {_SEQ_LEN} tokens — the oracle
+    recomputes the whole pipeline including the packing arithmetic."""
+    from realestatedeals_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    toks = docs.select("doc_id", "lang", "text", "n_chars", n_tokens.alias("n_tokens"))
+    qual = toks.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens")).between(3, 12)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = qual.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sh = shingle_table(docs, k=4)
+    ev = sh.filter(F.col("_id") % 50 == 0).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("_id") % 50 != 0)
+        .join(ev, "shingle")
+        .select(F.col("_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = dedup.filter(F.col("doc_id") % 50 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    train = clean.filter(_split_col() == "train").select(
+        "doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    packed = pack_sequences(train, _SEQ_LEN)
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("doc_tok_end") - F.col("doc_tok_start")).alias("seq_tokens"),
+    )
