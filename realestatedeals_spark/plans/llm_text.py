@@ -483,3 +483,80 @@ def x2_winnow_overlap_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — repetition quality signals (the Gopher/MassiveText repetition rules):
+# duplicate-unigram fraction, duplicate-bigram fraction, and top-token
+# share. Real pretraining filters drop docs above thresholds on exactly
+# these. All ratios are integer/integer in double — engine-exact. The
+# top-token count is computed via explode → per-(doc, token) count → max,
+# ONE doc-keyed shuffle (the scalable form; an array-expression mode() would
+# be O(distinct × n) per row).
+# ---------------------------------------------------------------------------
+
+_X4_REP_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM t WHERE len(toks) >= 2),
+topcnt AS (
+  SELECT doc_id, max(c) AS top_cnt FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+    GROUP BY doc_id, tok)
+  GROUP BY doc_id)
+SELECT base.doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n AS dup_unigram_frac,
+       1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) AS dup_bigram_frac,
+       CAST(top_cnt AS DOUBLE) / n AS top_token_frac
+FROM base JOIN topcnt ON base.doc_id = topcnt.doc_id
+"""
+
+
+@register("x4_repetition_score", oracle=_X4_REP_ORACLE, tags=("X4", "text", "quality"))
+def x4_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: duplicate unigram/
+    bigram fractions (array expressions, zero shuffle) and top-token share
+    (explode → count → max, one doc-keyed shuffle). The thresholds a corpus
+    clean would apply (e.g. drop if dup_bigram_frac > 0.2) are policy; the
+    signals here are the oracle-checked primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    feats = base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n).alias(
+            "dup_unigram_frac"
+        ),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
+        ).alias("dup_bigram_frac"),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    return feats.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_unigram_frac",
+        "dup_bigram_frac",
+        (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+    )
