@@ -344,3 +344,70 @@ def write_graph(
                 driver.close()
 
         frame.foreachPartition(upsert)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout — multi-column data skipping (the Delta/Iceberg OPTIMIZE
+# ZORDER technique, public knowledge). Interleaving the bits of several
+# normalized sort keys clusters rows so that EVERY interleaved column gets
+# tight per-row-group min/max ranges in the parquet footer; a point or
+# range predicate on ANY of them then prunes most row groups, where a
+# lexicographic sort only serves its leading column. Pure column
+# expressions (shiftright/shiftleft/bit_and) — codegen-able, no UDF.
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(df, cols: list[str], bits: int = 16):
+    """Morton (Z-order) key column over ``cols``.
+
+    Each column is min/max-normalized to ``bits`` bits (two tiny aggregates
+    collected driver-side — O(len(cols)) scalars, computed in one pass),
+    then bit-interleaved. Returns (df_with_ranges, key_column); callers sort
+    by the key and write.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_max_{c}") for c in cols],
+    ).first()
+    scaled = []
+    for c in cols:
+        lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * ((1 << bits) - 1))
+                .cast("bigint"),
+            )
+        )
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for j, s in enumerate(scaled):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * len(cols) + j)
+            )
+    return df, key.alias("_zorder")
+
+
+def write_zordered(
+    df, path: str, cols: list[str], n_files: int = 8, bits: int = 16
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``:
+    range-partition on the Morton key (so files tile the curve) and sort
+    within partitions (so row groups tile it too). Point/range predicates
+    on any of ``cols`` then skip most row groups via footer min/max —
+    measured in tests/test_zorder.py against the same data written
+    unsorted."""
+    from pyspark.sql import functions as F
+
+    base, key = zorder_key(df, cols, bits)
+    (
+        base.withColumn("_zorder", key)
+        .repartitionByRange(n_files, F.col("_zorder"))
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
