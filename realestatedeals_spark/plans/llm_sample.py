@@ -681,6 +681,7 @@ GROUP BY lang, seq_id
     "x8_training_mix_packed",
     oracle=_X8_PACKED_ORACLE,
     tags=("X8", "pipeline", "composite", "packing"),
+    bench=True,
 )
 def x8_training_mix_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus → cleaned train split → packed training sequences, one lazy
