@@ -141,7 +141,7 @@ def decode_png_gray(data: bytes) -> np.ndarray:
     types (plug point for RGB support — same unfilter, bpp=3)."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, w = 8, None
+    pos, w, h = 8, None, None
     idat = b""
     while pos < len(data):
         (length,) = _struct.unpack(">I", data[pos : pos + 4])
@@ -159,6 +159,8 @@ def decode_png_gray(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + length
+    if w is None or h is None:
+        raise ValueError("PNG missing IHDR chunk")
     raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w + 1)
     out = np.zeros((h, w), np.int32)
     prev = np.zeros(w, np.int32)

@@ -162,3 +162,31 @@ def x6_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.inline(rows))
+
+
+@register("x6_hll_mergeable", tags=("X6", "profile", "approx", "sketch"))
+def x6_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (DataSketches HLL, Spark 4
+    built-ins): one sketch per source over content hashes, then a global
+    estimate by MERGING the sketches — never re-scanning the corpus. This is
+    the 100 TB profiling primitive: sketch each partition/day once, answer
+    any rollup (per source, per day, global) by union of sketches. No SQL
+    oracle (the sketch binary is engine-specific); tests pin the estimates
+    against exact distincts within HLL error bounds and pin
+    merge-vs-rescan equivalence."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("source", F.xxhash64("text").alias("h"))
+    per_source = hashed.groupBy("source").agg(
+        F.hll_sketch_agg("h", F.lit(12)).alias("sk"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    global_est = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("est"),
+        F.sum("n_docs").alias("n"),
+    ).select(F.lit("__global__").alias("source"), F.col("est").cast("bigint").alias("est_distinct"), "n")
+    per = per_source.select(
+        "source",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_distinct"),
+        F.col("n_docs").alias("n"),
+    )
+    return per.unionByName(global_est).orderBy("source")

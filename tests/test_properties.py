@@ -161,3 +161,56 @@ def test_sequence_pack_matches_sequential_reference(spark, docs, seq_len):
                 done += take
             pos += n
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=0, max_size=300))
+def test_media_decoders_never_crash_on_garbage(spark, blob):
+    """The codec parsers must treat arbitrary bytes as data, not as a crash
+    vector: header parse returns Nones, pixel/PCM decode raises only its
+    declared exceptions (which the mapInPandas bodies catch into nulls)."""
+    import zlib
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_image_header,
+        decode_png_gray,
+        decode_wav_pcm16,
+    )
+
+    fmt, w, h = decode_image_header(blob)
+    assert fmt in (None, "png", "jpeg", "gif")
+    for fn in (decode_png_gray, decode_wav_pcm16):
+        try:
+            fn(blob)
+        except (ValueError, NotImplementedError, zlib.error, IndexError, Exception) as e:
+            # only the declared classes (struct.error subclasses Exception;
+            # anything truly unexpected would still surface in review runs)
+            import struct as _s
+
+            assert isinstance(
+                e, (ValueError, NotImplementedError, zlib.error, IndexError, _s.error)
+            ), f"{fn.__name__} raised undeclared {type(e).__name__}: {e}"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_png_wav_roundtrip_random(spark, w, h, seed):
+    import numpy as np
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_png_gray,
+        decode_wav_pcm16,
+        encode_png_gray,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    assert (decode_png_gray(encode_png_gray(px)) == px).all()
+    s = rng.integers(-32768, 32768, w * h).astype(np.int16)
+    rate, back = decode_wav_pcm16(encode_wav_pcm16(s, 44100))
+    assert rate == 44100 and (back == s).all()
