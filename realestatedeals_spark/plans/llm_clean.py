@@ -1,0 +1,220 @@
+"""Corpus-cleaning queries: PII scrubbing, context-window chunking, and
+bloom-pruned decontamination (SURVEY.md §2b X4/X8).
+
+These extend the reference's text-normalization habit (cleaner.py's
+regex-driven field scrubbing, cleaner.py:24-78) to the operations a
+training-data pipeline runs over raw text at corpus scale. Everything stays
+in JVM column expressions except the bloom membership probe, which is one
+vectorized numpy gather per Arrow batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# X4 — PII scrub: count + redact emails / US phone numbers / IPv4 addresses.
+#
+# The documents fixture is synthetic word soup with no PII, so the query
+# first stamps each row with deterministic doc_id-derived PII (email, phone,
+# IP) and then scrubs it — the injection is part of the query on BOTH the
+# Spark and oracle sides, so the redaction logic is what gets checked. The
+# patterns stay inside the Java-regex ∩ RE2 common subset (no backrefs, no
+# lookarounds) so the oracle is bit-identical.
+#
+# Scale: pure regexp column expressions — whole-stage codegen, no UDF, no
+# shuffle; the output hash keeps the comparison content-exact without ever
+# materializing scrubbed text in the result.
+# ---------------------------------------------------------------------------
+
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+    text || ' contact doc' || doc_id || '@ex-mail.org or 415-555-' ||
+    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+    ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(
+    regexp_replace(regexp_replace(t, '{_PHONE}', '<PHONE>', 'g'),
+                   '{_EMAIL}', '<EMAIL>', 'g'),
+    '{_IPV4}')) AS BIGINT) AS n_ips,
+  sha256(regexp_replace(regexp_replace(regexp_replace(t,
+    '{_EMAIL}', '<EMAIL>', 'g'), '{_PHONE}', '<PHONE>', 'g'),
+    '{_IPV4}', '<IP>', 'g')) AS scrubbed_hash
+FROM p
+"""
+
+
+def _with_pii() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id"),
+        F.lit("@ex-mail.org or 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256),
+        F.lit(".0."),
+        (F.col("doc_id") % 100),
+    )
+
+
+@register("x4_pii_scrub", oracle=_PII_ORACLE, tags=("X4", "text", "clean"))
+def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII hit counts + sha256 of the fully scrubbed text.
+
+    Redaction order (email → phone → IP) is fixed and mirrored in the
+    oracle: the IP pattern would otherwise eat dotted fragments of already-
+    redacted tokens. ``n_ips`` is counted after phone/email removal for the
+    same reason.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = _with_pii()
+    no_phone = F.regexp_replace(t, _PHONE, "<PHONE>")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"),
+        _IPV4,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.regexp_replace(no_phone, _EMAIL, "<EMAIL>"), F.lit(_IPV4))
+        .cast("long")
+        .alias("n_ips"),
+        F.sha2(scrubbed, 256).alias("scrubbed_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — context-window chunking: overlapping fixed-size token windows
+# (size 64, stride 48 → 16-token overlap), the shape LLM pretraining and
+# RAG indexing both consume. Distinct from x8_sequence_pack (which packs
+# WHOLE docs into budgeted shards): chunking SPLITS single docs.
+#
+# Scale: sequence+posexplode fan-out is per-row and shuffle-free; output
+# rows ≈ n_tokens/stride. The chunk hash stands in for chunk text so the
+# result stays narrow.
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+s AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, {_STRIDE})) AS start
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id, CAST(start / {_STRIDE} AS INT) AS chunk_id,
+       CAST(len(list_slice(t, start + 1, least(start + {_CHUNK}, len(t)))) AS BIGINT)
+         AS n_chunk_tokens,
+       sha256(array_to_string(
+         list_slice(t, start + 1, least(start + {_CHUNK}, len(t))), ' '))
+         AS chunk_hash
+FROM s
+"""
+
+
+@register("x4_chunk_documents", oracle=_CHUNK_ORACLE, tags=("X4", "text", "clean"))
+def x4_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document with content hashes.
+
+    Every token position is covered by construction (stride < chunk size);
+    the final window may be short — kept, since truncating it would drop
+    tail tokens. Empty docs chunk to nothing (filter, not a zero-row
+    sequence, so Spark and the oracle agree on the n=0 edge).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    chunk = F.slice("t", F.col("start") + 1, _CHUNK)
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0), F.size("t") - 1, F.lit(_STRIDE))).alias(
+                "chunk_id", "start"
+            ),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.sha2(F.array_join(chunk, " "), 256).alias("chunk_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8 — bloom-pruned decontamination: byte-identical semantics to
+# x8_decontaminate (same oracle), but corpus shingles pass a broadcast
+# Bloom filter of the eval set BEFORE the shuffle join — at 100 TB the
+# equi-join's shuffle input drops ~99% while the downstream exact join
+# re-checks every bloom positive, so false positives cost only wasted probe
+# work and false negatives cannot exist. See operators/bloom.py for the
+# filter build (driver memory bounded by filter geometry, not corpus size).
+# ---------------------------------------------------------------------------
+
+_BLOOM_DECON_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 3, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))
+         AS shingle
+  FROM toks),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh s JOIN ev USING (shingle)
+WHERE s.doc_id % 50 <> 0
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "x8_bloom_decontaminate",
+    oracle=_BLOOM_DECON_ORACLE,
+    tags=("X8", "pipeline", "dedup"),
+)
+def x8_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x8_decontaminate with a broadcast-bloom shuffle pruner.
+
+    Two bounded driver actions build the filter (eval shingle count → bloom
+    sizing → distinct-bit-position collect); the query itself then runs as
+    one lazy plan. The eval shingle set is persisted across its three uses
+    (count, bloom build, verify join) — it is eval-set-sized, not
+    corpus-sized.
+    """
+    from realestatedeals_spark.operators.bloom import (
+        build_bloom,
+        might_contain,
+        sizing,
+    )
+    from realestatedeals_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, k=4)
+    ev = sh.filter(F.col("_id") % 50 == 0).select("shingle").distinct().persist()
+    n_bits, k = sizing(ev.count(), fpp=0.01)
+    packed = build_bloom(ev, "shingle", n_bits, k)
+    corpus = sh.filter(F.col("_id") % 50 != 0)
+    candidates = corpus.filter(might_contain(spark, packed, n_bits, k, F.col("shingle")))
+    return (
+        candidates.join(ev, "shingle")
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
