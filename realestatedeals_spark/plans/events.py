@@ -415,3 +415,61 @@ def e9_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("r_value").alias("purchase_value"),
         "lag_seconds",
     )
+
+
+# ---------------------------------------------------------------------------
+# e10 — SCD Type-2 dimension build from a change log. Each user's event
+# stream is a change feed of a one-attribute entity (event_type = the
+# tracked state); the operator emits versioned validity intervals with
+# change DETECTION (consecutive equal states collapse into one version —
+# the actual SCD2 subtlety) and an is_current flag on the open interval.
+#
+# Scale: one shuffle on user_id; the change-row filter preserves both the
+# hash partitioning AND the sort order, so the second window (lead/version
+# over change rows) reuses the exchange and the sort — the executed plan is
+# ONE Exchange + ONE Sort total (pinned in tests/test_plans.py). At 100 TB
+# the same plan runs per entity-key range with no driver involvement.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_type,
+       strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '{_TS_FMT_DUCK}') AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS version,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM changes
+"""
+
+
+@register("e10_scd2_intervals", oracle=_SCD2_ORACLE, tags=("events", "scd2", "window"))
+def e10_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals per user from the events
+    change log: collapse no-op changes, then open/close validity windows."""
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    valid_to = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(valid_to, _TS_FMT_SPARK).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        valid_to.isNull().alias("is_current"),
+    )

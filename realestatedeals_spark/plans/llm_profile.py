@@ -190,3 +190,41 @@ def x6_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n"),
     )
     return per.unionByName(global_est).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# X6 — approximate quantiles via percentile_approx (Greenwald-Khanna): the
+# mergeable rank-sketch counterpart to olap_percentiles_exact. Rank error is
+# bounded by n/accuracy and the partial aggregates merge map-side, so at
+# 100 TB each scan task summarizes its split once and the driver never sees
+# raw values — unlike the exact variant, whose global sort-based percentile
+# is the thing you cannot afford there. No SQL oracle (GK's picked elements
+# are engine-specific); tests pin every estimate's TRUE rank against the
+# n/accuracy bound, which is the sketch's actual contract.
+# ---------------------------------------------------------------------------
+
+_QUANT_ACCURACY = 10_000
+
+
+@register("x6_approx_quantiles", tags=("X6", "profile", "approx", "sketch"))
+def x6_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of document length per source + '__global__', one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = F.percentile_approx(
+        "n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), _QUANT_ACCURACY
+    )
+    per = docs.groupBy("source").agg(qs.alias("q"), F.count(F.lit(1)).alias("n"))
+    glob = docs.groupBy(F.lit("__global__").alias("source")).agg(
+        qs.alias("q"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per.unionByName(glob)
+        .select(
+            "source",
+            F.col("q")[0].cast("bigint").alias("p50"),
+            F.col("q")[1].cast("bigint").alias("p90"),
+            F.col("q")[2].cast("bigint").alias("p99"),
+            "n",
+        )
+        .orderBy("source")
+    )

@@ -118,3 +118,20 @@ def test_interval_overlap_is_equi_join_not_nested_loop(spark):
     plan = plan_of("range_join_daily_overlap", spark)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange_single_sort(spark):
+    """SCD2 claim (plans/events.py): the change-row filter preserves hash
+    partitioning AND sort order, so the version/lead window reuses the
+    first window's exchange and sort — one Exchange, one Sort, total."""
+    plan = plan_of("e10_scd2_intervals", spark)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+    assert "Join" not in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Context-window chunking is a per-row fan-out: no Exchange at all."""
+    plan = plan_of("x4_chunk_documents", spark)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode lowered to Generate

@@ -45,3 +45,28 @@ def test_hll_mergeable_estimates_within_bounds(spark, sf_dir):
         .first()["e"]
     )
     assert abs(out["__global__"]["est_distinct"] - direct) <= max(2, 0.02 * direct)
+
+
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    """GK contract: each estimate is an element of the data whose TRUE rank
+    is within n/accuracy of the target rank."""
+    import numpy as np
+
+    from realestatedeals_spark.io.sources import load_table
+    from realestatedeals_spark.plans import all_queries
+    from realestatedeals_spark.plans.llm_profile import _QUANT_ACCURACY
+
+    out = {r.source: r for r in all_queries()["x6_approx_quantiles"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars").toPandas()
+    for source, grp in [("__global__", docs)] + list(docs.groupby("source")):
+        vals = np.sort(grp["n_chars"].to_numpy())
+        n = len(vals)
+        row = out[source]
+        assert row.n == n
+        for q, est in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+            assert (vals == est).any(), f"{source} p{q}: {est} not in data"
+            lo = np.searchsorted(vals, est, "left")
+            hi = np.searchsorted(vals, est, "right") - 1
+            target = q * (n - 1)
+            tol = max(n / _QUANT_ACCURACY, 1.0) + 1
+            assert lo - tol <= target <= hi + tol, (source, q, est, lo, hi, target)
