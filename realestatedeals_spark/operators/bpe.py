@@ -1,0 +1,126 @@
+"""Distributed BPE merge-table training (Sennrich et al. 2016, word-freq
+variant) — the iterative-algorithm pattern done Spark-first.
+
+The scale shape that makes BPE trainable on a 100 TB corpus: the corpus is
+touched ONCE (whitespace-token groupBy → word-frequency table, one shuffle);
+every training iteration after that runs on the VOCABULARY-sized symbol
+table (distinct words + weights), which is bounded by language, not by
+corpus size. Each iteration is: adjacent-pair explode + weighted groupBy
+(JVM column expressions), a 1-row argmax collect (TakeOrderedAndProject —
+per-partition heaps, no global sort), and a vectorized merge rewrite of the
+symbol arrays. Lineage is cut every round (localCheckpoint on the
+vocab-bounded table) so iteration N's plan does not replay iterations
+0..N-1.
+
+Pair counting counts every adjacent position ("aaa" contributes (a,a)
+twice); merging is left-to-right greedy non-overlapping — the standard BPE
+convention pair, mirrored exactly by the pure-Python reference in
+tests/test_bpe.py. Ties break (weight desc, left asc, right asc) so the
+merge table is deterministic.
+
+No counterpart in the reference repo (no text pipeline); built for the
+engine's X4 layer (SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+END = "</w>"
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus pass: whitespace words → (word, weight). The only
+    corpus-proportional shuffle in BPE training."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """word → array of single-char symbols + end-of-word marker."""
+    # Spark split uses limit=-1 (keeps trailing empties, unlike Java's
+    # String.split), so the end-of-string lookahead match leaves one "" —
+    # drop empties before appending the end marker.
+    chars = F.filter(F.split(F.col("word"), "(?!^)"), lambda c: c != "")
+    return words.select(
+        F.concat(chars, F.array(F.lit(END))).alias("syms"),
+        "weight",
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("syms") - 2),
+        lambda i: F.struct(
+            F.col("syms")[i].alias("left"), F.col("syms")[i + 1].alias("right")
+        ),
+    )
+    return (
+        syms.filter(F.size("syms") >= 2)
+        .select(F.explode(pairs).alias("p"), "weight")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("weight").alias("pair_weight"))
+    )
+
+
+def _merge_udf(left: str, right: str):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def apply_merge(col: pd.Series) -> pd.Series:
+        merged = left + right
+
+        def rewrite(syms):
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return col.map(rewrite)
+
+    return apply_merge
+
+
+def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[Row]:
+    """Learn ``n_merges`` BPE merges; returns [(rank, left, right, merged,
+    pair_weight)]. Stops early if no adjacent pair remains."""
+    syms = _initial_symbols(word_freq_table(docs, text_col)).localCheckpoint()
+    merges: list[Row] = []
+    for rank in range(n_merges):
+        best = (
+            _pair_counts(syms)
+            .orderBy(F.desc("pair_weight"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append(
+            Row(
+                rank=rank,
+                left=b.left,
+                right=b.right,
+                merged=b.left + b.right,
+                pair_weight=b.pair_weight,
+            )
+        )
+        syms = syms.select(
+            _merge_udf(b.left, b.right)("syms").alias("syms"), "weight"
+        )
+        # Cut lineage every few rounds, not every round: the table is
+        # vocab-bounded, so a handful of chained Arrow-UDF rewrites re-run
+        # cheaply, while an eager checkpoint per round doubles the job count.
+        if (rank + 1) % 4 == 0:
+            syms = syms.localCheckpoint()
+    return merges

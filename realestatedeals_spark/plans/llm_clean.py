@@ -218,3 +218,26 @@ def x8_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — distributed BPE merge-table training (see operators/bpe.py for the
+# corpus-once / vocab-bounded-iterations scale shape). No SQL oracle:
+# iterative argmax-and-rewrite is not SQL-expressible; the check is exact
+# merge-table equality against a pure-Python reference BPE in
+# tests/test_bpe.py, plus determinism of the tie-break.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 24
+
+
+@register("x4_bpe_train_merges", tags=("X4", "text", "iterative"))
+def x4_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 24 learned BPE merges over the documents corpus."""
+    from realestatedeals_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = train_bpe(docs, _BPE_MERGES)
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, pair_weight bigint"
+    )

@@ -1,0 +1,70 @@
+"""Distributed BPE training vs an exact pure-Python reference."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from realestatedeals_spark.operators.bpe import END, train_bpe, word_freq_table
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Sennrich-style reference: same counting (every adjacent position),
+    same merge (left-to-right greedy non-overlap), same tie-break."""
+    vocab = {tuple(list(w) + [END]): c for w, c in word_freqs.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (l, r), w = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, l + r, w))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference(spark, sf_dir):
+    from realestatedeals_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = {r.word: r.weight for r in word_freq_table(docs).collect()}
+    expect = _reference_bpe(wf, 12)
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_weight)
+        for r in train_bpe(docs, 12)
+    ]
+    assert got == expect
+    assert len(got) == 12
+
+
+def test_bpe_merges_learn_frequent_words(spark, sf_dir):
+    """The fixture corpus is a small closed vocabulary, so early merges must
+    be building toward its most frequent words."""
+    from realestatedeals_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, 8)
+    assert merges[0].pair_weight >= merges[-1].pair_weight
+    assert all(m.rank == i for i, m in enumerate(merges))
+
+
+def test_bpe_deterministic(spark, sf_dir):
+    from realestatedeals_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = train_bpe(docs, 6)
+    b = train_bpe(docs, 6)
+    assert a == b
