@@ -8,7 +8,7 @@ table (distinct words + weights), which is bounded by language, not by
 corpus size. Each iteration is: adjacent-pair explode + weighted groupBy
 (JVM column expressions), a 1-row argmax collect (TakeOrderedAndProject —
 per-partition heaps, no global sort), and a vectorized merge rewrite of the
-symbol arrays. Lineage is cut every round (localCheckpoint on the
+symbol arrays. Lineage is cut every few rounds (localCheckpoint on the
 vocab-bounded table) so iteration N's plan does not replay iterations
 0..N-1.
 
@@ -124,3 +124,59 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[Ro
         if (rank + 1) % 4 == 0:
             syms = syms.localCheckpoint()
     return merges
+
+
+def encode_with_merges(
+    docs: DataFrame, merges: list[Row], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply a learned merge table to tokenize documents.
+
+    Sennrich-style encode: each word becomes char symbols + end marker, then
+    every merge is applied greedily left-to-right in rank order. The merge
+    table is vocab-bounded → shipped in the UDF closure (broadcast-sized);
+    encoding is embarrassingly parallel mapInPandas with a per-batch word
+    memo — word soup corpora re-encode each distinct word once per batch,
+    not once per occurrence. Output: (id, n_bpe_tokens, token_hash) — the
+    hash stands in for the token stream so the result stays narrow.
+    """
+    import hashlib
+
+    table = [(m.left, m.right, m.merged) for m in merges]
+
+    def encode_batch(it):
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                syms = list(w) + [END]
+                for left, right, merged in table:
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                memo[w] = got = syms
+            return got
+
+        for pdf in it:
+            toks = [
+                [t for w in txt.split() for t in enc_word(w)]
+                for txt in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bpe_tokens": [len(t) for t in toks],
+                    "token_hash": [
+                        hashlib.sha256(" ".join(t).encode()).hexdigest() for t in toks
+                    ],
+                }
+            )
+
+    schema = f"{id_col} long, n_bpe_tokens long, token_hash string"
+    return docs.select(id_col, text_col).mapInPandas(encode_batch, schema)

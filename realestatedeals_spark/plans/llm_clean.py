@@ -241,3 +241,15 @@ def x4_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string, pair_weight bigint"
     )
+
+
+@register("x4_bpe_encode", tags=("X4", "text", "iterative"))
+def x4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 12 BPE merges on the corpus, then tokenize every document with
+    them (train → encode in one lazy-where-possible flow). Rows-only like
+    the trainer; tests pin token-stream equality vs the reference encoder."""
+    from realestatedeals_spark.operators.bpe import encode_with_merges, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, 12)
+    return encode_with_merges(docs, merges)

@@ -720,3 +720,37 @@ def x8_training_mix_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.col("doc_tok_end") - F.col("doc_tok_start")).alias("seq_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 — exact-k deterministic uniform sample: order by a keyed md5 and take
+# the first k. The hash ordering is a reproducible random permutation
+# (md5 is uniform, the seed prefix makes it a keyed family), so the prefix
+# is a uniform k-sample that is stable across reruns, partitionings, and
+# engines — unlike rand()-based sampling, and unlike sample() it is EXACTLY
+# k rows. Physical plan is TakeOrderedAndProject: per-partition k-heaps +
+# a k-row driver merge, no global sort (pinned in tests/test_plans.py).
+# md5 is bit-identical in DuckDB, so the oracle checks the real sample.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K, _SAMPLE_SEED = 100, "s42:"
+
+_HASH_TOPK_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars,
+       md5('{_SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key
+LIMIT {_SAMPLE_K}
+"""
+
+
+@register("x7_uniform_sample_exact_k", oracle=_HASH_TOPK_ORACLE, tags=("X7", "sample"))
+def x7_uniform_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample of exactly k docs via keyed-hash order."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(_SAMPLE_SEED), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", key.alias("sample_key"))
+        .orderBy("sample_key")
+        .limit(_SAMPLE_K)
+    )

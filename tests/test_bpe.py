@@ -68,3 +68,62 @@ def test_bpe_deterministic(spark, sf_dir):
     a = train_bpe(docs, 6)
     b = train_bpe(docs, 6)
     assert a == b
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    import hashlib
+
+    from realestatedeals_spark.io.sources import load_table
+    from realestatedeals_spark.operators.bpe import encode_with_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = {r.word: r.weight for r in word_freq_table(docs).collect()}
+    merges_ref = _reference_bpe(wf, 8)
+    spark_merges = train_bpe(docs, 8)
+
+    got = {
+        r.doc_id: (r.n_bpe_tokens, r.token_hash)
+        for r in encode_with_merges(docs, spark_merges).collect()
+    }
+
+    def enc_word(w):
+        syms = list(w) + [END]
+        for _, l, r, m, _w in merges_ref:
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for row in docs.select("doc_id", "text").collect():
+        toks = [t for w in row.text.split() for t in enc_word(w)]
+        expect = (len(toks), hashlib.sha256(" ".join(toks).encode()).hexdigest())
+        assert got[row.doc_id] == expect, row.doc_id
+
+
+def test_bpe_encode_compresses(spark, sf_dir):
+    """Merges learned on the same corpus must shorten its token streams
+    vs raw char+marker length."""
+    from pyspark.sql import functions as F
+
+    from realestatedeals_spark.io.sources import load_table
+    from realestatedeals_spark.operators.bpe import encode_with_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, 8)
+    enc = encode_with_merges(docs, merges)
+    raw = docs.select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", r"\s+", ""))
+            + F.size(F.filter(F.split("text", r"\s+"), lambda w: w != ""))
+        ).alias("raw_syms"),
+    )
+    j = enc.join(raw, "doc_id")
+    worse = j.filter(F.col("n_bpe_tokens") >= F.col("raw_syms")).count()
+    assert worse == 0

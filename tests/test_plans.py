@@ -135,3 +135,11 @@ def test_chunking_is_shuffle_free(spark):
     plan = plan_of("x4_chunk_documents", spark)
     assert "Exchange" not in plan
     assert "Generate" in plan  # posexplode lowered to Generate
+
+
+def test_exact_k_sample_lowered_to_takeordered(spark):
+    """Exact-k hash sampling must be per-partition heaps + k-row driver
+    merge (TakeOrderedAndProject), never a global sort."""
+    plan = plan_of("x7_uniform_sample_exact_k", spark)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
