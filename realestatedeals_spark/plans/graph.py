@@ -120,3 +120,32 @@ def g2_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("dst_key").alias("n_dst"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g3 — PageRank over the customer→supplier order graph (who funds whom):
+# edges = distinct (custkey, suppkey) pairs with at least one lineitem.
+# Suppliers have no out-edges, so the dangling-mass redistribution path is
+# genuinely exercised. Rows-only: fixed-point float iteration is not
+# SQL-expressible; tests/test_pagerank.py pins every rank against a numpy
+# power-iteration reference at ~1e-9 and total mass at 1.
+# ---------------------------------------------------------------------------
+
+
+@register("g3_pagerank", tags=("graph", "iterative"))
+def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PageRank nodes of the customer→supplier purchase graph."""
+    from realestatedeals_spark.operators.pagerank import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=10)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(100)

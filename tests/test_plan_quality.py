@@ -32,6 +32,7 @@ _BNLJ_WHITELIST = {
     "tpch_q11_important_suppliers": "cross vs 1-row broadcast threshold frame",
     "x4_tfidf_top_terms": "cross vs 1-row broadcast corpus-size frame",
     "x2_winnow_overlap_capped": "cross vs 1-row broadcast corpus-size frame",
+    "g3_pagerank": "cross vs 1-row broadcast dangling-mass frame per iteration",
 }
 
 # executes real streaming work on invocation; covered by its own tests
