@@ -115,3 +115,41 @@ def heavy_hitters(tokens: DataFrame, col: str = "term", k: int = 100) -> DataFra
         .filter(F.col("cnt") * k > F.col("n"))
         .select(col, "cnt")
     )
+
+
+def cms_table(tokens: DataFrame, col: str, depth: int = 4, width: int = 2048) -> DataFrame:
+    """Count-Min sketch as a (row, bucket, cnt) DataFrame — depth×width
+    counters, built in ONE scan with a bounded shuffle (≤ depth·width rows
+    survive the map-side partial agg per task, regardless of corpus size).
+
+    The groupBy IS the sketch merge: per-partition partial counts are CMS
+    cells, and summing cells is exactly how CMS composes (Cormode &
+    Muthukrishnan '05) — so per-day/per-shard sketches union by plain
+    groupBy-sum, same as the HLL/MG members of the X6 family. Bucket hashes
+    are xxhash64(term, seed=row), the same JVM-side hash family used
+    engine-wide."""
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    return (
+        tokens.select(F.col(col).alias("t"), F.explode(rows).alias("row"))
+        .select("row", F.pmod(F.xxhash64("t", "row"), F.lit(width)).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, terms: DataFrame, col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Point-query the sketch for each term: min over the depth rows.
+    ``terms`` is expected bounded (e.g. MG candidates) and is exploded to
+    its depth·|terms| probe cells, equi-joined against the sketch (the
+    sketch side is depth·width rows — broadcastable at any corpus size)."""
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    probes = terms.select(
+        F.col(col), F.explode(rows).alias("row")
+    ).withColumn("bucket", F.pmod(F.xxhash64(F.col(col), "row"), F.lit(width)))
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

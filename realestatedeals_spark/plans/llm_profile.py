@@ -228,3 +228,39 @@ def x6_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X6 — Count-Min sketch point estimates for the heavy-hitter candidates:
+# the fourth mergeable sketch in the family (HLL distincts, MG candidates,
+# GK quantiles, CMS counts). One corpus scan builds the depth×width counter
+# table (bounded shuffle — map-side partial agg caps surviving rows at
+# depth·width per task); point queries probe min-over-rows. CMS never
+# undercounts; overshoot is ≤ 2n/width with prob ≥ 1−2^-depth per query.
+# Rows-only: the sketch's collisions are hash-family-specific; tests pin
+# the one-sided error and the ε-bound against exact counts.
+# ---------------------------------------------------------------------------
+
+
+@register("x6_cms_heavy_hitters", tags=("X6", "profile", "approx", "sketch"))
+def x6_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (freq > n/50) annotated with their CMS estimate
+    and the sketch's overshoot — exact vs sketch, side by side."""
+    from realestatedeals_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+        heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("term")
+    )
+    hh = heavy_hitters(tokens, "term", k=50)
+    cms = cms_table(tokens, "term")
+    est = cms_estimate(cms, hh.select("term"), "term")
+    return (
+        hh.join(est, "term")
+        .select("term", "cnt", "cms_est", (F.col("cms_est") - F.col("cnt")).alias("overshoot"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+    )

@@ -33,6 +33,7 @@ _BNLJ_WHITELIST = {
     "x4_tfidf_top_terms": "cross vs 1-row broadcast corpus-size frame",
     "x2_winnow_overlap_capped": "cross vs 1-row broadcast corpus-size frame",
     "g3_pagerank": "cross vs 1-row broadcast dangling-mass frame per iteration",
+    "x6_cms_heavy_hitters": "cross vs 1-row broadcast global-total frame (via heavy_hitters)",
 }
 
 # executes real streaming work on invocation; covered by its own tests

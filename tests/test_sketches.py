@@ -114,3 +114,55 @@ def test_cli_list_and_unknown_query():
 
     assert main(["list", "--tag", "X6"]) == 0
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_cms_never_undercounts_and_bounds_overshoot(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from realestatedeals_spark.io.sources import load_table
+    from realestatedeals_spark.operators.sketches import cms_estimate, cms_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("term")
+    )
+    n = tokens.count()
+    exact = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    depth, width = 4, 2048
+    cms = cms_table(tokens, "term", depth, width)
+    est = cms_estimate(cms, exact.select("term"), "term", depth, width)
+    j = exact.join(est, "term").collect()
+    assert len(j) > 0
+    for r in j:
+        assert r.cms_est >= r.cnt, r  # one-sided error, always
+        # CMS guarantee: overshoot ≤ 2n/width w.p. ≥ 1−2^-depth PER QUERY;
+        # allow the union over all terms a small multiple of the bound
+        assert r.cms_est - r.cnt <= 6 * n / width, r
+
+
+def test_cms_table_is_mergeable_by_groupby_sum(spark, sf_dir):
+    """Sketching two halves separately and summing cells must equal the
+    one-pass sketch — the mergeability the 100 TB story relies on."""
+    from pyspark.sql import functions as F
+
+    from realestatedeals_spark.io.sources import load_table
+    from realestatedeals_spark.operators.sketches import cms_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("term"),
+    )
+    whole = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_table(tokens, "term").collect()
+    }
+    a = cms_table(tokens.filter(F.col("doc_id") % 2 == 0), "term")
+    b = cms_table(tokens.filter(F.col("doc_id") % 2 == 1), "term")
+    merged = {
+        (r.row, r.bucket): r.cnt
+        for r in a.unionByName(b).groupBy("row", "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        ).collect()
+    }
+    assert merged == whole
