@@ -443,3 +443,67 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_substring_spans(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Exact duplicated-substring spans via rolling k-gram hashes (the
+    distributed re-expression of the ExactSubstr pass in Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022 —
+    the paper's suffix array becomes a k-gram hash-frequency table).
+
+    A k-token window is duplicated iff its hash occurs >1 time in the whole
+    corpus; per document, duplicated windows merge (gaps-and-islands) into
+    maximal verbatim spans. Returns one row per document that has at least
+    one span: (doc_id, n_dup_spans, dup_tokens, n_tokens, dup_frac).
+
+    Plan shape: ONE doc-keyed sort feeds both the k-gram lead()s and the
+    island lag/running-sum; the only corpus-proportional shuffle is the
+    hash-frequency groupBy (map-side combined, carries 16-hex-char hashes,
+    never text) — the theoretical minimum for exact substring dedup.
+    """
+    from pyspark.sql import Window as W
+
+    tok = docs.select("doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id", F.size("t").alias("n_tokens"), F.posexplode("t").alias("p", "tok")
+    )
+    wl = W.partitionBy("doc_id").orderBy("p")
+    grams = [F.col("tok")] + [F.lead("tok", i).over(wl) for i in range(1, k)]
+    kh = (
+        tok.select(
+            "doc_id", "n_tokens", "p", *[g.alias(f"t{i}") for i, g in enumerate(grams)]
+        )
+        .filter(F.col(f"t{k - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "n_tokens",
+            "p",
+            F.substring(
+                F.md5(F.concat_ws(" ", *[f"t{i}" for i in range(k)])), 1, 16
+            ).alias("h"),
+        )
+    )
+    dup = kh.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("h")
+    dp = kh.join(dup, "h").select("doc_id", "n_tokens", "p")
+    # windows at p and p' overlap-or-touch iff |p - p'| <= k → one span
+    brk = F.when(F.col("p") - F.lag("p").over(wl) <= k, F.lit(0)).otherwise(F.lit(1))
+    run = W.partitionBy("doc_id").orderBy("p").rowsBetween(W.unboundedPreceding, 0)
+    spans = (
+        dp.withColumn("brk", brk)
+        .withColumn("gid", F.sum("brk").over(run))
+        .groupBy("doc_id", "n_tokens", "gid")
+        .agg(F.min("p").alias("p0"), F.max("p").alias("p1"))
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("p1") - F.col("p0") + k).alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "dup_tokens",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_frac"),
+        )
+    )

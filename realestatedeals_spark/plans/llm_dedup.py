@@ -324,3 +324,64 @@ def x5_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters_star(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# X2 — exact duplicated-substring spans (the ExactSubstr pass of Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better", ACL 2022).
+# The paper builds a corpus suffix array; the distributed re-expression is a
+# rolling k-gram hash: hash every k=8-token window, a window is duplicated
+# iff its hash occurs more than once in the corpus, and per document the
+# duplicated windows merge (gaps-and-islands) into maximal verbatim spans.
+# Output is the per-document span inventory — the rows a pipeline would use
+# to strip repeated boilerplate rather than drop whole documents.
+# ---------------------------------------------------------------------------
+
+_X2_SUBSTR_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+kh AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                i -> {'p': i, 'h': substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16)})) AS s
+  FROM toks),
+k2 AS (SELECT doc_id, n_tokens, s.p AS p, s.h AS h FROM kh),
+dup AS (SELECT h FROM k2 GROUP BY h HAVING count(*) > 1),
+dp AS (SELECT doc_id, n_tokens, p FROM k2 JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, n_tokens, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM dp),
+g AS (SELECT doc_id, n_tokens, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM isl),
+sp AS (SELECT doc_id, n_tokens, gid, min(p) AS p0, max(p) AS p1
+       FROM g GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(sum(p1 - p0 + 8) AS BIGINT) AS dup_tokens,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum(p1 - p0 + 8) AS DOUBLE) / n_tokens AS dup_frac
+FROM sp GROUP BY doc_id, n_tokens
+"""
+
+
+@register("x2_dup_substring_spans", oracle=_X2_SUBSTR_ORACLE, tags=("X2", "dedup", "substring"))
+def x2_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans via rolling 8-gram hashes.
+
+    Plan shape (one doc-keyed exchange feeds everything positional): tokenize
+    → 8-gram hash per position (lead() over the doc window — the same
+    single-sort trick as winnowing) → global hash-frequency groupBy (map-side
+    partial agg; shuffle carries 16-hex-char hashes, never text) → equi-join
+    positions back to the >1 hashes → per-doc gaps-and-islands merge
+    (lag + running sum over the already-doc-keyed window) → span aggregate.
+
+    100 TB: the hash-frequency table is the only corpus-proportional shuffle
+    and it is the theoretical minimum for exact substring dedup (every window
+    must be witnessed somewhere); the paper's suffix array has the same
+    footprint with worse partitioning. The dup-hash join prunes to duplicated
+    positions only — for a typical corpus (<5% dup) the islands stage is tiny.
+    """
+    from realestatedeals_spark.operators.dedup import dup_substring_spans
+
+    return dup_substring_spans(load_table(spark, sf_dir, "documents"), k=8)

@@ -152,3 +152,42 @@ def test_star_clusters_random_graph_matches_label_propagation(spark):
         for r in duplicate_clusters_star(pairs, local_threshold=0).collect()
     }
     assert star == lp
+
+
+def test_dup_substring_spans(spark):
+    """A planted 10-token verbatim run produces exactly one merged span."""
+    from realestatedeals_spark.operators.dedup import dup_substring_spans
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    d1 = "one two three " + run + " four five six seven eight nine ten"  # 20 tokens
+    d2 = "red green blue " + run + " purple orange yellow pink black white"  # 19 tokens
+    d3 = "totally unrelated words that never repeat anywhere in this corpus at all"
+    docs = spark.createDataFrame([(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dup_substring_spans(docs, k=8).collect()}
+
+    # only the two docs sharing the run appear; the unrelated doc is span-free
+    assert set(out) == {1, 2}
+    for doc_id, n_tok in ((1, 20), (2, 19)):
+        r = out[doc_id]
+        # the 10-token run yields 3 duplicated 8-gram windows (positions
+        # p, p+1, p+2) that must merge into ONE maximal span of 10 tokens
+        assert r["n_dup_spans"] == 1
+        assert r["dup_tokens"] == 10
+        assert r["n_tokens"] == n_tok
+        assert abs(r["dup_frac"] - 10 / n_tok) < 1e-12
+
+
+def test_dup_substring_spans_merges_adjacent(spark):
+    from realestatedeals_spark.operators.dedup import dup_substring_spans
+
+    # two disjoint shared runs separated by a large unique gap → two spans
+    r1 = "a b c d e f g h"          # exactly one 8-gram
+    r2 = "q r s t u v w x"
+    gap1 = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    gap2 = "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"
+    d1 = f"{r1} {gap1} {r2}"
+    d2 = f"{r2} {gap2} {r1}"
+    docs = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dup_substring_spans(docs, k=8).collect()}
+    assert out[1]["n_dup_spans"] == 2 and out[1]["dup_tokens"] == 16
+    assert out[2]["n_dup_spans"] == 2 and out[2]["dup_tokens"] == 16

@@ -1,0 +1,63 @@
+"""Blocked fuzzy join: candidate blocking must bound the join, the verify
+must agree with the standard Levenshtein definition (cross-engine contract),
+and planted near-matches must surface while cross-block pairs never do."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.plans.linkage import fuzzy_blocked_join
+
+
+def _frame(spark):
+    rows = [
+        (1, "red widget", 5),
+        (2, "rad widget", 5),   # dist 1, same block
+        (3, "red widget", 7),   # identical name, DIFFERENT block (size)
+        (4, "blue widget", 5),  # dist 4 from "red widget" — beyond threshold
+        (5, "xyz widget", 5),    # dist 3 from "red widget" — at the threshold
+        (6, "red gizmo", 5),    # different noun → different block
+    ]
+    return spark.createDataFrame(rows, ["p_partkey", "p_name", "p_size"])
+
+
+def _match(spark):
+    out = fuzzy_blocked_join(
+        _frame(spark),
+        key="p_partkey",
+        name="p_name",
+        block_cols=[F.element_at(F.split("p_name", " "), -1), F.col("p_size")],
+    )
+    return {(r["key_a"], r["key_b"]): r["dist"] for r in out.collect()}
+
+
+def test_fuzzy_blocked_join_planted(spark):
+    got = _match(spark)
+    assert got[(1, 2)] == 1          # near name, same block
+    assert got[(1, 5)] == 3          # at the verify threshold
+    assert (1, 4) not in got          # same block but dist 4 > threshold
+    assert (1, 3) not in got          # identical name but different block
+    assert not any(6 in p for p in got)  # different noun never a candidate
+    assert got == {(1, 2): 1, (1, 5): 3, (2, 5): 3}
+
+
+def test_levenshtein_cross_engine_contract(spark):
+    """Spark's levenshtein must equal DuckDB's on a probe set — this is the
+    assumption that makes the j5 oracle exact."""
+    probes = [
+        ("kitten", "sitting"),
+        ("red widget", "rad widget"),
+        ("small ring", "red ring"),
+        ("", "abc"),
+        ("same", "same"),
+        ("ab", "ba"),
+    ]
+    sdf = spark.createDataFrame(probes, ["a", "b"]).select(
+        "a", "b", F.levenshtein("a", "b").alias("d")
+    )
+    got = {(r["a"], r["b"]): r["d"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for a, b in probes:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
