@@ -149,3 +149,61 @@ def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iters=10)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# g4 — triangle counting / clustering coefficient (engine addition) over the
+# part co-purchase graph: parts are adjacent iff some order contains both.
+# The oracle enumerates triangles with the simple id-orientation (a < b);
+# the Spark operator uses degree-ordered orientation (Suri & Vassilvitskii,
+# WWW 2011) — both enumerate each triangle exactly once, so the per-node
+# counts agree while the Spark plan's wedge work stays O(√m) per node.
+# ---------------------------------------------------------------------------
+
+_G4_TRIANGLES_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+pern AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node)
+SELECT d.node AS partkey,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * coalesce(p.triangles, 0) AS DOUBLE)
+                 / (d.degree * (d.degree - 1))
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN pern p ON d.node = p.node
+"""
+
+
+@register("g4_triangle_count", oracle=_G4_TRIANGLES_ORACLE, tags=("graph", "triangles"))
+def g4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle count + local clustering coefficient on the
+    co-purchase graph (edges = part pairs sharing an order). The edge build
+    is an order-keyed self-join (shuffle bounded by Σ items-per-order²,
+    i.e. basket-size-quadratic, not catalog-quadratic); the count itself is
+    the degree-oriented wedge join — see operators/triangles.py for the
+    O(√m) outdeg bound that survives skewed catalogs."""
+    from realestatedeals_spark.operators.triangles import node_triangles, undirected_edges
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+    )
+    edges = undirected_edges(pairs, "pa", "pb")
+    return node_triangles(edges).withColumnRenamed("node", "partkey")
