@@ -20,16 +20,20 @@ from realestatedeals_spark.io.sources import load_table
 from realestatedeals_spark.plans.registry import register
 
 _J5_FUZZY_ORACLE = """
-WITH p AS (
-  SELECT p_partkey, p_name, p_size,
-         string_split(p_name, ' ')[-1] AS noun
-  FROM part)
-SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-       a.p_name AS name_a, b.p_name AS name_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-FROM p a JOIN p b
-  ON a.noun = b.noun AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 3
+WITH g AS (
+  SELECT string_split(p_name, ' ')[-1] AS noun, p_size, p_name AS nm,
+         count(*) AS c
+  FROM part GROUP BY 1, 2, 3)
+SELECT p_size, nm AS name_a, nm AS name_b, CAST(0 AS BIGINT) AS dist,
+       CAST(c * (c - 1) / 2 AS BIGINT) AS n_pairs
+FROM g WHERE c >= 2
+UNION ALL
+SELECT a.p_size, a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+       CAST(a.c * b.c AS BIGINT) AS n_pairs
+FROM g a JOIN g b
+  ON a.noun = b.noun AND a.p_size = b.p_size AND a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 3
 """
 
 
@@ -71,17 +75,72 @@ def fuzzy_blocked_join(
     )
 
 
+def fuzzy_group_linkage(
+    left: DataFrame,
+    name: str,
+    block_cols: list[F.Column],
+    max_dist: int = 3,
+) -> DataFrame:
+    """Group-collapsed fuzzy linkage: collapse exact (name, block) groups
+    first, fuzzy-join the DISTINCT entities, report induced pair counts.
+
+    This is the formulation that scales: id-level pair enumeration is
+    inherently quadratic whenever duplicate groups are large (measured 78×
+    on the sf0.1→sf1.0 gen fixture for the naive pair form — the output
+    itself was quadratic), while the group form's join runs on distinct
+    entities per block and its output is bounded by distinct-entity pairs.
+    ``n_pairs`` carries the id-level cardinality (c_a·c_b, or C(c,2) within
+    a group) without materializing it.
+    """
+    g = (
+        left.select(
+            F.col(name).alias("nm"),
+            *[b.alias(f"blk{i}") for i, b in enumerate(block_cols)],
+        )
+        .groupBy("nm", *[f"blk{i}" for i in range(len(block_cols))])
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    within = g.filter(F.col("c") >= 2).select(
+        *[f"blk{i}" for i in range(len(block_cols))],
+        F.col("nm").alias("name_a"),
+        F.col("nm").alias("name_b"),
+        F.lit(0).cast("long").alias("dist"),
+        (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    cond = F.col("a.nm") < F.col("b.nm")
+    for i in range(len(block_cols)):
+        cond = cond & (F.col(f"a.blk{i}") == F.col(f"b.blk{i}"))
+    cross = (
+        a.join(b, cond)
+        .select(
+            *[F.col(f"a.blk{i}").alias(f"blk{i}") for i in range(len(block_cols))],
+            F.col("a.nm").alias("name_a"),
+            F.col("b.nm").alias("name_b"),
+            F.levenshtein("a.nm", "b.nm").cast("long").alias("dist"),
+            (F.col("a.c") * F.col("b.c")).cast("long").alias("n_pairs"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+    return within.unionAll(cross)
+
+
 @register("j5_fuzzy_blocked_join", oracle=_J5_FUZZY_ORACLE, tags=("J5", "linkage", "dedup"))
 def j5_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate product names: block on (head noun, size), verify
-    Levenshtein ≤ 3. Candidate volume is bounded by the block structure
+    """Near-duplicate product names: block on (head noun, size), collapse
+    exact groups, verify Levenshtein ≤ 3 between distinct entities
     (the catalog-dedup / customer-record-linkage pattern); at 100 TB the
     blocking key would add a phonetic or q-gram component, but the plan —
-    equi-join candidates, codegen verify — is unchanged."""
+    groupBy collapse, equi-join candidates, codegen verify — is unchanged.
+    Output: one row per matched entity pair with the induced id-pair count."""
     part = load_table(spark, sf_dir, "part")
-    return fuzzy_blocked_join(
+    out = fuzzy_group_linkage(
         part,
-        key="p_partkey",
         name="p_name",
         block_cols=[F.element_at(F.split("p_name", " "), -1), F.col("p_size")],
+        max_dist=3,
+    )
+    # blk0 (the noun) is derivable from the names; report the size column
+    return out.select(
+        F.col("blk1").alias("p_size"), "name_a", "name_b", "dist", "n_pairs"
     )

@@ -61,3 +61,26 @@ def test_levenshtein_cross_engine_contract(spark):
     for a, b in probes:
         want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+def test_fuzzy_group_linkage_counts(spark):
+    """Group collapse must report the exact id-level pair cardinalities the
+    naive pair join would enumerate."""
+    from realestatedeals_spark.plans.linkage import fuzzy_group_linkage
+
+    rows = (
+        [(i, "red widget", 5) for i in range(3)]       # group of 3
+        + [(10 + i, "rad widget", 5) for i in range(2)]  # group of 2, dist 1
+        + [(20, "red widget", 7)]                        # other block
+    )
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name", "p_size"])
+    out = fuzzy_group_linkage(
+        df, name="p_name",
+        block_cols=[F.element_at(F.split("p_name", " "), -1), F.col("p_size")],
+    )
+    got = {(r["name_a"], r["name_b"], r["blk1"]): (r["dist"], r["n_pairs"]) for r in out.collect()}
+    assert got[("red widget", "red widget", 5)] == (0, 3)   # C(3,2)
+    assert got[("rad widget", "rad widget", 5)] == (0, 1)   # C(2,2)
+    assert got[("rad widget", "red widget", 5)] == (1, 6)   # 2*3 cross pairs
+    assert ("red widget", "red widget", 7) not in got        # singleton group
+    assert len(got) == 3
