@@ -473,3 +473,80 @@ def e10_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("version"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e11 — time-series gap fill + forward fill (engine addition; the hypertable
+# "time_bucket_gapfill + locf" primitive). Daily per-(event_type, user-group)
+# aggregates are joined onto a generated date spine; days with no events get
+# an observed count of 0 and carry the last seen running total forward.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, user_id % 50 AS grp, CAST(ts AS DATE) AS day,
+         count(*) AS n, SUM(CAST(value AS DECIMAL(25,4))) AS tot
+  FROM events GROUP BY 1, 2, 3),
+bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+keys AS (SELECT DISTINCT event_type, grp FROM daily),
+spine AS (
+  SELECT k.event_type, k.grp,
+         CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM keys k, bounds b),
+j AS (
+  SELECT s.event_type, s.grp, s.day, coalesce(d.n, 0) AS n_events, d.tot AS tot
+  FROM spine s LEFT JOIN daily d
+    ON s.event_type = d.event_type AND s.grp = d.grp AND s.day = d.day)
+SELECT event_type, CAST(grp AS BIGINT) AS grp, strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(last_value(tot IGNORE NULLS) OVER (
+              PARTITION BY event_type, grp ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS filled_total
+FROM j
+"""
+
+
+@register("e11_gap_fill_forward", oracle=_GAPFILL_ORACLE, tags=("window", "timeseries"))
+def e11_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill + LOCF: date spine via sequence()/explode against broadcast
+    global bounds (one 1-row agg — no driver collect), left join of the
+    daily aggregate, and last(ignorenulls) over the key window for the
+    carry-forward. ONE exchange on the series key feeds both the join and
+    the fill window. At 100 TB the spine is keys × days — generated, never
+    shuffled at event granularity; the daily aggregate is the only
+    event-proportional pass and it partial-aggregates map-side. Decimal
+    sums forward-fill exactly; the double cast happens after the fill."""
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            "event_type",
+            (F.col("user_id") % 50).alias("grp"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,4)")).alias("tot"),
+        )
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    keys = daily.select("event_type", "grp").distinct()
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "grp",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    j = spine.join(daily, ["event_type", "grp", "day"], "left")
+    fill = W.partitionBy("event_type", "grp").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return j.select(
+        "event_type",
+        F.col("grp").cast("long").alias("grp"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.last("tot", ignorenulls=True).over(fill).cast("double").alias("filled_total"),
+    )
