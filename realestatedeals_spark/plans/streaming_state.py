@@ -1,0 +1,99 @@
+"""Arbitrary keyed streaming state (C4) as a registered, oracle-checked query.
+
+``running_user_stats`` (streaming/stateful.py — ``applyInPandasWithState``)
+was previously pytest-only; this registers a full availableNow replay: events
+arrive as three time-ordered micro-batches, per-user (count, sum, max) state
+lives inside Spark's state store across batches, and every micro-batch's
+updated rows land in a parquet sink tagged with the batch id. The final
+state row per user (the one from the last batch the user appeared in) must
+equal the batch groupBy over all events — the DuckDB oracle.
+
+Exactness: sums of doubles are order-dependent, so the stream accumulates
+``floor(value * 1e6)`` integer micros — floor(double·1e6) is bit-identical
+on both engines and int64 accumulation is associative — making the oracle
+hash-exact, not tolerance-based.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.io.sources import load_events
+from realestatedeals_spark.plans.registry import register
+from realestatedeals_spark.session import apply_session_conf
+from realestatedeals_spark.streaming.stateful import running_user_stats
+
+_C4_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE) AS total_value,
+       CAST(max(floor(value * 1000000.0)) AS DOUBLE) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("c4_stateful_user_stats", oracle=_C4_ORACLE, tags=("C4", "streaming", "state"))
+def c4_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events as 3 micro-batches through applyInPandasWithState; the
+    per-user state after the final batch must equal the all-data groupBy."""
+    from pyspark.sql import Window as W
+
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("double").alias("value"),
+    )
+    tiled = ev.withColumn("tile", F.ntile(3).over(W.orderBy("ts", "event_id")))
+
+    work = tempfile.mkdtemp(prefix="stateful_bench_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i in (1, 2, 3):
+            d = os.path.join(in_dir, f"b{i}")
+            tiled.filter(F.col("tile") == i).drop("tile").coalesce(1).write.parquet(d)
+            for fname in os.listdir(d):
+                t = 1_700_000_000 + i * 10
+                os.utime(os.path.join(d, fname), (t, t))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir + "/*")
+        )
+        out_dir = os.path.join(work, "out")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            running_user_stats(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        emitted = spark.read.parquet(out_dir)
+        last = W.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+        result = (
+            emitted.withColumn("rn", F.row_number().over(last))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", "total_value", "max_value")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
