@@ -34,6 +34,7 @@ _BNLJ_WHITELIST = {
     "x2_winnow_overlap_capped": "cross vs 1-row broadcast corpus-size frame",
     "g3_pagerank": "cross vs 1-row broadcast dangling-mass frame per iteration",
     "x6_cms_heavy_hitters": "cross vs 1-row broadcast global-total frame (via heavy_hitters)",
+    "e11_gap_fill_forward": "cross vs 1-row broadcast date-bounds frame (spine generation)",
 }
 
 # executes real streaming work on invocation; covered by its own tests
