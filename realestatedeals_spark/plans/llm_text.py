@@ -560,3 +560,79 @@ def x4_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_bigram_frac",
         (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — trigram novelty vs the whole corpus: for each doc, the fraction of its
+# distinct 3-grams that occur in NO other document. High novelty separates
+# genuinely new text from boilerplate/template recombination — the
+# counterpart signal to X2's duplicate detection, and the exact-count core
+# of contamination / memorization audits.
+# ---------------------------------------------------------------------------
+
+_X4_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), tris AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tri
+  FROM toks
+  WHERE len(t) >= 3
+), df AS (
+  SELECT tri, count(*) AS doc_freq FROM tris GROUP BY tri
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN d.doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN d.doc_freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+FROM tris t JOIN df d USING (tri)
+GROUP BY t.doc_id
+"""
+
+
+@register("x4_trigram_novelty", oracle=_X4_NOVELTY_ORACLE, tags=("X4", "text"))
+def x4_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct trigrams → corpus doc-frequency → novel = df==1.
+
+    Plan shape: trigrams build as array expressions inside the scan (three
+    shifted slices zipped — no shuffle), then ONE shuffle on the trigram for
+    the doc-frequency count and ONE doc-keyed aggregate back. At 100 TB the
+    trigram shuffle carries (doc_id, trigram) pairs — to shrink it, swap the
+    string for ``xxhash64(tri)`` (collision-safe at 64 bits for dedup-style
+    counting); kept as the string here so the DuckDB oracle is definitionally
+    identical. ``novelty`` is one division of two exact longs — bit-identical
+    across engines (no double accumulation anywhere).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+    m = F.size("t") - 2  # number of trigrams
+    tris = F.zip_with(
+        F.slice("t", 1, m),
+        F.zip_with(F.slice("t", 2, m), F.slice("t", 3, m), lambda b, c: F.concat_ws(" ", b, c)),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    doc_tris = (
+        base.select("doc_id", F.explode(tris).alias("tri")).distinct()
+    )
+    df = doc_tris.groupBy("tri").agg(F.count(F.lit(1)).alias("doc_freq"))
+    novel = F.sum(F.when(F.col("doc_freq") == 1, 1).otherwise(0)).cast("long")
+    return (
+        doc_tris.join(df, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_trigrams").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
