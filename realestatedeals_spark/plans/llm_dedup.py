@@ -385,3 +385,18 @@ def x2_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.operators.dedup import dup_substring_spans
 
     return dup_substring_spans(load_table(spark, sf_dir, "documents"), k=8)
+
+
+@register("x3_pq_topk", tags=("X3", "vectors", "approx"))
+def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: m=8 subspace codebooks (ks=16) trained with
+    distributed Lloyd passes, base set encoded to 8 one-byte codes, ADC
+    lookup-table scoring, exact rerank of the top 4k candidates. No SQL
+    oracle (approximate by construction); planted-twin recall and the
+    full-rerank==bruteforce degenerate case are asserted in
+    tests/test_similarity.py."""
+    from realestatedeals_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(emb, queries, k=5, m=8, ks=16, max_iter=3, rerank=4)

@@ -35,6 +35,7 @@ _BNLJ_WHITELIST = {
     "g3_pagerank": "cross vs 1-row broadcast dangling-mass frame per iteration",
     "x6_cms_heavy_hitters": "cross vs 1-row broadcast global-total frame (via heavy_hitters)",
     "e11_gap_fill_forward": "cross vs 1-row broadcast date-bounds frame (spine generation)",
+    "x3_pq_topk": "ADC scan crosses codes vs the bounded broadcast query-LUT frame",
 }
 
 # executes real streaming work on invocation; covered by its own tests

@@ -208,3 +208,102 @@ def test_int8_quantized_cosine_error_and_recall(spark, sf_dir):
     a_top = np.argsort(-approx, axis=1)[:, :5]
     recall = np.mean([len(set(e) & set(a)) / 5 for e, a in zip(e_top, a_top)])
     assert recall >= 0.9, f"int8 top-5 recall {recall}"
+
+
+def test_pq_planted_neighbors_found(spark):
+    # planted-twin setup as for LSH/IVF: the ADC scan must rank a
+    # near-identical twin into the rerank window and the exact rerank must
+    # surface it as the top neighbor.
+    import random
+
+    from realestatedeals_spark.operators.similarity import pq_topk
+
+    random.seed(7)
+    rows = []
+    for i in range(60):
+        v = [random.gauss(0, 1) for _ in range(64)]
+        rows.append((i, v))
+        rows.append((1000 + i, [x + random.gauss(0, 0.02) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 60)
+    out = pq_topk(emb, queries, k=1, m=8, ks=16, max_iter=2, rerank=4)
+    hits = sum(1 for r in out.collect() if r["neighbor_id"] == 1000 + r["query_id"])
+    assert hits >= 54, f"planted-twin PQ recall too low: {hits}/60"
+
+
+def test_pq_full_rerank_is_exact(spark):
+    # rerank window >= corpus size → the exact rerank sees every vector and
+    # PQ must equal brute-force top-k regardless of codebook quality.
+    import random
+
+    from pyspark.sql import Window as W
+
+    from realestatedeals_spark.operators.similarity import cosine, pq_topk
+
+    random.seed(5)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    got = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in pq_topk(
+            emb, queries, k=3, m=4, ks=8, max_iter=2, rerank=40
+        ).collect()
+    }
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    brute = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    want = {(r["query_id"], r["rk"]): r["neighbor_id"] for r in brute.collect()}
+    assert got == want
+
+
+def test_pq_code_compression_shape(spark):
+    # the encoded representation must be exactly m small codes per vector —
+    # the 32x storage shrink is the operator's contract, so pin it.
+    import random
+
+    from realestatedeals_spark.operators.similarity import (
+        _pq_assign,
+        _pq_codebooks_frame,
+        _subvector_frame,
+        l2norm,
+        pq_train,
+    )
+
+    random.seed(2)
+    rows = [(i, [random.gauss(0, 1) for _ in range(32)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_train(emb, m=4, ks=8, max_iter=2)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # subdim = 32/4
+    norm = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform("embedding", lambda x: x.cast("double") / l2norm(F.col("embedding"))).alias("v"),
+    )
+    codes = (
+        _pq_assign(
+            _subvector_frame(norm, 4, 8, "neighbor_id"),
+            _pq_codebooks_frame(spark, books),
+            "neighbor_id",
+        )
+        .groupBy("neighbor_id")
+        .agg(F.collect_list("cell").alias("code"))
+    )
+    for r in codes.collect():
+        assert len(r["code"]) == 4
+        assert all(0 <= c < 8 for c in r["code"])
