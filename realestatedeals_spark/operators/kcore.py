@@ -1,0 +1,87 @@
+"""k-core decomposition by distributed peeling (graph engine addition).
+
+The k-core of a graph is the maximal subgraph where every node has degree
+≥ k — the standard density filter before community detection and a robust
+spam/boilerplate signal on co-occurrence graphs. Computed by iterated
+peeling: drop nodes with degree < k, recompute degrees, repeat to fixpoint.
+
+Scale shape: each round is one degree aggregation (groupBy on node) plus a
+semi-join filter of the edge list — both shuffle on the node key, and the
+edge set only ever shrinks. Convergence is data-dependent but each round
+removes at least one node or stops; on power-law graphs peeling at fixed k
+converges in a few rounds because low-degree mass goes first. Lineage is
+truncated per round with ``localCheckpoint`` so the plan doesn't grow with
+iteration count (same discipline as ``operators/pagerank.py``).
+
+``core_numbers`` (full coreness) runs the fixed-k peel for k = 1, 2, … until
+the graph empties — degeneracy+1 phases; at 100 TB cap phases via ``max_k``
+(everything surviving the cap reports coreness ≥ max_k), which is how
+production systems bound the tail (the k you act on is small).
+
+Edges are undirected, given as canonical ``a < b`` pairs, deduplicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    both = edges.select(F.col("a").alias("node")).unionAll(
+        edges.select(F.col("b").alias("node"))
+    )
+    return both.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+    """Edges of the k-core subgraph. Peels until no node has degree < k."""
+    cur = edges.select("a", "b").distinct().localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = _degrees(cur)
+        weak = deg.filter(F.col("degree") < k).select("node")
+        n_weak = weak.count()
+        if n_weak == 0:
+            return cur
+        cur = (
+            cur.join(weak.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(weak.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return cur
+
+
+def k_core_nodes(edges: DataFrame, k: int) -> DataFrame:
+    """(node, core_degree) for nodes in the k-core; core_degree is the degree
+    within the surviving subgraph (≥ k by construction)."""
+    return _degrees(k_core(edges, k))
+
+
+def core_numbers(edges: DataFrame, max_k: int | None = None) -> DataFrame:
+    """(node, coreness) for every node; coreness capped at ``max_k`` if set
+    (survivors of the capped peel report coreness = max_k)."""
+    spark = edges.sparkSession
+    cur = edges.select("a", "b").distinct().localCheckpoint(eager=True)
+    out: list[DataFrame] = []
+    k = 1
+    while True:
+        before = _degrees(cur).select("node")
+        cur = k_core(cur, k)
+        after = _degrees(cur).select("node")
+        peeled = before.join(after, "node", "left_anti").withColumn(
+            "coreness", F.lit(k - 1).cast("int")
+        )
+        out.append(peeled.localCheckpoint(eager=True))
+        if cur.isEmpty():
+            break
+        if max_k is not None and k >= max_k:
+            out.append(after.withColumn("coreness", F.lit(k).cast("int")))
+            break
+        k += 1
+    if not out:
+        return spark.createDataFrame([], "node bigint, coreness int")
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -207,3 +207,35 @@ def g4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = undirected_edges(pairs, "pa", "pb")
     return node_triangles(edges).withColumnRenamed("node", "partkey")
+
+
+@register("g5_kcore_parts", tags=("graph", "kcore"))
+def g5_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the support-thresholded part co-purchase graph (edges =
+    part pairs co-purchased in ≥ 2 orders): the dense backbone a
+    recommender or spam filter would act on. Iterated peeling — degree
+    aggregate + anti-join per round, edge set monotonically shrinking,
+    lineage truncated per round (operators/kcore.py). No SQL oracle:
+    peeling is iterated deletion, which recursive CTEs (monotone
+    accumulation only) cannot express; instead tests/test_kcore.py pins the
+    operator against a pure-Python reference decomposition on random
+    graphs, planted cliques, AND this exact fixture graph at sf0.001."""
+    from realestatedeals_spark.operators.kcore import k_core_nodes
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+    )
+    support = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    return (
+        k_core_nodes(support, 3)
+        .select(F.col("node").alias("partkey"), F.col("degree").alias("core_degree"))
+    )
