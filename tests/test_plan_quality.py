@@ -36,6 +36,7 @@ _BNLJ_WHITELIST = {
     "x6_cms_heavy_hitters": "cross vs 1-row broadcast global-total frame (via heavy_hitters)",
     "e11_gap_fill_forward": "cross vs 1-row broadcast date-bounds frame (spine generation)",
     "x3_pq_topk": "ADC scan crosses codes vs the bounded broadcast query-LUT frame",
+    "x9_rag_retrieval": "linear scan crosses corpus chunks vs the bounded broadcast query-chunk frame",
 }
 
 # executes real streaming work on invocation; covered by its own tests
