@@ -550,3 +550,43 @@ def e11_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         F.last("tot", ignorenulls=True).over(fill).cast("double").alias("filled_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e12 — distinct users per sliding window: the aggregate that does NOT
+# partial-combine (unlike count/sum, COUNT DISTINCT needs the full key set
+# per window). Spark's shuffle carries (window, user) pairs once thanks to
+# the pre-aggregate-style distinct inside the groupBy; at 100 TB the bounded
+# alternative is the mergeable HLL (x6_hll_mergeable) — this is its exact
+# counterpart, same relationship as olap_percentiles_exact to
+# x6_approx_quantiles. 30-minute windows sliding by 10 → each event lands in
+# 3 windows; the oracle enumerates the 3 start offsets explicitly.
+# ---------------------------------------------------------------------------
+
+_E12_ORACLE = """
+SELECT strftime(to_timestamp(CAST(floor(epoch_us(ts) / 600000000) * 600 - o.off AS BIGINT)) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events CROSS JOIN (VALUES (0), (600), (1200)) AS o(off)
+GROUP BY 1, 2
+"""
+
+
+@register("e12_sliding_distinct_users", oracle=_E12_ORACLE, tags=("window", "distinct"))
+def e12_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_users",
+            "n_events",
+        )
+    )
