@@ -108,5 +108,15 @@ class ParquetAggView:
         self.gen = nxt
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent replay: foreachBatch re-delivers a batch after a failed
+        # commit, so applying twice would double-count. last_batch_id is
+        # monotone across commits (batch ids are monotone within a stream),
+        # making "already applied" one max() over the view — the same
+        # txn-version guard a Delta MERGE gets from its commit log.
+        cur = self.current()
+        if cur is not None:
+            applied = cur.agg(F.max("last_batch_id")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return
         partial = batch_partial(batch_df, batch_id)
-        self.commit(merge_into_view(self.current(), partial))
+        self.commit(merge_into_view(cur, partial))

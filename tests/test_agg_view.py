@@ -85,3 +85,28 @@ def test_registered_c6_matches_batch_groupby(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_replayed_batch_is_idempotent(spark):
+    # foreachBatch redelivers after a failed epoch commit: the same batch_id
+    # applied twice must leave the view unchanged.
+    with tempfile.TemporaryDirectory() as root:
+        view = ParquetAggView(spark, os.path.join(root, "v"))
+        b0 = _events(spark, [(1, "a", 5)])
+        b1 = _events(spark, [(1, "a", 3)])
+        view.foreach_batch(b0, 0)
+        view.foreach_batch(b1, 1)
+        before = _snap(
+            view.current().select(
+                "user_id", "event_type", "n_events", "sum_micros", "min_micros", "max_micros"
+            )
+        )
+        gen_before = view.gen
+        view.foreach_batch(b1, 1)  # redelivery
+        after = _snap(
+            view.current().select(
+                "user_id", "event_type", "n_events", "sum_micros", "min_micros", "max_micros"
+            )
+        )
+        assert after == before
+        assert view.gen == gen_before
