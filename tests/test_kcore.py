@@ -105,3 +105,37 @@ def test_fixture_graph_matches_reference(spark, sf_dir):
         got = {r["node"] for r in k_core_nodes(support, k).collect()}
         want = {n for n, c in want_core.items() if c >= k}
         assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+
+def test_registered_histogram_matches_reference(spark, sf_dir):
+    # the registered g5 output (capped coreness histogram) vs the Python
+    # peel on the same edges, with the cap applied to the reference.
+    from realestatedeals_spark.plans.graph import g5_kcore_parts
+
+    li = load_table_edges(spark, sf_dir)
+    want_core = _py_core_numbers(li)
+    capped = {n: min(c, 4) for n, c in want_core.items()}
+    want_hist = {}
+    for c in capped.values():
+        want_hist[c] = want_hist.get(c, 0) + 1
+    got = {r["coreness"]: r["n_parts"] for r in g5_kcore_parts(spark, sf_dir).collect()}
+    assert got == want_hist
+
+
+def load_table_edges(spark, sf_dir):
+    from realestatedeals_spark.io.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+    )
+    support = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    return {(r["a"], r["b"]) for r in support.collect()}
