@@ -609,3 +609,49 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-then-prune (Abbas et al., 2023).
+# ---------------------------------------------------------------------------
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup pairs: k-means cluster the embeddings, then compute
+    exact pairwise cosine ONLY within each cluster (a cluster-keyed
+    self-join). Candidate volume drops from N² to Σ|cluster|² — on balanced
+    clusters a 1/nlist fraction — which is the whole SemDeDup bet: semantic
+    duplicates land in the same cluster, so cross-cluster pairs (missed by
+    design) are overwhelmingly below threshold. Recall on planted twins and
+    the subset relation vs brute force are pinned in tests/test_similarity.py.
+
+    At 100 TB: train the quantizer on a sample, choose nlist so the largest
+    cluster's pair count fits an executor's shuffle budget (skewed clusters
+    are the known failure mode — raise nlist or recursively re-cluster hot
+    cells), and feed the surviving pairs to duplicate_clusters_star for the
+    keep-one-representative step.
+    """
+    spark = emb.sparkSession
+    cents = kmeans_lite(emb, k=nlist, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    cent_df = _centroid_frame(spark, cents)
+    normed = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("raw"),
+        F.transform(vec_col, lambda x: x.cast("double") / l2norm(F.col(vec_col))).alias("v"),
+    )
+    assigned = _best_cells(normed, cent_df, 1, "_id").select("_id", "raw", "cell")
+    a = assigned.select(F.col("cell"), F.col("_id").alias("id_a"), F.col("raw").alias("va"))
+    b = assigned.select(F.col("cell"), F.col("_id").alias("id_b"), F.col("raw").alias("vb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

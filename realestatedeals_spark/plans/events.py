@@ -573,7 +573,7 @@ GROUP BY 1, 2
 """
 
 
-@register("e12_sliding_distinct_users", oracle=_E12_ORACLE, tags=("window", "distinct"))
+@register("e12_sliding_distinct_users", oracle=_E12_ORACLE, tags=("window", "distinct"), bench=True)
 def e12_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir)

@@ -404,3 +404,25 @@ def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slope conflates corpus scaling with query-load scaling.
     queries = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000))
     return pq_topk(emb, queries, k=5, m=8, ks=16, max_iter=3, rerank=4)
+
+
+@register("x2_semdedup", tags=("X2", "dedup", "vectors"))
+def x2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cluster embeddings, exact cosine only within
+    clusters, connected components over the surviving pairs, keep min-id.
+    Uses the _hi_sim_embeddings planted-twin corpus (cosine >= 0.999 twins
+    against a ~0.52 natural ceiling) so the semantic-duplicate population
+    is structural. No SQL oracle (k-means is iterative); planted-twin
+    recall and the brute-force subset relation are pinned in
+    tests/test_similarity.py."""
+    from realestatedeals_spark.operators.dedup import duplicate_clusters_star
+    from realestatedeals_spark.operators.similarity import semdedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = _hi_sim_embeddings(emb)
+    pairs = semdedup_pairs(hi, threshold=0.9, nlist=8, max_iter=2, vec_col="v").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return duplicate_clusters_star(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )

@@ -593,7 +593,7 @@ GROUP BY t.doc_id
 """
 
 
-@register("x4_trigram_novelty", oracle=_X4_NOVELTY_ORACLE, tags=("X4", "text"))
+@register("x4_trigram_novelty", oracle=_X4_NOVELTY_ORACLE, tags=("X4", "text"), bench=True)
 def x4_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc distinct trigrams → corpus doc-frequency → novel = df==1.
 

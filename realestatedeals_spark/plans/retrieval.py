@@ -101,7 +101,7 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-@register("x9_rag_retrieval", oracle=_X9_ORACLE, tags=("X9", "retrieval", "pipeline"))
+@register("x9_rag_retrieval", oracle=_X9_ORACLE, tags=("X9", "retrieval", "pipeline"), bench=True)
 def x9_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")

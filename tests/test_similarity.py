@@ -307,3 +307,54 @@ def test_pq_code_compression_shape(spark):
     for r in codes.collect():
         assert len(r["code"]) == 4
         assert all(0 <= c < 8 for c in r["code"])
+
+
+def test_semdedup_planted_twins_and_subset(spark):
+    # twins (tiny perturbations of base vectors) must land in the same
+    # k-means cell and be emitted; every emitted pair must also be a
+    # brute-force pair at the same threshold (no false positives — the
+    # within-cluster cosine is exact).
+    import random
+
+    from realestatedeals_spark.operators.similarity import cosine_pairs, semdedup_pairs
+
+    random.seed(21)
+    rows = []
+    for i in range(50):
+        v = [random.gauss(0, 1) for _ in range(32)]
+        rows.append((i, v))
+        rows.append((1000 + i, [x + random.gauss(0, 0.01) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(emb, threshold=0.95, nlist=6, max_iter=2).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(emb, threshold=0.95).collect()
+    }
+    assert got <= brute, "semdedup emitted a pair brute force does not have"
+    twins = {(i, 1000 + i) for i in range(50)}
+    found = got & twins
+    assert len(found) >= 47, f"planted-twin recall too low: {len(found)}/50"
+
+
+def test_semdedup_full_cluster_is_bruteforce(spark):
+    # nlist=1 puts everything in one cluster → semdedup degenerates to the
+    # exact all-pairs cosine.
+    import random
+
+    from realestatedeals_spark.operators.similarity import cosine_pairs, semdedup_pairs
+
+    random.seed(9)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in semdedup_pairs(emb, threshold=0.3, nlist=1, max_iter=1).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in cosine_pairs(emb, threshold=0.3).collect()
+    }
+    assert got == want
