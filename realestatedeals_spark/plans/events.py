@@ -590,3 +590,128 @@ def e12_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e13 — robust outlier detection: median/MAD per event_type, flag
+# |x - median| > 3·MAD. Medians are defined as the RANK-based lower order
+# statistic (row k = floor((n+1)/2) of the ascending sort) in BOTH engines —
+# no reliance on either engine's quantile interpolation mode — and values
+# are integer micros, so every compared number is exact. At 100 TB the two
+# order statistics each cost one keyed sort of the group (or swap in the GK
+# sketch x6_approx_quantiles for a bounded-memory approximate MAD).
+# ---------------------------------------------------------------------------
+
+_E13_ORACLE = """
+WITH m AS (
+  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM events),
+r AS (
+  SELECT event_type, vm,
+         row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM m),
+med AS (
+  SELECT event_type, vm AS med FROM r WHERE rk = (n + 1) // 2),
+dev AS (
+  SELECT m.event_type, abs(m.vm - med.med) AS ad, med.med
+  FROM m JOIN med USING (event_type)),
+rd AS (
+  SELECT event_type, ad, med,
+         row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev),
+madt AS (
+  SELECT event_type, ad AS mad FROM rd WHERE rk = (n + 1) // 2)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(d.med) AS BIGINT) AS median_micros,
+       CAST(min(t.mad) AS BIGINT) AS mad_micros,
+       CAST(sum(CASE WHEN d.ad > 3 * t.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN madt t USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register("e13_mad_outliers", oracle=_E13_ORACLE, tags=("stats", "outliers"))
+def e13_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 1000000.0).cast("long").alias("vm")
+    )
+
+    def rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = W.partitionBy("event_type").orderBy(col)
+        wn = W.partitionBy("event_type")
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = rank_median(ev, "vm", "med")
+    dev = ev.join(med, "event_type").select(
+        "event_type", F.abs(F.col("vm") - F.col("med")).alias("ad"), "med"
+    )
+    mad = rank_median(dev.select("event_type", "ad"), "ad", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("median_micros"),
+            F.min("mad").alias("mad_micros"),
+            F.sum(F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e14 — per-key trend slopes: least-squares slope of daily event counts,
+# computed from INTEGER sufficient statistics (n, Σx, Σy, Σxy, Σx²) with one
+# final double division — deterministic across engines and partitionings,
+# unlike a doubles-accumulating regression. The stats partial-aggregate
+# map-side; at any scale this is one shuffle on the key.
+# ---------------------------------------------------------------------------
+
+_E14_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+  FROM daily GROUP BY event_type)
+SELECT event_type, n_days,
+       CAST(n_days*sxy - sx*sy AS DOUBLE) / CAST(n_days*sxx - sx*sx AS DOUBLE)
+         AS slope_per_day
+FROM s
+"""
+
+
+@register("e14_trend_slopes", oracle=_E14_ORACLE, tags=("stats", "trend"))
+def e14_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "n_days",
+        (num.cast("double") / den.cast("double")).alias("slope_per_day"),
+    )
