@@ -754,3 +754,81 @@ def x7_uniform_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key")
         .limit(_SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 — temperature-flattened mixture (alpha = 0.5): sampling rates DERIVED
+# FROM the observed per-language counts inside the plan — p_l ∝ √n_l / n_l
+# scaled to a 40% token budget — rather than the fixed-weight table of
+# x7_mixture_sample. The alpha=0.5 choice is deliberate: √ is IEEE
+# correctly-rounded (pow is not), and the 5-term rate normalizer folds over
+# the lang-sorted count array, so both engines execute the identical
+# float-op sequence and the oracle comparison stays hash-exact with zero
+# tolerance. Membership is the same stateless md5-threshold keep as every
+# X7 sampler — no shuffle, no seed, no driver state.
+# ---------------------------------------------------------------------------
+
+_X7_TEMP_ORACLE = """
+WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+tot AS (
+  SELECT list_reduce(
+           list_transform(list_sort(list({'lang': lang, 'n': n})),
+                          r -> sqrt(CAST(r.n AS DOUBLE))),
+           (a, x) -> a + x) AS t,
+         CAST(sum(n) AS BIGINT) AS nd
+  FROM cnt),
+rates AS (
+  SELECT c.lang, c.n,
+         least(1.0, (sqrt(CAST(c.n AS DOUBLE)) / tot.t)
+                    * floor(0.4 * tot.nd) / CAST(c.n AS DOUBLE)) AS p
+  FROM cnt c, tot),
+thr AS (
+  SELECT lang, CAST(floor(p * 1152921504606846976.0) AS BIGINT) AS cut FROM rates),
+kept AS (
+  SELECT d.lang, d.text
+  FROM documents d JOIN thr ON d.lang = thr.lang
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT < thr.cut)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)) AS BIGINT)
+         AS total_tokens
+FROM kept GROUP BY lang
+"""
+
+
+@register("x7_temperature_mix", oracle=_X7_TEMP_ORACLE, tags=("X7", "sampling", "mixture"))
+def x7_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "n"))),
+                lambda r: F.sqrt(r["n"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("t"),
+        F.sum("n").alias("nd"),
+    )
+    rates = cnt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt(F.col("n").cast("double")) / F.col("t"))
+            * F.floor(0.4 * F.col("nd"))
+            / F.col("n").cast("double"),
+        ).alias("p"),
+    )
+    thr = rates.select(
+        "lang",
+        F.floor(F.col("p") * F.lit(1152921504606846976.0)).cast("long").alias("cut"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    kept = docs.join(F.broadcast(thr), "lang").filter(h < F.col("cut"))
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("bigint")).alias("total_tokens"),
+    )
