@@ -636,3 +636,59 @@ def x4_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — corpus drift detection: chi-square-style per-term divergence between
+# two source cohorts (src0-9 vs src10-19) — the monitoring primitive that
+# catches a scraper change / domain shift between corpus versions before it
+# trains into a model. Frequencies are exact longs; the score is a FIXED
+# sequence of double ops on those longs (products first — int64 would
+# overflow at ~1e11² — then one division), identical in both engines.
+# ---------------------------------------------------------------------------
+
+_X4_DRIFT_ORACLE = """
+WITH toks AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0 ELSE 1 END AS grp,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT term,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fa,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fb
+  FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(fa) AS BIGINT) AS ta, CAST(sum(fb) AS BIGINT) AS tb FROM tf),
+scored AS (
+  SELECT term, fa, fb,
+         (CAST(fa AS DOUBLE) * tb - CAST(fb AS DOUBLE) * ta)
+           * (CAST(fa AS DOUBLE) * tb - CAST(fb AS DOUBLE) * ta)
+           / (CAST(ta AS DOUBLE) * tb * (fa + fb)) AS drift
+  FROM tf, tot)
+SELECT term, fa, fb, round(drift, 6) AS drift
+FROM scored ORDER BY drift DESC, term LIMIT 20
+"""
+
+
+@register("x4_term_drift", oracle=_X4_DRIFT_ORACLE, tags=("X4", "text", "drift"))
+def x4_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grp = F.when(F.substring("source", 4, 10).cast("int") < 10, 0).otherwise(1)
+    toks = (
+        docs.select(grp.alias("grp"), F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("fa"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("fb"),
+    )
+    tot = tf.agg(F.sum("fa").alias("ta"), F.sum("fb").alias("tb"))
+    diff = F.col("fa").cast("double") * F.col("tb") - F.col("fb").cast("double") * F.col("ta")
+    drift = (diff * diff) / (
+        F.col("ta").cast("double") * F.col("tb") * (F.col("fa") + F.col("fb"))
+    )
+    return (
+        tf.crossJoin(F.broadcast(tot))
+        .select("term", "fa", "fb", F.round(drift, 6).alias("drift"))
+        .orderBy(F.col("drift").desc(), "term")
+        .limit(20)
+    )

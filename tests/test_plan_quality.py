@@ -39,6 +39,7 @@ _BNLJ_WHITELIST = {
     "x9_rag_retrieval": "linear scan crosses corpus chunks vs the bounded broadcast query-chunk frame",
     "x2_semdedup": "cluster assignment crosses vs the k-row broadcast centroid frame (model state)",
     "x7_temperature_mix": "cross vs 1-row broadcast rate-normalizer frame",
+    "x4_term_drift": "cross vs 1-row broadcast corpus-totals frame",
 }
 
 # executes real streaming work on invocation; covered by its own tests
