@@ -42,8 +42,12 @@ _BNLJ_WHITELIST = {
     "x4_term_drift": "cross vs 1-row broadcast corpus-totals frame",
 }
 
-# executes real streaming work on invocation; covered by its own tests
-_SKIP = {"c3_streaming_cdc"}
+# execute real streaming replays on invocation AND return localCheckpoint
+# results (the gate would inspect a truncated RDD-scan plan — no signal
+# for minutes of runtime); each is oracle-checked end-to-end instead
+_SKIP = {"c3_streaming_cdc", "c4_stateful_user_stats", "c5_stream_dedup",
+         "c6_incremental_agg_view", "c7_streaming_sessions",
+         "c8_stream_static_enrich"}
 
 
 @pytest.mark.parametrize("name", [n for n in QUERIES if n not in _SKIP])
