@@ -715,3 +715,45 @@ def e14_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         (num.cast("double") / den.cast("double")).alias("slope_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e15 — RANGE-frame trailing window: 7-day trailing sum over a daily series
+# that HAS GAPS — the case where a ROWS frame silently lies (6 preceding
+# rows can span months) and the value-based RANGE frame is the correct
+# tool. Spark expresses it as rangeBetween(-6, 0) over the integer day
+# number; integer micros end-to-end. One shuffle on the series key.
+# ---------------------------------------------------------------------------
+
+_E15_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS tot
+  FROM events GROUP BY 1, 2)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, tot,
+       CAST(SUM(tot) OVER (PARTITION BY event_type ORDER BY day
+              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS trailing_7d
+FROM daily
+"""
+
+
+@register("e15_trailing_7day_range", oracle=_E15_ORACLE, tags=("window", "range-frame"))
+def e15_trailing_7day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("long")).alias("tot")
+    )
+    dn = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast("long")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(dn)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "tot",
+        F.sum("tot").over(w).alias("trailing_7d"),
+    )
