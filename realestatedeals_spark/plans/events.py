@@ -757,3 +757,51 @@ def e15_trailing_7day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tot",
         F.sum("tot").over(w).alias("trailing_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e16 — OHLC bars: per (event_type, day) open/high/low/close from
+# min_by/max_by keyed on (ts, event_id) — the order-statistic aggregates
+# that replace a sort-within-group. Ties on ts are broken by event_id in
+# BOTH engines so the picked row is unique; values are integer micros.
+# One shuffle on the bar key; everything partial-aggregates map-side
+# (min_by/max_by are mergeable).
+# ---------------------------------------------------------------------------
+
+_E16_ORACLE = """
+WITH k AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key,
+         CAST(floor(value*1000000.0) AS BIGINT) AS vm
+  FROM events)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(arg_min(vm, ord_key) AS BIGINT) AS open,
+       CAST(max(vm) AS BIGINT) AS high,
+       CAST(min(vm) AS BIGINT) AS low,
+       CAST(arg_max(vm, ord_key) AS BIGINT) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM k
+GROUP BY 1, 2
+"""
+
+
+@register("e16_ohlc_bars", oracle=_E16_ORACLE, tags=("timeseries", "ohlc"))
+def e16_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("vm"),
+    )
+    key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy("event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")).agg(
+        F.min_by("vm", key).alias("open"),
+        F.max("vm").alias("high"),
+        F.min("vm").alias("low"),
+        F.max_by("vm", key).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )

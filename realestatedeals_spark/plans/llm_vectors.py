@@ -284,3 +284,67 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame
         "qv",
         F.transform(v, lambda x: F.round(x / F.col("scale"), 0).cast("int")),
     )
+
+
+# ---------------------------------------------------------------------------
+# X3 — filtered vector search: top-k cosine restricted by a metadata
+# predicate (label parity here; in production, tenant/language/date). In a
+# DataFrame engine the filter composes INTO the scoring plan — Catalyst
+# pushes it to the scan, so the linear pass only reads qualifying vectors.
+# Specialized vector DBs treat this as a hard feature ("filtered ANN");
+# here it is one .filter() — the compositionality IS the point. Same
+# deterministic fold arithmetic as the unfiltered brute-force baseline.
+# ---------------------------------------------------------------------------
+
+_X3_FILTERED_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         list_reduce(list_transform(range(1, 65),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                     (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+                       i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+                       (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                       (acc, x) -> acc + x))) AS cosine
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id AND e.label % 2 = 0
+),
+ranked AS (
+  SELECT query_id, neighbor_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(label AS INTEGER) AS label,
+       CAST(rk AS INTEGER) AS rk, round(cosine, 6) AS cosine
+FROM ranked WHERE rk <= 5
+"""
+
+
+@register("x3_filtered_topk", oracle=_X3_FILTERED_ORACLE, tags=("X3", "vectors", "filtered"))
+def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.filter(F.col("label") % 2 == 0)  # the metadata predicate
+    scored = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("int").alias("label"),
+        (
+            dot(F.col("qv"), F.col("embedding"))
+            / (l2norm(F.col("qv")) * l2norm(F.col("embedding")))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "label", "rk", F.round("cosine", 6).alias("cosine"))
+    )

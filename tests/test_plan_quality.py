@@ -40,6 +40,7 @@ _BNLJ_WHITELIST = {
     "x2_semdedup": "cluster assignment crosses vs the k-row broadcast centroid frame (model state)",
     "x7_temperature_mix": "cross vs 1-row broadcast rate-normalizer frame",
     "x4_term_drift": "cross vs 1-row broadcast corpus-totals frame",
+    "x3_filtered_topk": "predicate-filtered linear scan vs the bounded broadcast query frame",
 }
 
 # execute real streaming replays on invocation AND return localCheckpoint
