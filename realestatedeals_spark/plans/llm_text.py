@@ -692,3 +692,66 @@ def x4_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("drift").desc(), "term")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — readability scoring: per-doc Flesch-style score from vowel-group
+# syllable estimates. Everything is per-row array arithmetic inside the
+# scan — zero shuffle — and the score is a fixed sequence of double ops on
+# exact integers, so the oracle is hash-exact. The fixture corpus has no
+# sentence punctuation, so the sentence count is 1 by construction (named
+# in the output column); on punctuated text, add a sentence-split term.
+# ---------------------------------------------------------------------------
+
+_X4_READABILITY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents),
+syl AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_reduce(list_transform(words,
+                w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)),
+              (a, x) -> a + x) AS BIGINT) AS n_syllables
+  FROM w WHERE len(words) > 0)
+SELECT doc_id, n_words, n_syllables,
+       206.835 - 1.015 * (CAST(n_words AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         AS flesch_single_sentence
+FROM syl
+"""
+
+
+@register("x4_readability", oracle=_X4_READABILITY_ORACLE, tags=("X4", "text", "quality"))
+def x4_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    syllables = F.aggregate(
+        F.transform(
+            "words",
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    base = (
+        docs.select("doc_id", words.alias("words"))
+        .filter(F.size("words") > 0)
+        .select(
+            "doc_id",
+            F.size("words").cast("long").alias("n_words"),
+            syllables.alias("n_syllables"),
+        )
+    )
+    nw = F.col("n_words").cast("double")
+    ns = F.col("n_syllables").cast("double")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * nw - F.lit(84.6) * (ns / nw)).alias(
+            "flesch_single_sentence"
+        ),
+    )
