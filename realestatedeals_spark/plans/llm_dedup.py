@@ -420,7 +420,13 @@ def x2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     hi = _hi_sim_embeddings(emb)
-    pairs = semdedup_pairs(hi, threshold=0.9, nlist=8, max_iter=2, vec_col="v").select(
+    # nlist scales with the corpus so cluster size (and with it the
+    # within-cluster pair count) stays bounded ~500: fixed nlist measured
+    # 12x at 10x data (pairs grow quadratically in cluster size), the
+    # classic SemDeDup scaling knob. One count() action sizes the model —
+    # the same cost class as the k-means training passes themselves.
+    nlist = max(8, hi.count() // 500)
+    pairs = semdedup_pairs(hi, threshold=0.9, nlist=nlist, max_iter=2, vec_col="v").select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     return duplicate_clusters_star(pairs).select(
