@@ -225,11 +225,12 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
 def image_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """Decode + feature-extract per image, Arrow-batched.
 
-    ``use_real_codec=True`` runs the REAL stdlib PNG decoder above (header
-    parse + zlib inflate + scanline unfilter) and emits pixel statistics
-    [n_px, mean, std, min, max, px_sum, row0_mean, col0_mean]; non-PNG bytes
-    yield null features (JPEG pixel decode needs an entropy codec this
-    container lacks — dims still come from ``decode_media_meta``). The
+    ``use_real_codec=True`` runs the REAL stdlib decoders above — PNG
+    (zlib inflate + scanline unfilter) or GIF (LZW + palette), dispatched on
+    magic bytes — and emits pixel statistics [n_px, mean, std, min, max,
+    px_sum, row0_mean, col0_mean]; bytes with no container-feasible codec
+    (JPEG: entropy coder) yield null features (dims still come from
+    ``decode_media_meta``). The
     default path derives a deterministic ``_FEATURE_DIM``-float vector from
     the content hash — FAKE values, real plumbing (batch iteration, schema,
     null handling). Output: media_id, n_bytes, features array<float>.
@@ -244,7 +245,7 @@ def image_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
                     b = bytes(content) if content is not None else b""
                     nbytes.append(len(b))
                     try:
-                        px = decode_png_gray(b).astype(np.float64)
+                        px = decode_gray_auto(b).astype(np.float64)
                     except (ValueError, NotImplementedError, zlib.error, IndexError):
                         feats.append(None)
                         continue
@@ -441,3 +442,184 @@ def audio_features(media: DataFrame) -> DataFrame:
         schema="media_id long, sample_rate int, n_samples long, s_sum long, "
         "s_rms double, s_peak long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib GIF codec: LZW compress/decompress per GIF87a/89a. Closes the
+# "compressed-format pixel decode" boundary for a real dictionary codec —
+# alongside PNG (zlib) and WAV (PCM), every x5 media format with a
+# container-feasible codec now has a true encode→decode round trip. (JPEG/
+# MP3 remain out: their entropy coders genuinely need external libraries.)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress_gif(indexes: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable-width codes (LSB-first bit packing),
+    CLEAR = 2^mcs, EOI = CLEAR+1, dictionary capped at 4096 with an
+    explicit CLEAR + reset when full."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, nxt, width = fresh()
+    emit(clear, width)
+    cur = b""
+    for b in indexes:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt == (1 << width) + 1 and width < 12:
+            width += 1
+        if nxt >= 4096:
+            emit(clear, width)
+            table, nxt, width = fresh()
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit position
+
+    def read(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(width):
+            byte = pos >> 3
+            if byte >= len(data):
+                return eoi
+            v |= ((data[byte] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table {len(table)}")
+        out += entry
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif_gray(pixels: np.ndarray) -> bytes:
+    """Minimal REAL grayscale GIF89a encoder: 256-entry grayscale palette +
+    one LZW-compressed image. Output opens in any GIF viewer."""
+    h, w = pixels.shape
+    px = pixels.astype(np.uint8)
+    head = b"GIF89a" + _struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])  # GCT, 256 colors
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    img_desc = b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    lzw = _lzw_compress_gif(px.tobytes())
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks.append(0)  # block terminator
+    return head + palette + img_desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif_gray(data: bytes) -> np.ndarray:
+    """REAL GIF decoder (grayscale-palette images, no interlace): header +
+    palette walk, extension skip, LZW decompress, palette lookup."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = _struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            ix, iy, iw, ih = _struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            lflags = data[pos + 9]
+            pos += 10
+            if lflags & 0x80:
+                n = 2 << (lflags & 7)
+                palette = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if lflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(_lzw_decompress_gif(bytes(lzw), mcs), dtype=np.uint8)
+            if idx.size < iw * ih:
+                raise ValueError("short GIF pixel data")
+            if palette is None:
+                raise ValueError("GIF without palette")
+            pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+            gray = pal[idx[: iw * ih], 0]  # grayscale palette: r==g==b
+            return gray.reshape(ih, iw)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF missing image data")
+
+
+def decode_gray_auto(data: bytes) -> np.ndarray:
+    """Dispatch real pixel decode on magic bytes: PNG (zlib+unfilter) or
+    GIF (LZW+palette). Raises ValueError for formats without a
+    container-feasible codec (JPEG: entropy coder)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_gray(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_gray(data)
+    raise ValueError("no stdlib pixel codec for this format")

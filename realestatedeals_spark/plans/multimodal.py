@@ -270,3 +270,60 @@ def x5_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_peak",
         F.round("s_rms", 6).alias("rms"),
     )
+
+
+_X5_GIF_ORACLE = """
+SELECT doc_id AS media_id, 'gif' AS format,
+       CAST(n_chars % 24 + 8 AS INTEGER) AS width,
+       CAST(doc_id % 16 + 8 AS INTEGER) AS height,
+       CAST(list_reduce(list_transform(range(0, doc_id % 16 + 8), r ->
+              list_reduce(list_transform(range(0, n_chars % 24 + 8), c ->
+                (doc_id * 37 + 11 * r + 5 * c) % 256), (a, x) -> a + x)),
+            (a, x) -> a + x) AS BIGINT) AS px_sum
+FROM documents
+"""
+
+
+@register("x5_gif_roundtrip", oracle=_X5_GIF_ORACLE, tags=("X5", "multimodal", "codec"))
+def x5_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL dictionary-codec end-to-end: per document, encode a
+    deterministic grayscale grid as an actual GIF89a (stdlib LZW with
+    variable-width codes + 4096-entry dict resets,
+    operators/multimodal.py:encode_gif_gray), then run the engine's real
+    decode paths over the binary column — header parse for format/dims and
+    full LZW pixel decode for statistics (image_features with the
+    magic-byte dispatcher). The oracle recomputes the pixel grid
+    arithmetically, so a hash match proves the bytes ARE valid GIFs that
+    decompress back to the exact pixels. With PNG (zlib) and WAV (PCM)
+    this closes the codec boundary for every format feasible without
+    external entropy-coding libraries."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import encode_gif_gray
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = int(nch) % 24 + 8, int(did) % 16 + 8
+                px = (
+                    int(did) * 37
+                    + 11 * np.arange(h, dtype=np.int64)[:, None]
+                    + 5 * np.arange(w, dtype=np.int64)[None, :]
+                ) % 256
+                rows.append((int(did), bytearray(encode_gif_gray(px))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    meta = decode_media_meta(media)
+    feats = image_features(media, use_real_codec=True)
+    return meta.join(feats.select("media_id", "features"), "media_id").select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        F.element_at("features", 6).cast("long").alias("px_sum"),
+    )

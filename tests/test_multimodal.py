@@ -157,3 +157,64 @@ def test_wav_encode_decode_roundtrip_and_features(spark):
     assert got[1]["s_sum"] == int(s.astype(np.int64).sum())
     assert got[1]["s_peak"] == int(np.abs(s.astype(np.int64)).max())
     assert got[2]["sample_rate"] is None  # undecodable -> nulls, no crash
+
+
+def test_gif_encode_decode_roundtrip():
+    import numpy as np
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_gif_gray,
+        decode_image_header,
+        encode_gif_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8), (1, 1), (17, 33), (120, 131)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        data = encode_gif_gray(px)
+        assert decode_image_header(data) == ("gif", shape[1], shape[0])
+        assert (decode_gif_gray(data) == px).all()
+    # >4096 distinct LZW strings forces dict resets mid-stream
+    big = (np.add.outer(np.arange(200) * 3, np.arange(210) * 7) % 256).astype(np.uint8)
+    assert (decode_gif_gray(encode_gif_gray(big)) == big).all()
+    # constant image: maximal run-length, dict grows on one symbol
+    flat = np.full((50, 60), 200, dtype=np.uint8)
+    assert (decode_gif_gray(encode_gif_gray(flat)) == flat).all()
+
+
+def test_gif_lzw_fuzz_roundtrip():
+    # property: compress∘decompress = id on arbitrary byte streams
+    import random
+
+    from realestatedeals_spark.operators.multimodal import (
+        _lzw_compress_gif,
+        _lzw_decompress_gif,
+    )
+
+    random.seed(29)
+    for trial in range(30):
+        n = random.randrange(0, 3000)
+        styles = [
+            lambda: bytes(random.randrange(256) for _ in range(n)),
+            lambda: bytes([random.randrange(4)] * n),  # long runs
+            lambda: bytes(i % 256 for i in range(n)),  # cycling
+        ]
+        raw = styles[trial % 3]()
+        assert _lzw_decompress_gif(_lzw_compress_gif(raw)) == raw, (trial, n)
+
+
+def test_gray_auto_dispatch():
+    import numpy as np
+    import pytest as _pytest
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_gray_auto,
+        encode_gif_gray,
+        encode_png_gray,
+    )
+
+    px = (np.arange(12, dtype=np.int64).reshape(3, 4) * 17) % 256
+    assert (decode_gray_auto(encode_png_gray(px)) == px).all()
+    assert (decode_gray_auto(encode_gif_gray(px)) == px).all()
+    with _pytest.raises(ValueError):
+        decode_gray_auto(b"\xff\xd8\xff\xe0 fake jpeg")
