@@ -1,0 +1,53 @@
+"""Bucketed table diff: exact added/removed/changed semantics + the
+O(diff) drill-down guarantee (clean buckets never rejoin)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.operators.tablediff import bucket_digests, table_diff
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, a string, b bigint")
+
+
+def test_diff_semantics(spark):
+    left = _t(spark, [(1, "x", 10), (2, "y", 20), (3, "z", 30), (4, "w", 40)])
+    right = _t(spark, [(1, "x", 10), (2, "y", 99), (4, "w", 40), (5, "v", 50)])
+    got = {(r.k, r.status) for r in table_diff(left, right, "k", ["a", "b"]).collect()}
+    assert got == {(2, "changed"), (3, "removed"), (5, "added")}
+
+
+def test_identical_tables_diff_empty(spark):
+    t = _t(spark, [(i, f"s{i}", i * 7) for i in range(200)])
+    assert table_diff(t, t, "k", ["a", "b"]).count() == 0
+
+
+def test_digest_pass_isolates_dirty_buckets(spark):
+    # one mutated key → exactly the buckets containing it disagree, so the
+    # drill-down join input is bucket-proportional, not table-proportional
+    rows = [(i, f"s{i}", i * 7) for i in range(500)]
+    left = _t(spark, rows)
+    right = _t(spark, [(k, a, b + (1 if k == 123 else 0)) for k, a, b in rows])
+    n_buckets = 64
+    dl = bucket_digests(left, "k", ["a", "b"], n_buckets)
+    dr = bucket_digests(right, "k", ["a", "b"], n_buckets)
+    dirty = (
+        dl.alias("l")
+        .join(dr.alias("r"), "bucket")
+        .filter(
+            (F.col("l.hsum") != F.col("r.hsum")) | (F.col("l.hxor") != F.col("r.hxor"))
+        )
+        .count()
+    )
+    assert dirty == 1
+    got = {(r.k, r.status) for r in table_diff(left, right, "k", ["a", "b"], n_buckets).collect()}
+    assert got == {(123, "changed")}
+
+
+def test_null_columns_compare_nullsafe(spark):
+    left = _t(spark, [(1, None, 10), (2, "y", None)])
+    right = _t(spark, [(1, None, 10), (2, "y", 2)])
+    got = {(r.k, r.status) for r in table_diff(left, right, "k", ["a", "b"]).collect()}
+    assert got == {(2, "changed")}
