@@ -623,3 +623,77 @@ def decode_gray_auto(data: bytes) -> np.ndarray:
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_gray(data)
     raise ValueError("no stdlib pixel codec for this format")
+
+
+def encode_gif_animation(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
+    """Multi-frame grayscale GIF89a: one global palette, a Graphics Control
+    Extension + full-size image block per frame, NETSCAPE loop extension.
+    A real video-style container from the stdlib."""
+    h, w = frames[0].shape
+    out = bytearray()
+    out += b"GIF89a" + _struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for fr in frames:
+        assert fr.shape == (h, w), "all frames must be full-size"
+        out += b"\x21\xf9\x04\x00" + _struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        lzw = _lzw_compress_gif(fr.astype(np.uint8).tobytes())
+        out.append(8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """Decode EVERY frame of a (possibly animated) grayscale-palette GIF.
+    Full-size replace frames only (what encode_gif_animation writes)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = data[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            ix, iy, iw, ih = _struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            lflags = data[pos + 9]
+            pos += 10
+            pal = palette
+            if lflags & 0x80:
+                n = 2 << (lflags & 7)
+                pal = data[pos : pos + 3 * n]
+                pos += 3 * n
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(_lzw_decompress_gif(bytes(lzw), mcs), dtype=np.uint8)
+            if pal is None or idx.size < iw * ih:
+                raise ValueError("bad GIF frame")
+            p = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            frames.append(p[idx[: iw * ih], 0].reshape(ih, iw))
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF missing image data")
+    return frames

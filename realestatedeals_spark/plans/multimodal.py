@@ -327,3 +327,77 @@ def x5_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.element_at("features", 6).cast("long").alias("px_sum"),
     )
+
+
+# frame formula shared with the oracle: n_frames = doc_id % 6 + 2,
+# frame f is a (doc_id%16+8) x (n_chars%24+8) grid with
+# px[r,c] = (doc_id*29 + f*17 + 3*r + 7*c) % 256; sampled frames = every
+# 2nd starting at 0.
+_X5_GIF_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, n_chars, unnest(range(0, doc_id % 6 + 2)) AS frame_idx
+  FROM documents)
+SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(list_reduce(list_transform(range(0, doc_id % 16 + 8), r ->
+              list_reduce(list_transform(range(0, n_chars % 24 + 8), c ->
+                (doc_id * 29 + frame_idx * 17 + 3 * r + 7 * c) % 256),
+                (a, x) -> a + x)),
+            (a, x) -> a + x) AS BIGINT) AS px_sum
+FROM f WHERE frame_idx % 2 = 0
+"""
+
+
+@register(
+    "x5_gif_frame_sample", oracle=_X5_GIF_FRAMES_ORACLE, tags=("X5", "multimodal", "codec")
+)
+def x5_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-style frame sampling: each document renders 2-7 frames
+    into an actual animated GIF89a (graphics-control extensions + one LZW
+    image block per frame), the engine decodes EVERY frame back out of the
+    container and keeps every 2nd — the x5_frame_sample byte-chunk plumbing
+    upgraded to a true multi-frame media decode. The oracle recomputes each
+    sampled frame's pixel sum arithmetically, so a hash match proves frame
+    extraction from real compressed containers, not byte slicing."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                w, h = nch % 24 + 8, did % 16 + 8
+                frames = [
+                    (
+                        did * 29
+                        + f * 17
+                        + 3 * np.arange(h, dtype=np.int64)[:, None]
+                        + 7 * np.arange(w, dtype=np.int64)[None, :]
+                    )
+                    % 256
+                    for f in range(did % 6 + 2)
+                ]
+                rows.append((did, bytearray(encode_gif_animation(frames))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_gif_frames(bytes(content))
+                for i in range(0, len(frames), 2):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    sums.append(int(frames[i].astype(np.int64).sum()))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "px_sum": sums})
+
+    return media.mapInPandas(sample, schema="media_id long, frame_idx int, px_sum long")

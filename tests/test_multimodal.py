@@ -218,3 +218,27 @@ def test_gray_auto_dispatch():
     assert (decode_gray_auto(encode_gif_gray(px)) == px).all()
     with _pytest.raises(ValueError):
         decode_gray_auto(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_gif_animation_multiframe_roundtrip():
+    import numpy as np
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_gif_gray,
+        encode_gif_animation,
+        encode_gif_gray,
+    )
+
+    rng = np.random.default_rng(17)
+    frames = [rng.integers(0, 256, size=(15, 21)).astype(np.uint8) for _ in range(5)]
+    data = encode_gif_animation(frames)
+    back = decode_gif_frames(data)
+    assert len(back) == 5
+    assert all((a == b).all() for a, b in zip(frames, back))
+    # single-image decoder still reads frame 0 of an animation
+    assert (decode_gif_gray(data) == frames[0]).all()
+    # frame-list decoder handles single-image GIFs too
+    single = encode_gif_gray(frames[2])
+    fl = decode_gif_frames(single)
+    assert len(fl) == 1 and (fl[0] == frames[2]).all()
