@@ -805,3 +805,71 @@ def e16_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("vm", key).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e17 — per-user inter-event gap statistics through the GROUPED-MAP Arrow
+# path (applyInPandas): the custom-per-group-computation escape hatch the
+# engine offers when window expressions can't express the logic (here they
+# could — the point is certifying the path itself with a hash-exact
+# oracle). Each user's events arrive as ONE pandas frame, vectorized numpy
+# diff over the (ts, event_id)-sorted epoch-microsecond column; gaps are
+# integers, so the oracle (lag() SQL) matches exactly. Scale: one shuffle
+# on user_id; per-group memory is that user's events — bounded by the
+# hottest key, the documented applyInPandas constraint (salt or pre-reduce
+# hot keys first).
+# ---------------------------------------------------------------------------
+
+_E17_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(count(*) + 1 AS BIGINT) AS n_events,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us,
+       CAST(sum(gap) AS BIGINT) AS span_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("e17_user_gap_stats_arrow", oracle=_E17_ORACLE, tags=("arrow", "grouped-map"))
+def e17_user_gap_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        us = pdf["us"].to_numpy(dtype=np.int64)
+        if len(us) < 2:  # no gaps — mirror the oracle's WHERE gap IS NOT NULL
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "min_gap_us", "max_gap_us", "span_us"]
+            )
+        d = np.diff(us)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(us)],
+                "min_gap_us": [int(d.min())],
+                "max_gap_us": [int(d.max())],
+                "span_us": [int(d.sum())],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            gaps,
+            schema="user_id bigint, n_events bigint, min_gap_us bigint, "
+            "max_gap_us bigint, span_us bigint",
+        )
+    )
