@@ -291,9 +291,10 @@ def resize_images(
     media: DataFrame, width: int, height: int, use_real_codec: bool = False
 ) -> DataFrame:
     """Resize: metadata transforms are real column ops; ``use_real_codec=
-    True`` additionally re-renders PNG content for real — stdlib decode
-    (zlib inflate + unfilter), nearest-neighbor resample in numpy, stdlib
-    re-encode — leaving non-PNG content untouched. Output keeps the media
+    True`` additionally re-renders PNG/GIF content for real — stdlib decode
+    (zlib inflate + unfilter, or LZW + palette), nearest-neighbor resample
+    in numpy, stdlib re-encode in the source format — leaving undecodable
+    content untouched. Output keeps the media
     schema so downstream plumbing is exercisable either way."""
     if use_real_codec:
 
@@ -306,13 +307,18 @@ def resize_images(
                         continue
                     b = bytes(content)
                     try:
-                        px = decode_png_gray(b)
+                        px = decode_gray_auto(b)
                     except (ValueError, NotImplementedError, zlib.error, IndexError):
                         out.append(bytearray(b))
                         continue
                     rs = (np.arange(height) * px.shape[0]) // height
                     cs = (np.arange(width) * px.shape[1]) // width
-                    out.append(bytearray(encode_png_gray(px[np.ix_(rs, cs)])))
+                    resized = px[np.ix_(rs, cs)]
+                    # re-encode in the SOURCE container format
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        out.append(bytearray(encode_gif_gray(resized)))
+                    else:
+                        out.append(bytearray(encode_png_gray(resized)))
                 pdf = pdf.copy()
                 pdf["content"] = out
                 yield pdf

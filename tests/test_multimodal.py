@@ -242,3 +242,35 @@ def test_gif_animation_multiframe_roundtrip():
     single = encode_gif_gray(frames[2])
     fl = decode_gif_frames(single)
     assert len(fl) == 1 and (fl[0] == frames[2]).all()
+
+
+def test_resize_real_codec_handles_gif(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_gif_gray,
+        encode_gif_gray,
+        resize_images,
+    )
+
+    px = (np.add.outer(np.arange(20) * 5, np.arange(24) * 3) % 256).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_gif_gray(px)))], "media_id long, content binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("gif").alias("format"),
+            F.lit(24).alias("width"),
+            F.lit(20).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+    out = resize_images(media, 12, 10, use_real_codec=True).collect()[0]
+    back = decode_gif_gray(bytes(out.content))
+    assert back.shape == (10, 12)
+    rs = (np.arange(10) * 20) // 10
+    cs = (np.arange(12) * 24) // 12
+    assert (back == px[np.ix_(rs, cs)]).all()
+    assert out.meta.width == 12 and out.meta.height == 10
