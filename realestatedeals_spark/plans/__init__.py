@@ -31,6 +31,7 @@ from . import streaming_sessions  # noqa: E402,F401
 from . import streaming_enrich  # noqa: E402,F401
 from . import tablediff_plan  # noqa: E402,F401
 from . import bucketed_join  # noqa: E402,F401
+from . import full_cycle  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import reference_core  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
