@@ -459,3 +459,70 @@ def t_address_feature_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(features, r"(\d+) bath", 1).cast("int").alias("baths"),
         parse_sqft(features).alias("sqft"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit: referential integrity across every FK edge of the star
+# schema in ONE pass of summary counts — the pre-flight check a pipeline
+# runs before trusting joins (an orphan fact row silently vanishes from
+# inner joins; this query makes that loss visible and countable). Each edge
+# is a distinct-key anti-join: shuffles carry distinct keys, not rows.
+# ---------------------------------------------------------------------------
+
+_RI_AUDIT_ORACLE = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT) AS n_keys,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST((SELECT count(DISTINCT c_nationkey) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer) c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       CAST((SELECT count(DISTINCT s_nationkey) FROM supplier) AS BIGINT),
+       CAST((SELECT count(*) FROM (SELECT DISTINCT s_nationkey FROM supplier) s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+       CAST((SELECT count(DISTINCT n_regionkey) FROM nation) AS BIGINT),
+       CAST((SELECT count(*) FROM (SELECT DISTINCT n_regionkey FROM nation) n
+             WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+            AS BIGINT)
+"""
+
+
+@register("audit_referential_integrity", oracle=_RI_AUDIT_ORACLE, tags=("audit", "quality"))
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        keys = child.select(F.col(ckey).alias("k")).distinct()
+        orphans = keys.join(parent.select(F.col(pkey).alias("k")), "k", "left_anti")
+        return keys.agg(F.count(F.lit(1)).alias("n_keys")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(F.lit(name).alias("fk_edge"), "n_keys", "n_orphans")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    out = edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+    for args in (
+        ("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        ("customer.c_nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"),
+        ("supplier.s_nationkey->nation", sup, "s_nationkey", nat, "n_nationkey"),
+        ("nation.n_regionkey->region", nat, "n_regionkey", reg, "r_regionkey"),
+    ):
+        out = out.unionByName(edge(*args))
+    return out
