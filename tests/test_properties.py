@@ -214,3 +214,59 @@ def test_png_wav_roundtrip_random(spark, w, h, seed):
     s = rng.integers(-32768, 32768, w * h).astype(np.int16)
     rate, back = decode_wav_pcm16(encode_wav_pcm16(s, 44100))
     assert rate == 44100 and (back == s).all()
+
+
+# ---------------------------------------------------------------------------
+# As-of join vs a pure-Python bisect reference on random keyed time series:
+# backward picks the latest right row at-or-before each left ts, forward the
+# earliest at-or-after — for ANY key/timestamp distribution, including ties
+# and keys present on only one side.
+# ---------------------------------------------------------------------------
+
+_asof_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 1000)), min_size=1, max_size=40
+)
+
+
+@settings(**_SETTINGS)
+@given(left=_asof_rows, right=_asof_rows)
+def test_asof_matches_bisect_reference(spark, left, right):
+    import bisect
+
+    from realestatedeals_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k bigint, ts bigint, lid bigint"
+    )
+    # dedupe right on (k, ts): with ties the picked row is undefined, so the
+    # property quantifies over tie-free right sides (the operator's
+    # deterministic tie-break is pinned separately in tests/test_asof.py)
+    rseen = {}
+    for j, (k, t) in enumerate(right):
+        rseen[(k, t)] = j
+    rrows = [(k, t, v) for (k, t), v in rseen.items()]
+    rdf = spark.createDataFrame(rrows, "k bigint, ts bigint, rv bigint")
+
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, v in rrows:
+        by_key.setdefault(k, []).append((t, v))
+    for lst in by_key.values():
+        lst.sort()
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["rv"]
+            for r in asof_join(
+                ldf, rdf, on=["k"], left_ts="ts", right_ts="ts", right_cols=["rv"], direction=direction
+            ).collect()
+        }
+        for i, (k, t) in enumerate(left):
+            series = by_key.get(k, [])
+            ts_list = [x[0] for x in series]
+            if direction == "backward":
+                pos = bisect.bisect_right(ts_list, t) - 1
+                want = series[pos][1] if pos >= 0 else None
+            else:
+                pos = bisect.bisect_left(ts_list, t)
+                want = series[pos][1] if pos < len(series) else None
+            assert got.get(i) == want, (direction, i, k, t, got.get(i), want)
