@@ -270,3 +270,36 @@ def test_asof_matches_bisect_reference(spark, left, right):
                 pos = bisect.bisect_left(ts_list, t)
                 want = series[pos][1] if pos < len(series) else None
             assert got.get(i) == want, (direction, i, k, t, got.get(i), want)
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join vs brute force: the canonical-bucket dedup must emit
+# every overlapping pair EXACTLY once for any interval geometry (nested,
+# bucket-straddling, zero-length, far-apart) and any bucket width.
+# ---------------------------------------------------------------------------
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(1, 30)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(left=_intervals, right=_intervals, width=st.sampled_from([3.0, 10.0, 17.0]))
+def test_interval_overlap_matches_bruteforce(spark, left, right, width):
+    from realestatedeals_spark.operators.range_join import interval_overlap_join
+
+    lrows = [(k, float(lo), float(lo + ln), i) for i, (k, lo, ln) in enumerate(left)]
+    rrows = [(k, float(lo), float(lo + ln), j) for j, (k, lo, ln) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "k bigint, lo double, hi double, lid bigint")
+    rdf = spark.createDataFrame(rrows, "k bigint, lo double, hi double, rid bigint")
+    out = interval_overlap_join(ldf, rdf, keys=["k"], bucket_width=width).collect()
+    got = sorted((r["lid_a"], r["rid_b"]) for r in out)
+    want = sorted(
+        (i, j)
+        for (lk, llo, lhi, i) in lrows
+        for (rk, rlo, rhi, j) in rrows
+        if lk == rk and llo < rhi and rlo < lhi
+    )
+    assert got == want  # exactly-once: sorted with duplicates preserved
