@@ -51,3 +51,40 @@ def test_null_columns_compare_nullsafe(spark):
     right = _t(spark, [(1, None, 10), (2, "y", 2)])
     got = {(r.k, r.status) for r in table_diff(left, right, "k", ["a", "b"]).collect()}
     assert got == {(2, "changed")}
+
+
+def test_diff_property_random_mutations(spark):
+    # randomized adds/removes/changes across many bucket layouts: the
+    # two-phase digest+drilldown diff must equal the exact per-key set diff
+    import random
+
+    random.seed(31)
+    for trial in range(4):
+        n = random.randrange(50, 200)
+        rows = {k: (f"s{k}", k * 3 + trial) for k in range(n)}
+        mutated = dict(rows)
+        removed = set(random.sample(sorted(rows), k=random.randrange(0, 8)))
+        for k in removed:
+            del mutated[k]
+        changed = set(
+            random.sample(sorted(mutated), k=random.randrange(0, 8))
+        )
+        for k in changed:
+            a, b = mutated[k]
+            mutated[k] = (a, b + 1000)
+        added = {n + i for i in range(random.randrange(0, 8))}
+        for k in added:
+            mutated[k] = (f"new{k}", k)
+        left = _t(spark, [(k, a, b) for k, (a, b) in rows.items()])
+        right = _t(spark, [(k, a, b) for k, (a, b) in mutated.items()])
+        n_buckets = random.choice([4, 64, 1024])
+        got = {
+            (r.k, r.status)
+            for r in table_diff(left, right, "k", ["a", "b"], n_buckets).collect()
+        }
+        want = (
+            {(k, "removed") for k in removed}
+            | {(k, "changed") for k in changed}
+            | {(k, "added") for k in added}
+        )
+        assert got == want, (trial, n_buckets)
