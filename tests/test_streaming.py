@@ -199,3 +199,60 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     want = {key(r): r["lag_seconds"] for r in interval_join(bc, bp, within="12 hours").collect()}
     assert got == want
     assert want  # non-vacuous: the fixture slice must contain attributed pairs
+
+
+def test_watermark_drops_post_eviction_late_rows(spark, tmp_path):
+    """Certify the append-mode watermark guarantee at the row level: once
+    the watermark has passed a window's end and the window was emitted +
+    evicted, a later row targeting that window is DROPPED — the window is
+    never resurrected or re-emitted. (Nuance, measured while writing this
+    test: a late row arriving in the SAME batch that performs the eviction
+    still merges — input merges before state cleanup within a batch — so
+    the hard guarantee, and what this pins, is no-resurrection-after-
+    emission, which is what exactly-once downstream consumers rely on.)"""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    base = int(_time.mktime((2024, 3, 1, 12, 0, 0, 0, 0, 0)))
+    in_dir = tmp_path / "late_in"
+    os.makedirs(in_dir)
+    b1 = [(i, base + m * 60) for i, m in enumerate([0, 3, 9])]   # window w0
+    b2 = [(50, base + 40 * 60)]   # advances watermark to minute 25
+    b3 = [(60, base + 41 * 60)]   # processed AT wm 25: emits + evicts w0
+    b4 = [(100, base + 5 * 60)]   # post-eviction late row for w0
+    for i, data in enumerate((b1, b2, b3, b4), start=1):
+        d = str(in_dir / f"b{i}")
+        spark.createDataFrame(data, "event_id bigint, epoch bigint").select(
+            "event_id", F.timestamp_seconds("epoch").alias("ts")
+        ).coalesce(1).write.parquet(d)
+        t = 1_700_000_000 + i * 10
+        for fname in os.listdir(d):
+            os.utime(os.path.join(d, fname), (t, t))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    counts = (
+        stream.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "n")
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_evict")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from late_evict").collect()
+    w0 = base - base % 600
+    w0_rows = [r for r in rows if r["ws"] == w0]
+    # exactly ONE emission, with exactly the pre-eviction count — the late
+    # row neither re-opened the window nor produced a duplicate emission
+    assert [r["n"] for r in w0_rows] == [3], rows
