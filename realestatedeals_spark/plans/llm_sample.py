@@ -832,3 +832,102 @@ def x7_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens.cast("bigint")).alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8 — dataset card: the one-pass corpus summary a dataset release ships —
+# size, language mix, duplication rate, PII exposure, chunk yield — as ONE
+# lazy plan emitting (section, metric, n) rows. Each number is integer-exact
+# and individually certified by its dedicated query (x4_lang_stats,
+# x1_exact_dedup, x4_pii_scrub, x4_chunk_documents); this composite
+# certifies their one-plan composition, the per-metric queries the details.
+# ---------------------------------------------------------------------------
+
+_X8_CARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+  FROM documents),
+pii AS (
+  SELECT
+    sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS emails,
+    sum(len(regexp_extract_all(text, '\\(\\d{3}\\) \\d{3}-\\d{4}|\\d{3}-\\d{3}-\\d{4}'))) AS phones
+  FROM documents),
+dups AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct
+  FROM documents),
+chunks AS (
+  SELECT CAST(sum(CAST(ceil(greatest(n_toks, 1) / 48.0) AS BIGINT)) AS BIGINT) AS n_chunks
+  FROM toks WHERE n_toks > 0)
+SELECT 'corpus' AS section, 'n_docs' AS metric, n_docs AS n FROM dups
+UNION ALL
+SELECT 'corpus', 'n_distinct_texts', n_distinct FROM dups
+UNION ALL
+SELECT 'corpus', 'n_duplicate_docs', n_docs - n_distinct FROM dups
+UNION ALL
+SELECT 'corpus', 'total_tokens', CAST(sum(n_toks) AS BIGINT) FROM toks
+UNION ALL
+SELECT 'lang:' || lang, 'n_docs', CAST(count(*) AS BIGINT) FROM toks GROUP BY lang
+UNION ALL
+SELECT 'lang:' || lang, 'total_tokens', CAST(sum(n_toks) AS BIGINT) FROM toks GROUP BY lang
+UNION ALL
+SELECT 'pii', 'n_emails', CAST(emails AS BIGINT) FROM pii
+UNION ALL
+SELECT 'pii', 'n_phones', CAST(phones AS BIGINT) FROM pii
+UNION ALL
+SELECT 'chunks', 'n_64tok_windows', n_chunks FROM chunks
+"""
+
+
+@register("x8_dataset_card", oracle=_X8_CARD_ORACLE, tags=("X8", "composite", "card"))
+def x8_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.plans.llm_clean import _EMAIL, _PHONE
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    base = docs.select("doc_id", "lang", "text", n_toks.alias("n_toks"))
+
+    dups = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.sha2("text", 256)).alias("n_distinct"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum(F.regexp_count("text", F.lit(_EMAIL))).cast("long").alias("emails"),
+        F.sum(F.regexp_count("text", F.lit(_PHONE))).cast("long").alias("phones"),
+        F.sum(
+            F.when(
+                F.col("n_toks") > 0,
+                F.ceil(F.greatest(F.col("n_toks"), F.lit(1)) / 48.0),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_chunks"),
+    )
+    corpus = dups.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("corpus").alias("section"), F.lit("n_docs").alias("metric"), F.col("n_docs").alias("n")),
+                F.struct(F.lit("corpus").alias("section"), F.lit("n_distinct_texts").alias("metric"), F.col("n_distinct").alias("n")),
+                F.struct(F.lit("corpus").alias("section"), F.lit("n_duplicate_docs").alias("metric"), (F.col("n_docs") - F.col("n_distinct")).alias("n")),
+                F.struct(F.lit("corpus").alias("section"), F.lit("total_tokens").alias("metric"), F.col("total_tokens").alias("n")),
+                F.struct(F.lit("pii").alias("section"), F.lit("n_emails").alias("metric"), F.col("emails").alias("n")),
+                F.struct(F.lit("pii").alias("section"), F.lit("n_phones").alias("metric"), F.col("phones").alias("n")),
+                F.struct(F.lit("chunks").alias("section"), F.lit("n_64tok_windows").alias("metric"), F.col("n_chunks").alias("n")),
+            )
+        ).alias("s")
+    ).select("s.section", "s.metric", "s.n")
+    per_lang = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_toks").cast("long").alias("nt")
+    )
+    lang_rows = per_lang.select(
+        F.concat(F.lit("lang:"), F.col("lang")).alias("section"),
+        F.lit("n_docs").alias("metric"),
+        F.col("nd").alias("n"),
+    ).unionByName(
+        per_lang.select(
+            F.concat(F.lit("lang:"), F.col("lang")).alias("section"),
+            F.lit("total_tokens").alias("metric"),
+            F.col("nt").alias("n"),
+        )
+    )
+    return corpus.unionByName(lang_rows)
