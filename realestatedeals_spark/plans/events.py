@@ -632,7 +632,7 @@ GROUP BY d.event_type
 """
 
 
-@register("e13_mad_outliers", oracle=_E13_ORACLE, tags=("stats", "outliers"))
+@register("e13_mad_outliers", oracle=_E13_ORACLE, tags=("stats", "outliers"), bench=True)
 def e13_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir).select(
@@ -738,7 +738,7 @@ FROM daily
 """
 
 
-@register("e15_trailing_7day_range", oracle=_E15_ORACLE, tags=("window", "range-frame"))
+@register("e15_trailing_7day_range", oracle=_E15_ORACLE, tags=("window", "range-frame"), bench=True)
 def e15_trailing_7day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir)
@@ -785,7 +785,7 @@ GROUP BY 1, 2
 """
 
 
-@register("e16_ohlc_bars", oracle=_E16_ORACLE, tags=("timeseries", "ohlc"))
+@register("e16_ohlc_bars", oracle=_E16_ORACLE, tags=("timeseries", "ohlc"), bench=True)
 def e16_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir).select(

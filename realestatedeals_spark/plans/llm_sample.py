@@ -880,7 +880,7 @@ SELECT 'chunks', 'n_64tok_windows', n_chunks FROM chunks
 """
 
 
-@register("x8_dataset_card", oracle=_X8_CARD_ORACLE, tags=("X8", "composite", "card"))
+@register("x8_dataset_card", oracle=_X8_CARD_ORACLE, tags=("X8", "composite", "card"), bench=True)
 def x8_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.plans.llm_clean import _EMAIL, _PHONE
 
