@@ -931,3 +931,43 @@ def x8_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus.unionByName(lang_rows)
+
+
+# ---------------------------------------------------------------------------
+# X7 — k-fold cross-validation assignment: fold = md5(doc_id) mod 5,
+# deterministic and shuffle-free like every X7 sampler. The summary proves
+# the three properties an eval harness needs: folds partition the corpus
+# (counts sum to n_docs — enforced by construction, visible in the output),
+# sizes are near-uniform, and assignment is content-independent (pure key
+# hash, so re-running on a re-sharded corpus yields identical folds).
+# ---------------------------------------------------------------------------
+
+_X7_KFOLD_ORACLE = """
+WITH f AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+  FROM documents)
+SELECT CAST(fold AS INTEGER) AS fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens
+FROM f GROUP BY fold
+"""
+
+
+@register("x7_kfold_assign", oracle=_X7_KFOLD_ORACLE, tags=("X7", "sampling", "kfold"))
+def x7_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 5
+    )
+    n_toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return (
+        docs.select(fold.cast("int").alias("fold"), n_toks.alias("n_toks"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+    )
