@@ -873,3 +873,40 @@ def e17_user_gap_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap_us bigint, span_us bigint",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e18 — day-of-week seasonality: counts and within-type shares per ISO
+# weekday. The share is ONE division of two exact longs (deterministic both
+# engines); dayofweek is computed on the UTC-pinned session so the oracle's
+# isodow matches Spark's dayofweek remapping exactly.
+# ---------------------------------------------------------------------------
+
+_E18_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INTEGER) AS dow FROM events),
+c AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY event_type)
+SELECT c.event_type, c.dow, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+FROM c JOIN t USING (event_type)
+"""
+
+
+@register("e18_dow_seasonality", oracle=_E18_ORACLE, tags=("timeseries", "seasonality"))
+def e18_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    # Spark dayofweek: 1=Sunday..7=Saturday → remap to ISO 1=Monday..7=Sunday
+    iso_dow = ((F.dayofweek(F.to_date("ts")) + 5) % 7) + 1
+    c = ev.groupBy("event_type", iso_dow.cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return c.join(t, "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("share"),
+    )

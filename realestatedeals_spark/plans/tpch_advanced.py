@@ -807,3 +807,62 @@ def olap_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12
         ).alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: each nation's share of its region's revenue via a window
+# sum over the grouped aggregate — the classic percent-of-parent OLAP
+# pattern. Revenue accumulates in exact decimal; the share is one division
+# of two decimal-derived doubles, so the comparison stays hash-exact.
+# ---------------------------------------------------------------------------
+
+_RATIO_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4))) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2)
+SELECT region, nation,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(revenue AS DOUBLE)
+         / CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE) AS region_share
+FROM rev
+"""
+
+
+@register("olap_ratio_to_report", oracle=_RATIO_ORACLE, tags=("olap", "window", "ratio"))
+def olap_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,4)"
+                )
+            ).alias("revenue")
+        )
+    )
+    w = W.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.col("revenue").cast("double").alias("revenue"),
+        (F.col("revenue").cast("double") / F.sum("revenue").over(w).cast("double")).alias(
+            "region_share"
+        ),
+    )
