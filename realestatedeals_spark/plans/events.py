@@ -910,3 +910,44 @@ def e18_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("tot").cast("double")).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e19 — inter-arrival distribution: per-event-type histogram of per-user
+# gap magnitudes (bucket = decimal digit count of the microsecond gap — an
+# order-of-magnitude histogram whose bucketing, integer string length, is
+# trivially identical in both engines; log2/log10 would risk last-ulp
+# disagreement at bucket edges). The burst-vs-idle shape per event type at
+# a glance; one user-keyed window pass plus one small aggregate.
+# ---------------------------------------------------------------------------
+
+_E19_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       CAST(length(CAST(gap AS VARCHAR)) AS INTEGER) AS gap_digits,
+       CAST(count(*) AS BIGINT) AS n
+FROM g WHERE gap IS NOT NULL AND gap > 0
+GROUP BY 1, 2
+"""
+
+
+@register("e19_interarrival_histogram", oracle=_E19_ORACLE, tags=("timeseries", "histogram"))
+def e19_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.select("event_type", gap.alias("gap"))
+        .filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+        .groupBy(
+            "event_type",
+            F.length(F.col("gap").cast("string")).cast("int").alias("gap_digits"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

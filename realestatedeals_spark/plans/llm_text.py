@@ -755,3 +755,45 @@ def x4_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flesch_single_sentence"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X1 — canonicalized dedup: exact dedup AFTER text normalization (casefold +
+# whitespace collapse + trim) — catches the re-encoded/re-wrapped copies
+# byte-exact dedup misses, the standard first rung of the dedup ladder
+# below MinHash. Reports what normalization bought: groups that exist only
+# because of it.
+# ---------------------------------------------------------------------------
+
+_X1_CANON_ORACLE = """
+WITH canon AS (
+  SELECT doc_id,
+         sha256(text) AS raw_hash,
+         sha256(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS canon_hash
+  FROM documents)
+SELECT canon_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
+FROM canon
+GROUP BY canon_hash
+"""
+
+
+@register("x1_canonical_dedup", oracle=_X1_CANON_ORACLE, tags=("X1", "dedup", "canon"))
+def x1_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    return (
+        docs.select(
+            "doc_id",
+            F.sha2("text", 256).alias("raw_hash"),
+            F.sha2(canon, 256).alias("canon_hash"),
+        )
+        .groupBy("canon_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("raw_hash").alias("n_raw_variants"),
+        )
+    )
