@@ -951,3 +951,40 @@ def e19_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# e20 — user growth curve: daily new users (first-seen) and the cumulative
+# registered-user count over time — the growth analytics primitive. Two
+# keyed passes: min-ts per user, then a day aggregate with a running sum
+# window; all integers.
+# ---------------------------------------------------------------------------
+
+_E20_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+daily AS (
+  SELECT d0 AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY d0)
+SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily
+"""
+
+
+@register("e20_user_growth_curve", oracle=_E20_ORACLE, tags=("timeseries", "growth"))
+def e20_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

@@ -351,3 +351,55 @@ def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "label", "rk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X3 — maximum inner product search (MIPS): top-k by RAW dot product, no
+# normalization — the recommendation-scoring objective (user·item where
+# item magnitude IS signal), distinct from cosine's direction-only match.
+# Same deterministic fold arithmetic and bounded broadcast query side as
+# the cosine baseline; the ANN scale paths apply after the standard
+# MIPS→cosine reduction (append an augmentation dimension), noted here
+# rather than duplicated.
+# ---------------------------------------------------------------------------
+
+_X3_MIPS_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 10000
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, 65),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                     (acc, x) -> acc + x) AS dot
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rk, round(dot, 6) AS dot
+FROM ranked WHERE rk <= 5
+"""
+
+
+@register("x3_mips_topk", oracle=_X3_MIPS_ORACLE, tags=("X3", "vectors", "mips"))
+def x3_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot(F.col("qv"), F.col("embedding")).alias("dot"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("dot", 6).alias("dot"))
+    )

@@ -42,6 +42,7 @@ _BNLJ_WHITELIST = {
     "x4_term_drift": "cross vs 1-row broadcast corpus-totals frame",
     "x3_filtered_topk": "predicate-filtered linear scan vs the bounded broadcast query frame",
     "audit_referential_integrity": "cross of two 1-row count frames per FK edge",
+    "x3_mips_topk": "linear scan vs the bounded broadcast query frame (MIPS baseline)",
 }
 
 # execute real streaming replays on invocation AND return localCheckpoint
