@@ -988,3 +988,61 @@ def e20_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e21 — alert runs: maximal consecutive-day runs where a type's daily count
+# exceeds its own mean (integer threshold = total div n_days) — the
+# monitoring primitive that turns point alerts into incidents with start /
+# end / duration. Gaps-and-islands over the day spine per type; threshold
+# derivation, grouping, and all outputs are integer-exact.
+# ---------------------------------------------------------------------------
+
+_E21_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+thr AS (
+  SELECT event_type, CAST(sum(n) // count(*) AS BIGINT) AS cut
+  FROM daily GROUP BY event_type),
+hot AS (
+  SELECT d.event_type, d.day, d.n
+  FROM daily d JOIN thr USING (event_type) WHERE d.n > thr.cut),
+isl AS (
+  SELECT event_type, day, n,
+         CAST(day - DATE '1970-01-01' AS BIGINT)
+           - row_number() OVER (PARTITION BY event_type ORDER BY day) AS grp
+  FROM hot)
+SELECT event_type,
+       strftime(min(day), '%Y-%m-%d') AS run_start,
+       strftime(max(day), '%Y-%m-%d') AS run_end,
+       CAST(count(*) AS BIGINT) AS run_days,
+       CAST(sum(n) AS BIGINT) AS run_events
+FROM isl
+GROUP BY event_type, grp
+"""
+
+
+@register("e21_alert_runs", oracle=_E21_ORACLE, tags=("timeseries", "alerts"))
+def e21_alert_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    thr = daily.groupBy("event_type").agg(
+        F.floor(F.sum("n") / F.count(F.lit(1))).cast("long").alias("cut")
+    )
+    hot = daily.join(thr, "event_type").filter(F.col("n") > F.col("cut"))
+    w = W.partitionBy("event_type").orderBy("day")
+    isl = hot.withColumn(
+        "grp",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast("long")
+        - F.row_number().over(w),
+    )
+    return isl.groupBy("event_type", "grp").agg(
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("run_start"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("run_end"),
+        F.count(F.lit(1)).alias("run_days"),
+        F.sum("n").alias("run_events"),
+    ).drop("grp")
