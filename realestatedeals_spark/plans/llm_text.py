@@ -797,3 +797,54 @@ def x1_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("raw_hash").alias("n_raw_variants"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — keyword extraction: top-3 terms per document ranked by
+# (tf desc, document-frequency asc, term asc) — term-frequency weighted
+# toward corpus-rare terms, the integer-exact core of tf-idf tagging
+# (the idf LOG is deliberately absent: ln() is not correctly-rounded-
+# guaranteed across engines, and the log is monotone in df so the RANKING
+# it induces per tf tier is exactly the df ascending order used here).
+# ---------------------------------------------------------------------------
+
+_X4_KEYWORDS_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+tfc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tf GROUP BY 1, 2),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tfc GROUP BY term),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.doc_freq ASC, t.term) AS rk
+  FROM tfc t JOIN df d USING (term))
+SELECT doc_id, term, tf, doc_freq, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("x4_keywords", oracle=_X4_KEYWORDS_ORACLE, tags=("X4", "text", "keywords"))
+def x4_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "doc_freq", F.col("rk").cast("int").alias("rk"))
+    )
