@@ -1046,3 +1046,48 @@ def e21_alert_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("run_days"),
         F.sum("n").alias("run_events"),
     ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# e22 — week-over-week change: weekly event counts per type with the
+# previous week's count and the WoW delta as an exact integer plus a ratio
+# from one division of two longs. Weeks key on ISO year-week strings so
+# both engines bucket identically across year boundaries.
+# ---------------------------------------------------------------------------
+
+_E22_ORACLE = """
+WITH weekly AS (
+  SELECT event_type, strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS iso_week,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, iso_week, n,
+       lag(n) OVER (PARTITION BY event_type ORDER BY iso_week) AS prev_n,
+       n - lag(n) OVER (PARTITION BY event_type ORDER BY iso_week) AS delta,
+       CAST(n AS DOUBLE)
+         / CAST(lag(n) OVER (PARTITION BY event_type ORDER BY iso_week) AS DOUBLE)
+         AS wow_ratio
+FROM weekly
+"""
+
+
+@register("e22_wow_change", oracle=_E22_ORACLE, tags=("timeseries", "wow"))
+def e22_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    # key each week by its Monday (date_trunc('week') is Monday-start in
+    # BOTH engines) — no week-number pattern needed (Spark 3+ forbids the
+    # week-based date_format fields) and no year-boundary ambiguity
+    iso_week = F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+    weekly = ev.groupBy("event_type", iso_week.alias("iso_week")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("iso_week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "iso_week",
+        "n",
+        prev.alias("prev_n"),
+        (F.col("n") - prev).alias("delta"),
+        (F.col("n").cast("double") / prev.cast("double")).alias("wow_ratio"),
+    )
