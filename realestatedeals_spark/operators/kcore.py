@@ -34,22 +34,38 @@ def _degrees(edges: DataFrame) -> DataFrame:
     return both.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
 
 
-def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
-    """Edges of the k-core subgraph. Peels until no node has degree < k."""
+def k_core(edges: DataFrame, k: int, max_rounds: int | None = None) -> DataFrame:
+    """Edges of the k-core subgraph. Peels until no node has degree < k.
+
+    Runs to fixpoint by default: every round removes at least one node (the
+    current weak frontier is non-empty or we return), so the edge set strictly
+    shrinks and termination is guaranteed in ≤ |V| rounds. Chain/path-shaped
+    graphs genuinely need O(|V|) rounds (a 2n-node path at k=2 peels from both
+    ends, n rounds), so a silent round cap would return a subgraph that still
+    contains degree<k nodes — wrong coreness downstream with no error. If a
+    caller sets ``max_rounds`` as a safety rail, exhausting it raises instead
+    of returning the unconverged edge set.
+    """
     cur = edges.select("a", "b").distinct().localCheckpoint(eager=True)
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
         deg = _degrees(cur)
         weak = deg.filter(F.col("degree") < k).select("node")
         n_weak = weak.count()
         if n_weak == 0:
             return cur
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"k_core(k={k}) not converged after {max_rounds} rounds "
+                f"({n_weak} weak nodes remain); rerun with max_rounds=None"
+            )
         cur = (
             cur.join(weak.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(weak.withColumnRenamed("node", "b"), "b", "left_anti")
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-    return cur
+        rounds += 1
 
 
 def k_core_nodes(edges: DataFrame, k: int) -> DataFrame:

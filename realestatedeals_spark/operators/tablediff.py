@@ -29,10 +29,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_encode(cols: list[str]) -> F.Column:
+    # injective canonical encoding: null → "n"; value → "v<len>:<str>".
+    # Length prefixes make field boundaries unambiguous — no delimiter a
+    # value pair could straddle (('a\\x1fb','c') vs ('a','b\\x1fc') encode
+    # differently here), unlike a plain separator join.
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.concat(*parts)
+
+
 def _row_hash(cols: list[str]) -> F.Column:
-    # canonical: null-safe string concat with unit separators, then xxhash64
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
-    return F.xxhash64(F.concat_ws("\x1f", *parts))
+    return F.xxhash64(_row_encode(cols))
+
+
+def _row_hash2(cols: list[str]) -> F.Column:
+    # independent second 64-bit hash (domain-separated input) — the
+    # drill-down compares BOTH, mirroring the bucket pass's sum+xor double
+    # accumulator, so a single 64-bit collision can't hide a changed row
+    return F.xxhash64(F.concat(F.lit("\x02"), _row_encode(cols)))
 
 
 def bucket_digests(df: DataFrame, key: str, cols: list[str], n_buckets: int = 1024) -> DataFrame:
@@ -82,6 +103,7 @@ def table_diff(
             F.col(key),
             F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).alias("bucket"),
             _row_hash([key, *cols]).alias(f"{side}_h"),
+            _row_hash2([key, *cols]).alias(f"{side}_h2"),
         ).join(dirty, "bucket", "left_semi")
 
     lk = keyed(left, "l")
@@ -93,4 +115,9 @@ def table_diff(
         .when(F.col("r_h").isNull(), F.lit("removed"))
         .otherwise(F.lit("changed"))
         .alias("status"),
-    ).filter(~F.col("l_h").eqNullSafe(F.col("r_h")))
+    ).filter(
+        ~(
+            F.col("l_h").eqNullSafe(F.col("r_h"))
+            & F.col("l_h2").eqNullSafe(F.col("r_h2"))
+        )
+    )

@@ -36,11 +36,19 @@ def node_triangles(edges: DataFrame) -> DataFrame:
     orientation) → closing equi-join on (y, z) → per-node count union. All
     shuffles carry (long, long) ids; nothing is ever collected.
     """
+    # deg is reused 3× (both endpoint-degree joins + the final output join)
+    # and eo 3× (both wedge sides + the closing join): materialize each once
+    # with localCheckpoint so the physical plan reads the computed frame
+    # instead of re-expanding the whole upstream subtree per use (unpersisted
+    # this plan materializes ~97 exchanges; checkpointed it's ~a dozen). At
+    # cluster scale this is persist(MEMORY_AND_DISK) / a checkpoint to
+    # durable storage — same discipline as operators/pagerank.py.
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
     )
     ed = edges.join(
         deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u"
@@ -52,7 +60,7 @@ def node_triangles(edges: DataFrame) -> DataFrame:
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    )
+    ).localCheckpoint(eager=True)
     w1, w2 = eo.alias("w1"), eo.alias("w2")
     rank_lt = (F.col("w1.ddst") < F.col("w2.ddst")) | (
         (F.col("w1.ddst") == F.col("w2.ddst")) & (F.col("w1.dst") < F.col("w2.dst"))

@@ -95,6 +95,14 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle is bounded by the posting-list sizes, never |docs|^2). Pair
     intersection counts partial-aggregate map-side before the join-back
     against per-doc shingle counts.
+
+    Scale caveat: the candidate-pair OUTPUT itself is quadratic on
+    boilerplate-heavy corpora — near-identical template docs all share
+    shingles, so at this 0.8 threshold SCALE.md measured 187k → 18.7M pairs
+    across one 10× data step. For such corpora use the capped variant
+    ``x2_winnow_overlap_capped`` (per-fingerprint posting-list cap bounds
+    the pair blowup) or the banded ``x2_minhash_near_dup``; this exact form
+    is the right tool when near-dup density is low or the threshold high.
     """
     from realestatedeals_spark.operators.dedup import shingle_table
 

@@ -472,31 +472,31 @@ def t_address_feature_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RI_AUDIT_ORACLE = """
 SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
        CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT) AS n_keys,
-       CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+       CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
             AS BIGINT) AS n_orphans
 UNION ALL
 SELECT 'orders.o_custkey->customer',
        CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT),
-       CAST((SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) o
+       CAST((SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
              WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
             AS BIGINT)
 UNION ALL
 SELECT 'customer.c_nationkey->nation',
        CAST((SELECT count(DISTINCT c_nationkey) FROM customer) AS BIGINT),
-       CAST((SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer) c
+       CAST((SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer WHERE c_nationkey IS NOT NULL) c
              WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
             AS BIGINT)
 UNION ALL
 SELECT 'supplier.s_nationkey->nation',
        CAST((SELECT count(DISTINCT s_nationkey) FROM supplier) AS BIGINT),
-       CAST((SELECT count(*) FROM (SELECT DISTINCT s_nationkey FROM supplier) s
+       CAST((SELECT count(*) FROM (SELECT DISTINCT s_nationkey FROM supplier WHERE s_nationkey IS NOT NULL) s
              WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
             AS BIGINT)
 UNION ALL
 SELECT 'nation.n_regionkey->region',
        CAST((SELECT count(DISTINCT n_regionkey) FROM nation) AS BIGINT),
-       CAST((SELECT count(*) FROM (SELECT DISTINCT n_regionkey FROM nation) n
+       CAST((SELECT count(*) FROM (SELECT DISTINCT n_regionkey FROM nation WHERE n_regionkey IS NOT NULL) n
              WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
             AS BIGINT)
 """
@@ -505,7 +505,12 @@ SELECT 'nation.n_regionkey->region',
 @register("audit_referential_integrity", oracle=_RI_AUDIT_ORACLE, tags=("audit", "quality"))
 def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     def edge(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
-        keys = child.select(F.col(ckey).alias("k")).distinct()
+        # NULL child keys are excluded explicitly: SQL count(DISTINCT x)
+        # skips NULLs while DataFrame distinct().count() keeps one NULL row,
+        # so without this filter the two engines would disagree the first
+        # time a fixture carries a NULL FK. A NULL FK is "absent", not an
+        # orphan; audit it with a dedicated null-rate check, not this edge.
+        keys = child.select(F.col(ckey).alias("k")).filter(F.col("k").isNotNull()).distinct()
         orphans = keys.join(parent.select(F.col(pkey).alias("k")), "k", "left_anti")
         return keys.agg(F.count(F.lit(1)).alias("n_keys")).crossJoin(
             orphans.agg(F.count(F.lit(1)).alias("n_orphans"))

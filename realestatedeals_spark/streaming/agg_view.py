@@ -83,29 +83,56 @@ def merge_into_view(view: DataFrame | None, partial: DataFrame) -> DataFrame:
 
 
 class ParquetAggView:
-    """Generation-directory parquet view: each merge writes ``gen=<n>`` and
-    readers always see the latest complete generation. Stand-in for a Delta
-    table; the swap (a rename-free pointer bump via generation numbering) is
-    atomic at the directory level because a generation is only advertised
-    after its write completes."""
+    """Generation-directory parquet view: each merge stages ``gen=<n>`` in a
+    private directory and publishes it with one atomic rename — the same
+    commit protocol as ``io.maintenance.VersionedTable``. Readers always see
+    the latest *complete* generation (``_SUCCESS`` marker present), derived
+    from the directory listing, never from in-memory state — so a restarted
+    driver over an existing view root resumes exactly where the last commit
+    left off (the redelivery-idempotency guard keeps working across
+    restarts). Stand-in for a Delta table MERGE with transactional
+    idempotency; documented as such, not hidden."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
-        self.gen = 0
         os.makedirs(root, exist_ok=True)
 
+    @property
+    def gen(self) -> int:
+        """Latest complete generation on disk (0 = empty view). Recomputed
+        per call: survives driver restarts, ignores a crashed writer's
+        incomplete directory (no ``_SUCCESS``)."""
+        gens = [
+            int(d[4:])
+            for d in os.listdir(self.root)
+            if d.startswith("gen=")
+            and os.path.exists(os.path.join(self.root, d, "_SUCCESS"))
+        ]
+        return max(gens) if gens else 0
+
     def current(self) -> DataFrame | None:
-        if self.gen == 0:
+        g = self.gen
+        if g == 0:
             return None
-        return self.spark.read.parquet(os.path.join(self.root, f"gen={self.gen}"))
+        return self.spark.read.parquet(os.path.join(self.root, f"gen={g}"))
 
     def commit(self, merged: DataFrame) -> None:
-        nxt = self.gen + 1
-        merged.write.mode("errorifexists").parquet(
-            os.path.join(self.root, f"gen={nxt}")
-        )
-        self.gen = nxt
+        import shutil
+        import uuid
+
+        # claim max over ALL gen dirs (complete or not) so junk never collides
+        claimed = [
+            int(d[4:]) for d in os.listdir(self.root) if d.startswith("gen=")
+        ]
+        nxt = (max(claimed) if claimed else 0) + 1
+        stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
+        merged.write.mode("errorifexists").parquet(stage)
+        try:
+            os.rename(stage, os.path.join(self.root, f"gen={nxt}"))
+        finally:
+            if os.path.exists(stage):
+                shutil.rmtree(stage)
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # Idempotent replay: foreachBatch re-delivers a batch after a failed

@@ -81,6 +81,26 @@ def test_max_k_cap_reports_floor(spark):
     assert all(c == 3 for c in got.values())
 
 
+def test_path_graph_peels_to_fixpoint(spark):
+    # A path needs O(n) peel rounds at k=2 (one node falls off each end per
+    # round); the old max_rounds=100 default silently returned an unconverged
+    # subgraph for long paths. The 2-core of any path is empty.
+    from realestatedeals_spark.operators.kcore import k_core
+
+    path = [(i, i + 1) for i in range(40)]
+    assert k_core(_edge_df(spark, path), 2).count() == 0
+
+
+def test_max_rounds_exhaustion_raises(spark):
+    import pytest
+
+    from realestatedeals_spark.operators.kcore import k_core
+
+    path = [(i, i + 1) for i in range(40)]
+    with pytest.raises(RuntimeError, match="not converged"):
+        k_core(_edge_df(spark, path), 2, max_rounds=3)
+
+
 def test_fixture_graph_matches_reference(spark, sf_dir):
     # the registered g5 graph at sf0.001: operator vs pure-Python peel on
     # the identical edge set — the no-oracle query's correctness anchor.

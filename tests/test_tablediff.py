@@ -24,6 +24,24 @@ def test_identical_tables_diff_empty(spark):
     assert table_diff(t, t, "k", ["a", "b"]).count() == 0
 
 
+def test_delimiter_straddling_values_detected(spark):
+    # injective length-prefix encoding: ('a\x1fb','c') vs ('a','b\x1fc')
+    # must NOT hash equal (a plain separator-join encoding collides here
+    # and the changed key silently drops out of the diff)
+    def _s(spark, rows):
+        return spark.createDataFrame(rows, "k bigint, a string, b string")
+
+    left = _s(spark, [(1, "a\x1fb", "c"), (2, "x", "y")])
+    right = _s(spark, [(1, "a", "b\x1fc"), (2, "x", "y")])
+    got = {(r.k, r.status) for r in table_diff(left, right, "k", ["a", "b"]).collect()}
+    assert got == {(1, "changed")}
+    # same for the v<len>: tag characters themselves appearing in data
+    left = _s(spark, [(1, "v1:x", None)])
+    right = _s(spark, [(1, "v1:xn", None)])
+    got = {(r.k, r.status) for r in table_diff(left, right, "k", ["a", "b"]).collect()}
+    assert got == {(1, "changed")}
+
+
 def test_digest_pass_isolates_dirty_buckets(spark):
     # one mutated key → exactly the buckets containing it disagree, so the
     # drill-down join input is bucket-proportional, not table-proportional

@@ -72,8 +72,14 @@ def values_equal(a, b) -> tuple[bool, bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
     from realestatedeals_spark.session import get_spark
@@ -86,6 +92,7 @@ def main() -> int:
     con = duck_connect(sf_dir)
     qs, oracles = E.queries(), E.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -101,44 +108,71 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
             n_fail += 1
+            results[name] = {"status": "fail", "reason": "spark_error"}
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            dt = time.time() - t0
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows ({dt:.1f}s)")
             n_rows_only += 1
+            results[name] = {"status": "rows_only", "rows": len(sdf), "sec": round(dt, 2)}
             continue
         try:
             odf = con.execute(sql).fetchdf()
         except Exception:
             print(f"FAIL {name}: ORACLE ERROR\n{traceback.format_exc()}")
             n_fail += 1
+            results[name] = {"status": "fail", "reason": "oracle_error"}
             continue
         if len(sdf) != len(odf):
             print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
             n_fail += 1
+            results[name] = {"status": "fail", "reason": f"rowcount {len(sdf)} vs {len(odf)}"}
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             print(f"FAIL {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
             n_fail += 1
+            results[name] = {"status": "fail", "reason": "columns mismatch"}
             continue
         try:
             a, b = normalize(sdf), normalize(odf)
         except Exception:
             print(f"FAIL {name}: NORMALIZE ERROR\n{traceback.format_exc()}")
             n_fail += 1
+            results[name] = {"status": "fail", "reason": "normalize_error"}
             continue
         exact, tol, diff = values_equal(a, b)
         dt = time.time() - t0
         if not tol:
             print(f"FAIL {name}: {diff} ({dt:.1f}s)")
             n_fail += 1
+            results[name] = {"status": "fail", "reason": diff}
         elif not exact:
             print(f"PASS~ {name}: tolerant-only (float last-bit) {len(sdf)} rows ({dt:.1f}s)")
             n_pass += 1
+            results[name] = {"status": "pass_tolerant", "rows": len(sdf), "sec": round(dt, 2)}
         else:
             print(f"PASS {name}: {len(sdf)} rows ({dt:.1f}s)")
             n_pass += 1
+            results[name] = {"status": "pass", "rows": len(sdf), "sec": round(dt, 2)}
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
