@@ -70,6 +70,55 @@ def test_parquet_view_generations(spark):
         assert view.gen == 2
 
 
+def test_restarted_driver_resumes_from_disk(spark):
+    # the generation counter is derived from on-disk _SUCCESS markers, so a
+    # fresh ParquetAggView over an existing root (= driver restart) sees the
+    # committed state AND keeps the redelivery guard working across restarts.
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "v")
+        v1 = ParquetAggView(spark, path)
+        v1.foreach_batch(_events(spark, [(1, "a", 5)]), 0)
+        v1.foreach_batch(_events(spark, [(1, "a", 3)]), 1)
+        del v1  # driver restart
+        v2 = ParquetAggView(spark, path)
+        assert v2.gen == 2
+        before = _snap(
+            v2.current().select(
+                "user_id", "event_type", "n_events", "sum_micros", "min_micros", "max_micros"
+            )
+        )
+        assert before == {(1, "a"): (2, 8, 3, 5)}
+        v2.foreach_batch(_events(spark, [(1, "a", 3)]), 1)  # redelivered pre-restart batch
+        assert v2.gen == 2  # guard held: no double-apply
+        v2.foreach_batch(_events(spark, [(2, "b", 7)]), 2)  # new work continues
+        assert v2.gen == 3
+        got = _snap(
+            v2.current().select(
+                "user_id", "event_type", "n_events", "sum_micros", "min_micros", "max_micros"
+            )
+        )
+        assert got == {(1, "a"): (2, 8, 3, 5), (2, "b"): (1, 7, 7, 7)}
+
+
+def test_view_ignores_incomplete_generation(spark):
+    # a crashed writer's half-written generation (no _SUCCESS) is invisible
+    # to readers and does not collide with the next commit.
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "v")
+        view = ParquetAggView(spark, path)
+        view.foreach_batch(_events(spark, [(1, "a", 5)]), 0)
+        os.makedirs(os.path.join(path, "gen=2"))  # junk, no _SUCCESS
+        assert view.gen == 1
+        view.foreach_batch(_events(spark, [(1, "a", 1)]), 1)
+        assert view.gen == 3  # claimed past the junk dir
+        got = _snap(
+            view.current().select(
+                "user_id", "event_type", "n_events", "sum_micros", "min_micros", "max_micros"
+            )
+        )
+        assert got == {(1, "a"): (2, 6, 1, 5)}
+
+
 def test_registered_c6_matches_batch_groupby(spark, sf_dir):
     from realestatedeals_spark.io.sources import load_events
     from realestatedeals_spark.plans.streaming_view import c6_incremental_agg_view
