@@ -256,3 +256,74 @@ def test_watermark_drops_post_eviction_late_rows(spark, tmp_path):
     # exactly ONE emission, with exactly the pre-eviction count — the late
     # row neither re-opened the window nor produced a duplicate emission
     assert [r["n"] for r in w0_rows] == [3], rows
+
+
+def test_torn_batch_crash_redelivery_exactly_once(spark, tmp_path):
+    """Chaos: the driver dies AFTER the sink applied a micro-batch but BEFORE
+    the streaming checkpoint committed the epoch — the classic torn batch.
+    On restart Spark redelivers that batch from the checkpointed offsets; the
+    view's last_batch_id idempotency guard must swallow the redelivery so the
+    final state is exactly-once (equal to a from-scratch batch aggregate).
+
+    (Checkpoint *recovery* is covered in test_stateful.py; this pins the
+    mid-stream torn-batch redelivery path.)
+    """
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from realestatedeals_spark.streaming.agg_view import ParquetAggView
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    rows = [(i, i % 4, "t" if i % 2 else "u", (i * 37) % 101 - 50) for i in range(60)]
+    schema = "event_id bigint, user_id bigint, event_type string, value_micros bigint"
+    all_df = spark.createDataFrame(rows, schema)
+    for b in range(3):
+        d = os.path.join(in_dir, f"b{b}")
+        spark.createDataFrame(rows[b * 20 : (b + 1) * 20], schema).coalesce(1).write.parquet(d)
+        for fname in os.listdir(d):
+            t = 1_700_000_000 + b * 10
+            os.utime(os.path.join(d, fname), (t, t))
+
+    view = ParquetAggView(spark, str(tmp_path / "view"))
+    crashed = {"fired": False}
+
+    def fb(batch_df, batch_id):
+        view.foreach_batch(batch_df, batch_id)  # sink write lands...
+        if batch_id == 1 and not crashed["fired"]:
+            crashed["fired"] = True
+            raise RuntimeError("chaos: crash before epoch commit")  # ...epoch doesn't
+
+    def run():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir + "/*")
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with pytest.raises(StreamingQueryException, match="chaos"):
+        run().awaitTermination()
+    assert view.gen == 2  # batches 0 and 1 applied; epoch 1 uncommitted
+    run().awaitTermination()  # restart: batch 1 redelivered, then batch 2
+    assert crashed["fired"]
+
+    got = {
+        (r.user_id, r.event_type): (r.n_events, r.sum_micros, r.min_micros, r.max_micros)
+        for r in view.current().collect()
+    }
+    want = {
+        (r.user_id, r.event_type): (r.n_events, r.sum_micros, r.min_micros, r.max_micros)
+        for r in all_df.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_micros").alias("sum_micros"),
+            F.min("value_micros").alias("min_micros"),
+            F.max("value_micros").alias("max_micros"),
+        )
+        .collect()
+    }
+    assert got == want  # exactly-once: no double-applied batch 1
