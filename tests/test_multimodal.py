@@ -3,6 +3,8 @@ source — decode itself is a deterministic fake in this environment."""
 
 from __future__ import annotations
 
+import numpy as np
+
 from realestatedeals_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     image_features,
@@ -274,3 +276,120 @@ def test_resize_real_codec_handles_gif(spark):
     cs = (np.arange(12) * 24) // 12
     assert (back == px[np.ix_(rs, cs)]).all()
     assert out.meta.width == 12 and out.meta.height == 10
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    # constant 8x8 blocks carry all energy in the DC coefficient, which
+    # quality-100 quantization (flat table of 1s) preserves exactly —
+    # decode(encode(px)) == px through the full Huffman+DCT pipeline
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        vals = rng.integers(0, 256, (rng.integers(1, 5), rng.integers(1, 5)))
+        px = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+        assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(px, 100)), px)
+
+
+def test_jpeg_arbitrary_image_bounded_error():
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    back = decode_jpeg_gray(encode_jpeg_gray(px, quality=100))
+    assert back.shape == px.shape
+    # flat-1 quantization: per-coefficient rounding error <= 0.5, so worst
+    # pixel error is small even for white noise
+    assert np.abs(back.astype(int) - px.astype(int)).max() <= 6
+    # lower quality still decodes, with larger (lossy) error
+    back50 = decode_jpeg_gray(encode_jpeg_gray(px, quality=50))
+    assert back50.shape == px.shape
+
+
+def test_jpeg_header_and_dispatch():
+    from realestatedeals_spark.operators.multimodal import (
+        decode_gray_auto,
+        decode_image_header,
+        encode_jpeg_gray,
+    )
+
+    px = (np.arange(16)[:, None] * 3 + np.arange(32)[None, :]).astype(np.uint8)
+    data = encode_jpeg_gray(px, 100)
+    assert decode_image_header(data) == ("jpeg", 32, 16)
+    assert np.array_equal(decode_gray_auto(data), decode_gray_auto(data))
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    # images chosen to produce 0xFF bytes in the entropy stream must still
+    # roundtrip (stuffed 0x00 removed on decode, never treated as data)
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(23)
+    for _ in range(8):
+        px = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+        data = encode_jpeg_gray(px, 100)
+        scan = data[data.index(b"\xff\xda") + 14 : -2]
+        # every 0xFF inside the scan is followed by a stuffed 0x00
+        for i, b in enumerate(scan[:-1]):
+            if b == 0xFF:
+                assert scan[i + 1] == 0x00
+        decode_jpeg_gray(data)  # and it decodes
+
+
+def test_jpeg_unsupported_variants_raise():
+    import pytest
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    px = np.zeros((8, 8), np.uint8)
+    data = bytearray(encode_jpeg_gray(px, 100))
+    sof = bytes(data).index(b"\xff\xc0")
+    prog = data.copy()
+    prog[sof + 1] = 0xC2  # progressive
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg_gray(bytes(prog))
+    color = data.copy()
+    color[sof + 9] = 3  # claim 3 components
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        decode_jpeg_gray(bytes(color))
+    with pytest.raises(ValueError, match="multiple-of-8"):
+        encode_jpeg_gray(np.zeros((7, 8), np.uint8))
+
+
+def test_jpeg_features_through_spark(spark):
+    # the Arrow plumbing end-to-end: encode on executors, decode via
+    # image_features' real-codec path, pixel sums exact
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        encode_jpeg_gray,
+        image_features,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                vals = (int(i) * 31 + np.arange(6, dtype=np.int64)[:, None] * 7
+                        + np.arange(4, dtype=np.int64)[None, :] * 3) % 256
+                px = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+                rows.append((int(i), bytearray(encode_jpeg_gray(px, 100))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = spark.range(12).mapInPandas(gen, schema="media_id long, content binary")
+    got = {r.media_id: r.features[5] for r in image_features(media, use_real_codec=True).collect()}
+    for i in range(12):
+        vals = (i * 31 + np.arange(6)[:, None] * 7 + np.arange(4)[None, :] * 3) % 256
+        assert got[i] == float(64 * vals.sum())
