@@ -83,56 +83,39 @@ def merge_into_view(view: DataFrame | None, partial: DataFrame) -> DataFrame:
 
 
 class ParquetAggView:
-    """Generation-directory parquet view: each merge stages ``gen=<n>`` in a
-    private directory and publishes it with one atomic rename — the same
-    commit protocol as ``io.maintenance.VersionedTable``. Readers always see
-    the latest *complete* generation (``_SUCCESS`` marker present), derived
-    from the directory listing, never from in-memory state — so a restarted
-    driver over an existing view root resumes exactly where the last commit
-    left off (the redelivery-idempotency guard keeps working across
-    restarts). Stand-in for a Delta table MERGE with transactional
-    idempotency; documented as such, not hidden."""
+    """The C6 MERGE view persisted on ``io.maintenance.VersionedTable`` —
+    each merge commits a new table version through the shared stage +
+    atomic-rename protocol (one writer wins per version number; a crashed
+    writer leaves only a private ``.stage-*`` dir). Readers always see the
+    latest *complete* version (``_SUCCESS`` marker), derived from the
+    directory listing, never from in-memory state — so a restarted driver
+    over an existing view root resumes exactly where the last commit left
+    off (the redelivery-idempotency guard keeps working across restarts).
+    Stand-in for a Delta table MERGE with transactional idempotency;
+    documented as such, not hidden."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
+        from realestatedeals_spark.io.maintenance import VersionedTable
+
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.table = VersionedTable(spark, root)
 
     @property
     def gen(self) -> int:
-        """Latest complete generation on disk (0 = empty view). Recomputed
+        """Latest complete version on disk (0 = empty view). Recomputed
         per call: survives driver restarts, ignores a crashed writer's
-        incomplete directory (no ``_SUCCESS``)."""
-        gens = [
-            int(d[4:])
-            for d in os.listdir(self.root)
-            if d.startswith("gen=")
-            and os.path.exists(os.path.join(self.root, d, "_SUCCESS"))
-        ]
-        return max(gens) if gens else 0
+        junk (a ``v=<n>`` without ``_SUCCESS`` is invisible to readers and
+        skipped past by the next commit's claim)."""
+        return self.table.latest_version() or 0
 
     def current(self) -> DataFrame | None:
-        g = self.gen
-        if g == 0:
+        if self.gen == 0:
             return None
-        return self.spark.read.parquet(os.path.join(self.root, f"gen={g}"))
+        return self.table.read()
 
     def commit(self, merged: DataFrame) -> None:
-        import shutil
-        import uuid
-
-        # claim max over ALL gen dirs (complete or not) so junk never collides
-        claimed = [
-            int(d[4:]) for d in os.listdir(self.root) if d.startswith("gen=")
-        ]
-        nxt = (max(claimed) if claimed else 0) + 1
-        stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
-        merged.write.mode("errorifexists").parquet(stage)
-        try:
-            os.rename(stage, os.path.join(self.root, f"gen={nxt}"))
-        finally:
-            if os.path.exists(stage):
-                shutil.rmtree(stage)
+        self.table.commit(merged)
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # Idempotent replay: foreachBatch re-delivers a batch after a failed

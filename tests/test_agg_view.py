@@ -107,7 +107,7 @@ def test_view_ignores_incomplete_generation(spark):
         path = os.path.join(root, "v")
         view = ParquetAggView(spark, path)
         view.foreach_batch(_events(spark, [(1, "a", 5)]), 0)
-        os.makedirs(os.path.join(path, "gen=2"))  # junk, no _SUCCESS
+        os.makedirs(os.path.join(path, "v=2"))  # junk, no _SUCCESS
         assert view.gen == 1
         view.foreach_batch(_events(spark, [(1, "a", 1)]), 1)
         assert view.gen == 3  # claimed past the junk dir
