@@ -88,13 +88,10 @@ def minhash_signatures(sets_: DataFrame, num_hashes: int = 64) -> DataFrame:
     return hv.groupBy("_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     sig: DataFrame, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band signature become a candidate pair.
-
-    Output: (id_a, id_b) with id_a < id_b, distinct.
-    """
+    """(_id, band, sig) — one row per doc per band, the LSH bucket key."""
     rows = num_hashes // bands
     band_structs = [
         F.struct(
@@ -103,9 +100,19 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select("_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+    return sig.select("_id", F.explode(F.array(*band_structs)).alias("bs")).select(
         "_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become a candidate pair.
+
+    Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    banded = banded_signatures(sig, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -166,6 +173,86 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
     )
+
+
+def incremental_minhash_near_duplicates(
+    index_sig: DataFrame,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW document batch against an already-indexed corpus without
+    touching the historical documents' text — the shape incremental corpus
+    ingestion takes at 100 TB, where re-signing a petabyte of history per
+    batch is the thing you must never do.
+
+    - ``index_sig``: the PERSISTED MinHash signature index of previously
+      ingested docs (``_id, h0..h{n-1}`` — 64 longs/doc, ~0.05% of corpus
+      bytes; in production a table maintained with
+      ``io.maintenance.VersionedTable``). It is read, never recomputed.
+    - ``new_docs``: the incoming batch (id + text). Only these are
+      shingled and signed.
+    - ``corpus_docs``: an id→text resolver (the corpus storage table) used
+      to re-shingle ONLY the docs that appear in candidate pairs at verify
+      time — a semi-join prune, so verify cost is O(candidates), not
+      O(corpus).
+
+    Candidates are (new × indexed ∪ new × new) band collisions — old×old
+    pairs were already reported when those docs arrived, so the join keeps
+    one side pinned to the new batch and never rescans history against
+    itself. Every candidate is exact-Jaccard verified, so precision is
+    exact; recall is the banded-MinHash guarantee (1 − (1 − J^r)^b, ≈1−4e-8
+    at J≥0.9 with 16×4).
+
+    Returns ``(pairs, sig_new)``: the verified near-dup pairs touching the
+    new batch, and the new docs' signatures for the caller to MERGE into
+    the persisted index (one VersionedTable commit per batch).
+    """
+    # new-batch shingles are computed once and reused for signing AND
+    # verification (checkpointed: they feed two jobs)
+    sets_new = shingle_sets(new_docs, id_col, text_col, k).localCheckpoint(eager=True)
+    sig_new = minhash_signatures(sets_new, num_hashes)
+    sig_all = index_sig.unionByName(sig_new)
+    bn = banded_signatures(sig_new, num_hashes, bands).alias("a")
+    ba = banded_signatures(sig_all, num_hashes, bands).alias("b")
+    cand = (
+        bn.join(
+            ba,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+            F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("cid"))
+        .unionAll(cand.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    # only HISTORICAL candidates are resolved from corpus storage; the new
+    # batch's shingles are already in hand (so new docs need not have been
+    # written to the corpus table yet when the batch is deduped)
+    touched_old = corpus_docs.join(
+        cand_ids.withColumnRenamed("cid", id_col), id_col, "left_semi"
+    ).join(
+        sets_new.select(F.col("_id").alias(id_col)), id_col, "left_anti"
+    )
+    sets_cand = sets_new.unionByName(shingle_sets(touched_old, id_col, text_col, k))
+    pairs = (
+        exact_jaccard(cand, sets_cand)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+    return pairs, sig_new
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -191,3 +191,61 @@ def test_dup_substring_spans_merges_adjacent(spark):
     out = {r["doc_id"]: r for r in dup_substring_spans(docs, k=8).collect()}
     assert out[1]["n_dup_spans"] == 2 and out[1]["dup_tokens"] == 16
     assert out[2]["n_dup_spans"] == 2 and out[2]["dup_tokens"] == 16
+
+
+def test_incremental_minhash_matches_full_batch(spark, sf_dir):
+    """The incremental path (persisted index + new-batch-only signing +
+    candidate-only verify) must find exactly the pairs the full-corpus run
+    finds among pairs touching the new batch — nothing lost by keeping
+    history un-reshingled, nothing invented by the least/greatest pair
+    normalization."""
+    from realestatedeals_spark.operators.dedup import (
+        incremental_minhash_near_duplicates,
+        minhash_near_duplicates,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    index_sig = minhash_signatures(shingle_sets(old)).localCheckpoint(eager=True)
+    pairs, sig_new = incremental_minhash_near_duplicates(index_sig, new, docs)
+    got = {(r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in pairs.collect()}
+    full = minhash_near_duplicates(docs, threshold=0.9)
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in full.collect()
+        if r.doc_a % 7 == 0 or r.doc_b % 7 == 0
+    }
+    assert got == want
+    # the returned new-batch signatures merge cleanly into the index schema
+    assert sig_new.columns == index_sig.columns
+
+
+def test_incremental_minhash_never_signs_history(spark):
+    """The historical index is consumed as-is: feed an index whose
+    signatures deliberately DISAGREE with the old docs' current text — if
+    the operator re-signed history, the planted collision would vanish."""
+    from realestatedeals_spark.operators.dedup import (
+        incremental_minhash_near_duplicates,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, t), (2, "totally different words here none shared at all")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame([(10, t)], ["doc_id", "text"])
+    # index signs doc 1 with the TEXT OF t (matching corpus), doc 2 with t
+    # as well — a stale/fake signature that collides with the new doc
+    fake_old = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    index_sig = minhash_signatures(shingle_sets(fake_old))
+    pairs, _ = incremental_minhash_near_duplicates(index_sig, new, corpus)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # doc 2 becomes a CANDIDATE via its (stale) signature, but exact verify
+    # against corpus text rejects it; doc 1 verifies. History text was only
+    # consulted for the two candidate ids.
+    assert got == {(1, 10)}
