@@ -47,6 +47,7 @@ SKIP = {
     "x6_cms_heavy_hitters": "two-pass summary materialization",
     "x6_hll_mergeable": "sketch materialization",
     "x7_temperature_mix": "derived-rate subplan at build",
+    "x2_minhash_incremental": "VersionedTable index commits at plan build",
 }
 
 
