@@ -29,7 +29,14 @@ from realestatedeals_spark.operators.cdc import classify_cdc, next_snapshot
 
 
 class CdcState:
-    """Keyed snapshot persisted as swap-on-write parquet."""
+    """Keyed snapshot persisted as swap-on-write parquet.
+
+    The applied-epoch marker travels INSIDE the snapshot directory, so the
+    swap rename publishes state + marker as one atomic unit — the guard the
+    torn-batch redelivery test leans on (a crash between "emissions
+    written" and "state swapped" must leave the marker at the OLD epoch so
+    the redelivered batch recomputes identical emissions against the old
+    snapshot)."""
 
     def __init__(self, spark: SparkSession, state_dir: str, key: str = "mls", price: str = "price"):
         self.spark = spark
@@ -37,33 +44,85 @@ class CdcState:
         self.key = key
         self.price = price
 
-    def load(self) -> DataFrame | None:
+    def _cur(self) -> str | None:
+        """Current snapshot dir, falling back to the pre-swap copy if a
+        crash landed between the two swap renames."""
         cur = os.path.join(self.state_dir, "current")
-        if not os.path.exists(cur):
+        if os.path.exists(cur):
+            return cur
+        old = os.path.join(self.state_dir, "_old")
+        return old if os.path.exists(old) else None
+
+    def load(self) -> DataFrame | None:
+        cur = self._cur()
+        if cur is None:
             return None
         return self.spark.read.parquet(cur)
 
-    def replace(self, snapshot: DataFrame) -> None:
-        """Atomic-enough swap: write new, rename over. On a real cluster this
-        is a Delta/Iceberg transactional overwrite; locally a directory swap."""
+    def applied_epoch(self) -> int | None:
+        """Epoch id of the last fully applied batch (None before the first
+        epoch-stamped swap)."""
+        cur = self._cur()
+        if cur is None:
+            return None
+        marker = os.path.join(cur, "_epoch")
+        if not os.path.exists(marker):
+            return None
+        return int(open(marker).read().strip())
+
+    def replace(self, snapshot: DataFrame, epoch_id: int | None = None) -> None:
+        """Swap-on-write with crash recovery: stale staging/backup dirs from
+        a prior crash are cleared at entry, and ``load()`` falls back to the
+        backup during the (documented, non-atomic) two-rename window. On a
+        real cluster this is a Delta/Iceberg transactional overwrite."""
+        import shutil
+
         cur = os.path.join(self.state_dir, "current")
         nxt = os.path.join(self.state_dir, "_next")
-        snapshot.write.mode("overwrite").parquet(nxt)
         old = os.path.join(self.state_dir, "_old")
+        if os.path.exists(nxt):
+            shutil.rmtree(nxt)
+        snapshot.write.mode("overwrite").parquet(nxt)
+        if epoch_id is not None:
+            with open(os.path.join(nxt, "_epoch"), "w") as f:
+                f.write(str(epoch_id))
+        if not os.path.exists(cur) and os.path.exists(old):
+            os.rename(old, cur)  # recover: crash landed mid-swap last time
+        elif os.path.exists(old):
+            shutil.rmtree(old)  # stale backup from a crash after the swap
         if os.path.exists(cur):
             os.rename(cur, old)
         os.rename(nxt, cur)
         if os.path.exists(old):
-            import shutil
-
             shutil.rmtree(old)
 
 
-def process_cdc_batch(scrape: DataFrame, state: CdcState, emit_dir: str) -> DataFrame:
-    """One micro-batch: classify vs state, append emissions, replace state.
+def process_cdc_batch(
+    scrape: DataFrame, state: CdcState, emit_dir: str, epoch_id: int | None = None
+) -> DataFrame:
+    """One micro-batch: classify vs state, write emissions, replace state.
 
-    Returns the emissions DataFrame (also appended to ``emit_dir``).
+    Returns the emissions DataFrame (also written to ``emit_dir``).
+
+    Exactly-once under torn-batch redelivery (``epoch_id`` given, the
+    streaming path): emissions land in ``emit_dir/epoch=<id>`` with
+    OVERWRITE semantics and the state swap carries the epoch marker
+    atomically, so whichever side of the crash the batch tore on, the
+    redelivery either (a) recomputes bit-identical emissions against the
+    unswapped state and overwrites the same epoch directory, or (b) sees
+    the marker already advanced and skips entirely. With ``epoch_id=None``
+    (direct batch use) emissions append flat, as before.
     """
+    applied = state.applied_epoch()
+    if epoch_id is not None and applied is not None and epoch_id <= applied:
+        # redelivery of a fully-applied batch (crash after swap, before
+        # the streaming engine committed the epoch): everything is on disk
+        ktype = dict(scrape.dtypes).get(state.key, "string")
+        return scrape.sparkSession.createDataFrame(
+            [],
+            f"{state.key} {ktype}, status string, old_price double, "
+            "new_price double, price_change_percentage double",
+        )
     snapshot = state.load()
     scraped = next_snapshot(scrape, state.key)
     if snapshot is None:
@@ -80,8 +139,13 @@ def process_cdc_batch(scrape: DataFrame, state: CdcState, emit_dir: str) -> Data
     # that replace() is about to rename, so late consumers would hit
     # FILE_NOT_EXIST without an eager checkpoint
     emissions = emissions.localCheckpoint(eager=True)
-    emissions.write.mode("append").parquet(emit_dir)
-    state.replace(scraped)
+    if epoch_id is None:
+        emissions.write.mode("append").parquet(emit_dir)
+    else:
+        emissions.write.mode("overwrite").parquet(
+            os.path.join(emit_dir, f"epoch={epoch_id}")
+        )
+    state.replace(scraped, epoch_id)
     return emissions
 
 
@@ -112,7 +176,7 @@ def start_cdc_stream(
     stream = reader.parquet(input_dir)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        process_cdc_batch(batch_df, state, emit_dir)
+        process_cdc_batch(batch_df, state, emit_dir, epoch_id=epoch_id)
 
     writer = stream.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:

@@ -327,3 +327,97 @@ def test_torn_batch_crash_redelivery_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == want  # exactly-once: no double-applied batch 1
+
+
+def test_cdc_torn_batch_both_crash_sides_exactly_once(spark, tmp_path):
+    """C3 chaos: tear the CDC batch on BOTH sides of the state swap and
+    assert the emission log is exactly-once either way.
+
+    Side A (crash after emissions written, before state swap): redelivery
+    recomputes the same emissions against the unswapped state and
+    OVERWRITES the same epoch directory — no duplicates.
+    Side B (crash after state swap, before the engine's epoch commit): the
+    epoch marker inside the swapped snapshot says 'already applied' and the
+    redelivery is a no-op.
+    """
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from realestatedeals_spark.streaming.cdc_stream import CdcState, process_cdc_batch
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    cycles = [
+        [(1, 100.0), (2, 200.0)],            # b0: both new
+        [(1, 150.0), (2, 200.0), (3, 50.0)], # b1: price change + new
+        [(2, 200.0), (3, 50.0)],             # b2: m1 off_market
+    ]
+    for i, rows in enumerate(cycles):
+        d = os.path.join(in_dir, f"c{i}")
+        spark.createDataFrame(rows, "mls bigint, price double").coalesce(1).write.parquet(d)
+        for fname in os.listdir(d):
+            t = 1_700_000_000 + i * 10
+            os.utime(os.path.join(d, fname), (t, t))
+
+    state = CdcState(spark, str(tmp_path / "state"))
+    emit_dir = str(tmp_path / "emit")
+    crashes = {"A": False, "B": False}
+
+    real_replace = CdcState.replace
+
+    def handle(batch_df, epoch_id):
+        if epoch_id == 1 and not crashes["A"]:
+            # crash INSIDE the batch: emissions written, swap never runs
+            crashes["A"] = True
+
+            def bomb(self, snapshot, eid=None):
+                raise RuntimeError("chaos-A: died before state swap")
+
+            CdcState.replace = bomb
+            try:
+                with pytest.raises(RuntimeError, match="chaos-A"):
+                    process_cdc_batch(batch_df, state, emit_dir, epoch_id=epoch_id)
+            finally:
+                CdcState.replace = real_replace
+            raise RuntimeError("chaos-A: batch failed")
+        process_cdc_batch(batch_df, state, emit_dir, epoch_id=epoch_id)
+        if epoch_id == 2 and not crashes["B"]:
+            crashes["B"] = True
+            raise RuntimeError("chaos-B: died after swap, before epoch commit")
+
+    def run():
+        return (
+            spark.readStream.schema("mls bigint, price double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir + "/*")
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with pytest.raises(StreamingQueryException, match="chaos-A"):
+        run().awaitTermination()
+    assert state.applied_epoch() == 0  # swap for epoch 1 never happened
+    with pytest.raises(StreamingQueryException, match="chaos-B"):
+        run().awaitTermination()
+    assert state.applied_epoch() == 2  # swap happened; commit didn't
+    run().awaitTermination()  # final restart: epoch 2 redelivered, skipped
+    assert crashes == {"A": True, "B": True}
+
+    got = sorted(
+        (r.mls, r.status)
+        for r in spark.read.parquet(emit_dir).select("mls", "status").collect()
+    )
+    assert got == [
+        (1, "new_listing"),
+        (1, "price_change"),
+        (1, "off_market"),
+        (2, "new_listing"),
+        (3, "new_listing"),
+    ] or got == sorted(
+        [(1, "new_listing"), (2, "new_listing"), (1, "price_change"),
+         (3, "new_listing"), (1, "off_market")]
+    )
+    # state converged to the last cycle
+    assert {r.mls for r in state.load().collect()} == {2, 3}
