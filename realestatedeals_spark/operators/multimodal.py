@@ -81,9 +81,10 @@ _FEATURE_DIM = 8
 # parse. No imaging library exists in this container, but PNG is just
 # zlib + per-scanline filters (RFC 2083), both fully expressible with the
 # stdlib — so the "real codec" plug point (VERDICT r3 item 8) is a genuine
-# decoder, not a fake. Baseline grayscale JPEG (DCT + Annex-K Huffman) is
-# decoded for real further below; color MCU interleave / progressive / MP3
-# remain the documented boundary.
+# decoder, not a fake. Baseline JPEG — grayscale AND interleaved YCbCr
+# color with arbitrary sampling factors and restart intervals (what libjpeg
+# and cameras emit) — is decoded for real further below; progressive (SOF2),
+# arithmetic coding, and MP3 remain the documented boundary.
 # ---------------------------------------------------------------------------
 
 
@@ -231,7 +232,7 @@ def image_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     grayscale JPEG (Huffman + dequantize + IDCT), dispatched on magic
     bytes — and emits pixel statistics [n_px, mean, std, min, max,
     px_sum, row0_mean, col0_mean]; bytes with no container-feasible codec
-    (MP3/AAC, progressive/color JPEG) yield null features (dims still come
+    (MP3/AAC, progressive JPEG) yield null features (dims still come
     from ``decode_media_meta``). The
     default path derives a deterministic ``_FEATURE_DIM``-float vector from
     the content hash — FAKE values, real plumbing (batch iteration, schema,
@@ -789,10 +790,12 @@ def _dct_matrix() -> np.ndarray:
 _JPEG_C = _dct_matrix()
 
 
-def _jpeg_qtable(quality: int) -> np.ndarray:
+def _jpeg_qtable(quality: int, base: np.ndarray | None = None) -> np.ndarray:
+    if base is None:
+        base = _JPEG_STD_LUM_Q
     quality = min(100, max(1, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    return np.clip((_JPEG_STD_LUM_Q * scale + 50) // 100, 1, 255).astype(np.int64)
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
 class _BitWriter:
@@ -841,39 +844,9 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 100) -> bytes:
     prev_dc = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            block = shifted[by : by + 8, bx : bx + 8]
-            coeff = _JPEG_C @ block @ _JPEG_C.T
-            quant = np.rint(coeff / q).astype(np.int64)
-            zz = quant.reshape(64)[_JPEG_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size = _jpeg_category(diff)
-            code, length = dc_codes[size]
-            bw.put(code, length)
-            if size:
-                amp = diff if diff >= 0 else diff + (1 << size) - 1
-                bw.put(amp, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if i > last_nz:
-                    code, length = ac_codes[0x00]  # EOB
-                    bw.put(code, length)
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.put(code, length)
-                    run -= 16
-                size = _jpeg_category(v)
-                code, length = ac_codes[(run << 4) | size]
-                bw.put(code, length)
-                amp = v if v >= 0 else v + (1 << size) - 1
-                bw.put(amp, size)
-                run = 0
+            prev_dc = _encode_block(
+                bw, shifted[by : by + 8, bx : bx + 8], q, dc_codes, ac_codes, prev_dc
+            )
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -923,20 +896,196 @@ def _jpeg_extend(amp: int, size: int) -> int:
     return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
 
 
-def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """REAL baseline JPEG decoder for single-component (grayscale) scans:
-    parses DQT/SOF0/DHT/SOS, Huffman-decodes the byte-stuffed entropy
-    stream, dequantizes, dezigzags, IDCTs. Color MCU interleave,
-    progressive (SOF2), and restart intervals raise NotImplementedError —
-    the honest external-library boundary (same policy as MP3)."""
+_JPEG_STD_CHROM_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int64).reshape(8, 8)
+
+_JPEG_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """DCT + quantize + Huffman one 8×8 level-shifted block; returns its DC."""
+    coeff = _JPEG_C @ block @ _JPEG_C.T
+    quant = np.rint(coeff / q).astype(np.int64)
+    zz = quant.reshape(64)[_JPEG_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    size = _jpeg_category(diff)
+    code, length = dc_codes[size]
+    bw.put(code, length)
+    if size:
+        amp = diff if diff >= 0 else diff + (1 << size) - 1
+        bw.put(amp, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if i > last_nz:
+            code, length = ac_codes[0x00]  # EOB
+            bw.put(code, length)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.put(code, length)
+            run -= 16
+        size = _jpeg_category(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.put(code, length)
+        amp = v if v >= 0 else v + (1 << size) - 1
+        bw.put(amp, size)
+        run = 0
+    return int(zz[0])
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg_ycbcr(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    quality: int = 100,
+    sampling: tuple[int, int] = (2, 2),
+    restart_interval: int | None = None,
+) -> bytes:
+    """REAL baseline color JPEG encoder: interleaved YCbCr MCUs with
+    configurable luma sampling factors ((2,2) = 4:2:0, (1,1) = 4:4:4),
+    separate luma/chroma quantization + standard Annex-K Huffman tables,
+    and optional restart intervals (DRI + RSTn markers, DC predictors reset
+    per interval — what camera JPEGs emit for error resilience).
+
+    ``y``: (H, W) with H, W multiples of 8·sv, 8·sh; ``cb``/``cr``:
+    (H/sv, W/sh) — caller supplies chroma already subsampled (exactness
+    stays in the caller's hands; constant-tile inputs roundtrip exactly at
+    quality 100)."""
+    sh, sv = sampling
+    h, w = y.shape
+    if h % (8 * sv) or w % (8 * sh):
+        raise ValueError("encode_jpeg_ycbcr needs dims multiple of 8*sampling")
+    if cb.shape != (h // sv, w // sh) or cr.shape != (h // sv, w // sh):
+        raise ValueError("chroma planes must be (H/sv, W/sh)")
+    ql = _jpeg_qtable(quality)
+    qc = _jpeg_qtable(quality, _JPEG_STD_CHROM_Q)
+    dc_l, ac_l = _huff_canonical(*_JPEG_DC_LUM), _huff_canonical(*_JPEG_AC_LUM)
+    dc_c, ac_c = _huff_canonical(*_JPEG_DC_CHROM), _huff_canonical(*_JPEG_AC_CHROM)
+    ys = y.astype(np.float64) - 128.0
+    cbs = cb.astype(np.float64) - 128.0
+    crs = cr.astype(np.float64) - 128.0
+
+    bw = _BitWriter()
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    mcux, mcuy = w // (8 * sh), h // (8 * sv)
+    n_mcu = mcux * mcuy
+    done = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in range(sv):
+                for hh in range(sh):
+                    r0, c0 = (my * sv + v) * 8, (mx * sh + hh) * 8
+                    preds["y"] = _encode_block(
+                        bw, ys[r0 : r0 + 8, c0 : c0 + 8], ql, dc_l, ac_l, preds["y"]
+                    )
+            r0, c0 = my * 8, mx * 8
+            preds["cb"] = _encode_block(
+                bw, cbs[r0 : r0 + 8, c0 : c0 + 8], qc, dc_c, ac_c, preds["cb"]
+            )
+            preds["cr"] = _encode_block(
+                bw, crs[r0 : r0 + 8, c0 : c0 + 8], qc, dc_c, ac_c, preds["cr"]
+            )
+            done += 1
+            if (
+                restart_interval
+                and done % restart_interval == 0
+                and done < n_mcu
+            ):
+                if bw.nbits:  # byte-align with 1-bits, then raw RST marker
+                    bw.put((1 << (8 - bw.nbits)) - 1, 8 - bw.nbits)
+                bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = {"y": 0, "cb": 0, "cr": 0}
+    scan = bw.flush()
+
+    dqt = _jpeg_seg(
+        0xDB,
+        b"\x00" + bytes(int(ql.reshape(64)[_JPEG_ZIGZAG][i]) for i in range(64))
+        + b"\x01" + bytes(int(qc.reshape(64)[_JPEG_ZIGZAG][i]) for i in range(64)),
+    )
+    sof = _jpeg_seg(
+        0xC0,
+        _struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (sh << 4) | sv, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = _jpeg_seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_LUM[0]) + bytes(_JPEG_DC_LUM[1])
+        + b"\x10" + bytes(_JPEG_AC_LUM[0]) + bytes(_JPEG_AC_LUM[1])
+        + b"\x01" + bytes(_JPEG_DC_CHROM[0]) + bytes(_JPEG_DC_CHROM[1])
+        + b"\x11" + bytes(_JPEG_AC_CHROM[0]) + bytes(_JPEG_AC_CHROM[1]),
+    )
+    out = b"\xff\xd8" + _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt + sof + dht
+    if restart_interval:
+        out += _jpeg_seg(0xDD, _struct.pack(">H", restart_interval))
+    out += _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return out + scan + b"\xff\xd9"
+
+
+def _decode_jpeg_planes(data: bytes):
+    """Full baseline (SOF0) JPEG decode: single-component or interleaved
+    multi-component scans, arbitrary sampling factors, restart intervals.
+    Returns (width, height, [(comp_id, h, v, plane)] in SOF order) with each
+    plane at its component resolution (float64, pre-clip). Progressive
+    (SOF2), hierarchical, arithmetic-coded, and non-interleaved multi-scan
+    files raise NotImplementedError — the honest remaining boundary."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comp_q = 0
-    dc_id = ac_id = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    scan_spec: list[tuple[int, int, int]] = []  # (cid, td, ta)
+    dri = 0
     scan_start = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -960,12 +1109,9 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0}: baseline (SOF0) only")
         elif marker == 0xC0:
             _prec, h, w, ncomp = _struct.unpack(">BHHB", payload[:6])
-            if ncomp != 1:
-                raise NotImplementedError(
-                    f"JPEG with {ncomp} components: grayscale decode only "
-                    "(color MCU interleave is the documented boundary)"
-                )
-            comp_q = payload[8]
+            for c in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif marker == 0xC4:
             p = 0
             while p < len(payload):
@@ -976,21 +1122,25 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 huff[(tc, th)] = _huff_decode_map(bits, values)
                 p += 17 + nvals
         elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals")
+            (dri,) = _struct.unpack(">H", payload[:2])
         elif marker == 0xDA:
             ns = payload[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            dc_id, ac_id = payload[2] >> 4, payload[2] & 0x0F
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG"
+                )
+            for c in range(ns):
+                cid, tt = payload[1 + 2 * c : 3 + 2 * c]
+                scan_spec.append((cid, tt >> 4, tt & 0x0F))
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen
-    if scan_start is None or w is None or h is None:
+    if scan_start is None or w is None or h is None or not comps:
         raise ValueError("JPEG missing SOF/SOS")
-    if comp_q not in qtables:
-        raise ValueError("JPEG missing quant table")
 
-    # de-stuff the entropy segment (FF 00 -> FF), stop at any real marker
+    # de-stuff into restart segments: FF00 unstuffs, RST0-7 split, any other
+    # marker ends the scan
+    segments: list[bytes] = []
     raw = bytearray()
     p = scan_start
     while p < len(data):
@@ -1001,11 +1151,15 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 raw.append(0xFF)
                 p += 2
                 continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(raw))
+                raw = bytearray()
+                p += 2
+                continue
             break
         raw.append(b)
         p += 1
-
-    dc_map, ac_map = huff[(0, dc_id)], huff[(1, ac_id)]
+    segments.append(bytes(raw))
 
     def read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
         code, lng = 0, 0
@@ -1016,35 +1170,117 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 return table[(lng, code)]
         raise ValueError("invalid JPEG Huffman code")
 
-    br = _BitReader(bytes(raw))
-    q = qtables[comp_q]
-    out = np.zeros((h + 7) // 8 * 8 * ((w + 7) // 8 * 8), np.float64).reshape(
-        (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    )
-    prev_dc = 0
-    for by in range(0, out.shape[0], 8):
-        for bx in range(0, out.shape[1], 8):
-            zz = np.zeros(64, np.int64)
-            size = read_symbol(br, dc_map)
-            diff = _jpeg_extend(br.bits(size), size) if size else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = read_symbol(br, ac_map)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                i += run
-                if i >= 64:
-                    raise ValueError("JPEG AC index overflow")
-                zz[i] = _jpeg_extend(br.bits(size), size)
-                i += 1
-            block = np.zeros(64, np.int64)
-            block[_JPEG_ZIGZAG] = zz
-            coeff = block.reshape(8, 8) * q
-            out[by : by + 8, bx : bx + 8] = _JPEG_C.T @ coeff @ _JPEG_C
-    return np.clip(np.rint(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+    tables = {cid: (huff[(0, td)], huff[(1, ta)]) for cid, td, ta in scan_spec}
+
+    def decode_block(br: _BitReader, cid: int, q: np.ndarray, pred: int):
+        dc_map, ac_map = tables[cid]
+        zz = np.zeros(64, np.int64)
+        size = read_symbol(br, dc_map)
+        diff = _jpeg_extend(br.bits(size), size) if size else 0
+        pred += diff
+        zz[0] = pred
+        i = 1
+        while i < 64:
+            sym = read_symbol(br, ac_map)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            i += run
+            if i >= 64:
+                raise ValueError("JPEG AC index overflow")
+            zz[i] = _jpeg_extend(br.bits(size), size)
+            i += 1
+        block = np.zeros(64, np.int64)
+        block[_JPEG_ZIGZAG] = zz
+        return _JPEG_C.T @ (block.reshape(8, 8) * q) @ _JPEG_C, pred
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
+        for cid, ch, cv, _ in comps
+    }
+    preds = {cid: 0 for cid, *_ in comps}
+    seg_i = 0
+    br = _BitReader(segments[0])
+
+    if len(comps) == 1:
+        # single-component scan: MCU = one 8×8 block in raster order over
+        # the component's own grid (T.81 A.2.2 — sampling factors ignored)
+        cid, _, _, tq = comps[0]
+        q = qtables[tq]
+        plane = np.zeros(((h + 7) // 8 * 8, (w + 7) // 8 * 8), np.float64)
+        nbx, nby = plane.shape[1] // 8, plane.shape[0] // 8
+        done = 0
+        for byi in range(nby):
+            for bxi in range(nbx):
+                if dri and done and done % dri == 0:
+                    seg_i += 1
+                    br = _BitReader(segments[seg_i])
+                    preds[cid] = 0
+                blk, preds[cid] = decode_block(br, cid, q, preds[cid])
+                plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = blk
+                done += 1
+        return w, h, [(cid, 1, 1, plane[:h, :w])]
+
+    done = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and done and done % dri == 0:
+                seg_i += 1
+                br = _BitReader(segments[seg_i])
+                preds = {cid: 0 for cid, *_ in comps}
+            for cid, ch, cv, tq in comps:
+                q = qtables[tq]
+                for v in range(cv):
+                    for hh in range(ch):
+                        blk, preds[cid] = decode_block(br, cid, q, preds[cid])
+                        r0 = (my * cv + v) * 8
+                        c0 = (mx * ch + hh) * 8
+                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = blk
+            done += 1
+    out = []
+    for cid, ch, cv, _ in comps:
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        out.append((cid, ch, cv, planes[cid][:chh, :cw]))
+    return w, h, out
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """REAL baseline JPEG decoder returning the LUMA plane as grayscale:
+    handles single-component and interleaved color (YCbCr, any sampling
+    factors incl. 4:2:0/4:2:2/4:4:4) baseline scans with restart
+    intervals — i.e. what cameras and libjpeg emit by default. Progressive
+    (SOF2) and arithmetic-coded files raise NotImplementedError (the
+    documented boundary, same policy as MP3); the engine surfaces these as
+    typed error rows, not crashes."""
+    _w, _h, planes = _decode_jpeg_planes(data)
+    return np.clip(np.rint(planes[0][3] + 128.0), 0, 255).astype(np.uint8)
+
+
+def _upsample(plane: np.ndarray, fh: int, fv: int, w: int, h: int) -> np.ndarray:
+    return np.repeat(np.repeat(plane, fv, axis=0), fh, axis=1)[:h, :w]
+
+
+def decode_jpeg_rgb(data: bytes) -> np.ndarray:
+    """Full color decode: luma + nearest-neighbor-upsampled chroma →
+    (H, W, 3) uint8 RGB via the standard JFIF YCbCr transform."""
+    w, h, planes = _decode_jpeg_planes(data)
+    if len(planes) == 1:
+        g = np.clip(np.rint(planes[0][3] + 128.0), 0, 255).astype(np.uint8)
+        return np.dstack([g, g, g])
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    y = _upsample(planes[0][3], hmax // planes[0][1], vmax // planes[0][2], w, h) + 128.0
+    cb = _upsample(planes[1][3], hmax // planes[1][1], vmax // planes[1][2], w, h)
+    cr = _upsample(planes[2][3], hmax // planes[2][1], vmax // planes[2][2], w, h)
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.dstack([r, g, b])), 0, 255).astype(np.uint8)

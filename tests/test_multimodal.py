@@ -360,12 +360,100 @@ def test_jpeg_unsupported_variants_raise():
     prog[sof + 1] = 0xC2  # progressive
     with pytest.raises(NotImplementedError, match="SOF2"):
         decode_jpeg_gray(bytes(prog))
-    color = data.copy()
-    color[sof + 9] = 3  # claim 3 components
-    with pytest.raises(NotImplementedError, match="grayscale"):
-        decode_jpeg_gray(bytes(color))
     with pytest.raises(ValueError, match="multiple-of-8"):
         encode_jpeg_gray(np.zeros((7, 8), np.uint8))
+
+
+def test_jpeg_color_444_roundtrip_exact():
+    # constant 8x8 blocks in all three planes → DC-only → exact at q100
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.default_rng(3)
+    yv = rng.integers(0, 256, (3, 4))
+    y = np.kron(yv, np.ones((8, 8), np.int64)).astype(np.uint8)
+    cb = np.full_like(y, 128)
+    cr = np.full_like(y, 128)
+    data = encode_jpeg_ycbcr(y, cb, cr, quality=100, sampling=(1, 1))
+    assert np.array_equal(decode_jpeg_gray(data), y)  # luma exact
+    rgb = decode_jpeg_rgb(data)  # neutral chroma → gray RGB
+    assert np.array_equal(rgb[:, :, 0], y)
+    assert np.array_equal(rgb[:, :, 1], y)
+    assert np.array_equal(rgb[:, :, 2], y)
+
+
+def test_jpeg_420_subsampled_roundtrip_exact():
+    # constant 16x16 luma tiles + constant chroma: the 4:2:0 MCU interleave
+    # (4 Y blocks + Cb + Cr per MCU) roundtrips bit-exactly at q100
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.default_rng(9)
+    yv = rng.integers(0, 256, (2, 3))
+    y = np.kron(yv, np.ones((16, 16), np.int64)).astype(np.uint8)
+    cbv = rng.integers(100, 156, (2, 3))
+    cb = np.kron(cbv, np.ones((8, 8), np.int64)).astype(np.uint8)
+    crv = rng.integers(100, 156, (2, 3))
+    cr = np.kron(crv, np.ones((8, 8), np.int64)).astype(np.uint8)
+    data = encode_jpeg_ycbcr(y, cb, cr, quality=100, sampling=(2, 2))
+    assert np.array_equal(decode_jpeg_gray(data), y)
+    assert decode_jpeg_rgb(data).shape == (32, 48, 3)
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    # DRI + RSTn markers + per-interval DC predictor reset, both directions
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.default_rng(17)
+    yv = rng.integers(0, 256, (4, 6))
+    y = np.kron(yv, np.ones((8, 8), np.int64)).astype(np.uint8)
+    cb = np.full_like(y, 128)
+    cr = np.full_like(y, 128)
+    data = encode_jpeg_ycbcr(
+        y, cb, cr, quality=100, sampling=(1, 1), restart_interval=5
+    )
+    assert b"\xff\xdd" in data  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))  # RSTn
+    assert np.array_equal(decode_jpeg_gray(data), y)
+
+
+def test_jpeg_decodes_external_real_world_file():
+    # a libjpeg-encoded 16x16 baseline color JPEG from the CPython test
+    # suite — proof the decoder handles files this encoder didn't produce
+    # (skipped when the host has no python test data)
+    import os
+
+    import pytest
+
+    candidates = [
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.jpg",
+        "/root/.pyenv/versions/3.7.16/lib/python3.7/test/imghdrdata/python.jpg",
+    ]
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
+        pytest.skip("no external JPEG on this host")
+    from realestatedeals_spark.operators.multimodal import (
+        decode_image_header,
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+    )
+
+    data = open(path, "rb").read()
+    assert decode_image_header(data) == ("jpeg", 16, 16)
+    luma = decode_jpeg_gray(data)
+    assert luma.shape == (16, 16)
+    assert 0 < luma.mean() < 255 and luma.std() > 0  # real, non-degenerate pixels
+    rgb = decode_jpeg_rgb(data)
+    assert rgb.shape == (16, 16, 3)
 
 
 def test_jpeg_features_through_spark(spark):
