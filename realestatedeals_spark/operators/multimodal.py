@@ -1284,3 +1284,50 @@ def decode_jpeg_rgb(data: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.rint(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+
+
+def image_dhash(media: DataFrame, grid: tuple[int, int] = (8, 9)) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the multimodal member
+    of the dedup family: re-encoded/renamed copies of an image hash
+    identically, brightness-shifted or lightly-recompressed variants
+    usually do too, because only the SIGN of adjacent brightness gradients
+    survives into the hash.
+
+    Pipeline (Arrow-batched mapInPandas, like every codec path here):
+    decode via the magic-byte dispatcher (PNG/GIF/baseline JPEG), box-pool
+    to an (gh, gw) grid — integer SUM pooling over exact-multiple tiles, so
+    the adjacent-cell comparison ``pooled(r,c+1) > pooled(r,c)`` is
+    integer-exact and engine-portable (mean-compare == sum-compare at equal
+    tile sizes) — then emit the gh·(gw−1) comparison bits as a bitstring.
+    Images whose dims aren't exact grid multiples, or that fail decode,
+    yield a null hash (typed error row, not a crash).
+
+    Scale: hash computation is embarrassingly parallel; grouping/joining on
+    the hash is one shuffle on a short string key. For Hamming-tolerant
+    matching, band the bitstring like SimHash (operators/dedup.py).
+    """
+    gh, gw = grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                b = bytes(content) if content is not None else b""
+                try:
+                    px = decode_gray_auto(b).astype(np.int64)
+                except (ValueError, NotImplementedError, zlib.error, IndexError):
+                    hashes.append(None)
+                    continue
+                h, w = px.shape
+                if h % gh or w % gw:
+                    hashes.append(None)
+                    continue
+                s = px.reshape(gh, h // gh, gw, w // gw).sum(axis=(1, 3))
+                bits = (s[:, 1:] > s[:, :-1]).astype(np.uint8)
+                hashes.append("".join(map(str, bits.reshape(-1))))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema="media_id long, dhash string"
+    )

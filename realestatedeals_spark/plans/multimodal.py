@@ -465,3 +465,73 @@ def x5_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.element_at("features", 6).cast("long").alias("px_sum"),
     )
+
+
+_X5_DHASH_ORACLE = """
+WITH b AS (SELECT DISTINCT doc_id % 50 AS base FROM documents),
+g AS (SELECT base,
+        list_transform(range(0, 72), i ->
+          (3*base + 7*(2*(i//9)) + 11*(2*(i%9))) % 256
+        + (3*base + 7*(2*(i//9)) + 11*(2*(i%9)+1)) % 256
+        + (3*base + 7*(2*(i//9)+1) + 11*(2*(i%9))) % 256
+        + (3*base + 7*(2*(i//9)+1) + 11*(2*(i%9)+1)) % 256) AS pooled
+      FROM b),
+hx AS (SELECT base,
+        list_reduce(list_transform(range(0, 64), k ->
+          CASE WHEN pooled[(k//8)*9 + (k%8) + 2] > pooled[(k//8)*9 + (k%8) + 1]
+          THEN '1' ELSE '0' END), (a, x) -> a || x) AS dhash
+       FROM g)
+SELECT hx.dhash AS dhash, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM (SELECT doc_id, doc_id % 50 AS base FROM documents) d JOIN hx USING (base)
+GROUP BY hx.dhash
+"""
+
+
+@register(
+    "x5_image_near_dup_dhash",
+    oracle=_X5_DHASH_ORACLE,
+    tags=("X5", "multimodal", "dedup"),
+)
+def x5_image_near_dup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup groups via perceptual difference-hash — the
+    multimodal member of the X2 dedup family (round-5 engine addition).
+
+    Per document a deterministic 16×18 gradient image (pattern keyed by
+    doc_id % 50, so ~2% of the corpus are true re-encodes of each other) is
+    encoded as a REAL PNG; ``image_dhash`` then runs the engine's real
+    decode → integer box-pool → adjacent-gradient-sign pipeline and groups
+    identical hashes. Distinct gradient patterns that share a sign
+    structure collide by design (47 hashes over 50 patterns) — exactly the
+    perceptual-collapse behavior dHash is used for. The oracle recomputes
+    every pooled sum and comparison bit arithmetically, so a hash match
+    proves codec, pooling, and bit order end-to-end. Hamming-tolerant
+    variants band the bitstring like SimHash (operators/dedup.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        encode_png_gray,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        R = np.arange(16, dtype=np.int64)[:, None]
+        C = np.arange(18, dtype=np.int64)[None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 50
+                px = ((3 * base + 7 * R + 11 * C) % 256).astype(np.uint8)
+                rows.append((int(did), bytearray(encode_png_gray(px))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    return image_dhash(media).groupBy("dhash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("media_id").cast("long").alias("min_doc"),
+        F.max("media_id").cast("long").alias("max_doc"),
+    )

@@ -481,3 +481,62 @@ def test_jpeg_features_through_spark(spark):
     for i in range(12):
         vals = (i * 31 + np.arange(6)[:, None] * 7 + np.arange(4)[None, :] * 3) % 256
         assert got[i] == float(64 * vals.sum())
+
+
+def test_image_dhash_format_invariant_and_brightness_invariant(spark):
+    # the same pixels through two different REAL codecs hash identically,
+    # and a global brightness shift (no wrap) leaves the hash unchanged —
+    # the perceptual property dHash exists for
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        encode_gif_gray,
+        encode_png_gray,
+        image_dhash,
+    )
+
+    R = np.arange(16)[:, None]
+    C = np.arange(18)[None, :]
+    px = ((7 * R + 11 * C) % 200).astype(np.uint8)  # headroom for +10 shift
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                if i == 0:
+                    b = encode_png_gray(px)
+                elif i == 1:
+                    b = encode_gif_gray(px)
+                elif i == 2:
+                    b = encode_png_gray(px + 10)  # brightness shift
+                elif i == 3:
+                    b = encode_png_gray(px.T[:18, :16].copy()[:16, :])  # different image
+                else:
+                    b = b"\x00garbage"
+                rows.append((int(i), bytearray(b)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = spark.range(5).mapInPandas(gen, schema="media_id long, content binary")
+    got = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert got[0] is not None and len(got[0]) == 64
+    assert got[0] == got[1] == got[2]
+    assert got[4] is None  # undecodable -> typed null, not a crash
+
+
+def test_image_dhash_dim_mismatch_null(spark):
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        encode_png_gray,
+        image_dhash,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(0, bytearray(encode_png_gray(np.zeros((10, 10), np.uint8))))],
+                columns=["media_id", "content"],
+            )
+
+    media = spark.range(1).mapInPandas(gen, schema="media_id long, content binary")
+    assert image_dhash(media).first().dhash is None  # 10x10 not a multiple of 8x9
