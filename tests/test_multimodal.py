@@ -540,3 +540,37 @@ def test_image_dhash_dim_mismatch_null(spark):
 
     media = spark.range(1).mapInPandas(gen, schema="media_id long, content binary")
     assert image_dhash(media).first().dhash is None  # 10x10 not a multiple of 8x9
+
+
+def test_jpeg_truncated_and_corrupt_inputs_raise_cleanly():
+    # every mangled input must raise a typed error (the engine surfaces
+    # those as null rows) — never hang, loop, or return garbage silently
+    import pytest
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.default_rng(31)
+    y = np.kron(rng.integers(0, 256, (2, 2)), np.ones((8, 8), np.int64)).astype(np.uint8)
+    blobs = [
+        encode_jpeg_gray(y, 100),
+        encode_jpeg_ycbcr(y, np.full_like(y, 128), np.full_like(y, 128), 100, (1, 1)),
+    ]
+    for data in blobs:
+        for cut in [3, 10, len(data) // 2, len(data) - 3]:
+            with pytest.raises((ValueError, NotImplementedError, IndexError, KeyError)):
+                decode_jpeg_gray(data[:cut])
+        # flip bytes inside the entropy stream: must either decode to SOME
+        # 16x16 image or raise — both acceptable, crashing/hanging is not
+        scan0 = data.index(b"\xff\xda") + 14
+        for pos in range(scan0, min(scan0 + 12, len(data) - 3)):
+            mangled = bytearray(data)
+            mangled[pos] ^= 0x55
+            try:
+                out = decode_jpeg_gray(bytes(mangled))
+                assert out.shape == (16, 16)
+            except (ValueError, NotImplementedError, IndexError, KeyError):
+                pass
