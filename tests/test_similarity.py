@@ -355,3 +355,26 @@ def test_semdedup_full_cluster_is_bruteforce(spark):
         for r in cosine_pairs(emb, threshold=0.3).collect()
     }
     assert got == want
+
+
+def test_gemm_cosine_pairs_bit_identical_to_join_form(spark, sf_dir):
+    """The blocked-GEMM all-pairs path must produce the SAME pairs with
+    bit-identical cosine doubles as the zip_with join form — every pair
+    exactly once (the min-id-chunk emission rule), multi-chunk included."""
+    from realestatedeals_spark.operators.similarity import gemm_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs(emb, threshold=0.45).collect()
+    }
+    for chunk_rows in (10_000, 37):  # single-chunk and many-chunk paths
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in gemm_cosine_pairs(emb, threshold=0.45, chunk_rows=chunk_rows).collect()
+        }
+        assert set(got) == set(want), f"chunk_rows={chunk_rows}"
+        exact = sum(1 for k in want if got[k] == want[k])
+        assert exact == len(want), (
+            f"chunk_rows={chunk_rows}: {len(want) - exact} pairs not bit-identical"
+        )
