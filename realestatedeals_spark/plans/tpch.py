@@ -31,8 +31,8 @@ _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -41,6 +41,12 @@ FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+def _micros6(col: F.Column) -> F.Column:
+    """floor(x·1e6) as BIGINT — engine-portable exact accumulation unit for
+    6-decimal money products (see sum_charge comment in tpch_q1)."""
+    return F.floor(col * F.lit(1000000.0)).cast("long")
 
 
 @register("tpch_q1_pricing_summary", oracle=_Q1_ORACLE, tags=("agg", "bench"), bench=True)
@@ -54,9 +60,20 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dsum(F.col("l_quantity")).alias("sum_qty"),
             _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("sum_disc_price"),
-            _dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+            # the two product sums accumulate as INTEGER micros, not
+            # DECIMAL(25,6): at sf1.0 the total × 1e6 exceeds 2^53 and
+            # DuckDB's decimal→double cast rounds twice (int128→double,
+            # then /10^scale) where Spark's rounds once — a 1-ulp split the
+            # gen-sf1.0 sweep caught. floor-micros → BIGINT sum → double →
+            # /1e6 is the identical op sequence on both engines at any SF.
+            (
+                F.sum(_micros6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .cast("double") / F.lit(1000000.0)
+            ).alias("sum_disc_price"),
+            (
+                F.sum(_micros6(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                )).cast("double") / F.lit(1000000.0)
             ).alias("sum_charge"),
             (_dsum(F.col("l_quantity")) / cnt).alias("avg_qty"),
             (_dsum(F.col("l_extendedprice")) / cnt).alias("avg_price"),
