@@ -22,10 +22,15 @@ problems at scale:
   this module disappears in favor of their commit log, OPTIMIZE and
   ``VERSION AS OF``.
 
-Atomicity scope: ``os.rename`` is atomic on a single POSIX filesystem —
-the local-mode stand-in for an object store's conditional PUT (S3
-``If-None-Match``) or HDFS rename, which is exactly what Delta's
-LogStore abstracts.
+Atomicity scope: the version *claim* is delegated to a ``ClaimStore`` —
+the conditional-PUT primitive a deployment actually configures. The
+bundled ``PosixClaimStore`` implements it with ``open(..., O_EXCL)``
+marker files (atomic exactly-one-winner on any POSIX filesystem); an
+object-store deployment swaps in an implementation backed by S3
+``PUT If-None-Match: *`` / GCS ``x-goog-if-generation-match: 0`` on the
+same one-method interface, which is exactly what Delta's LogStore
+abstracts. Data movement (stage → ``v=N``) stays a plain rename and is
+only ever executed by the claim winner, so it is contention-free.
 """
 
 from __future__ import annotations
@@ -33,7 +38,9 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import threading
 import uuid
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,6 +52,93 @@ class CommitConflict(Exception):
     that the table advanced past ``expected_latest`` — the caller must
     re-read the new latest version, re-derive its output, and retry
     (optimistic concurrency, as in a Delta/Iceberg commit conflict)."""
+
+
+class ClaimStore:
+    """The atomic-claim primitive behind ``VersionedTable.commit`` — the
+    one operation a 100 TB deployment has to map onto its storage system.
+
+    ``try_claim(v)`` must be *atomic exactly-one-winner*: of any set of
+    concurrent callers for the same ``v``, exactly one receives ``True``
+    and every other receives ``False``, durably (a later ``try_claim(v)``
+    also returns ``False``). That is precisely the contract of an object
+    store's conditional PUT (S3 ``If-None-Match: *``, GCS
+    ``if-generation-match: 0``, ABS ``If-None-Match: *``) and of POSIX
+    ``open(O_CREAT|O_EXCL)`` — implement one method and the whole commit
+    protocol (and everything built on it: ``ParquetAggView``'s MERGE, the
+    MinHash incremental index) carries over unchanged.
+    """
+
+    def try_claim(self, version: int) -> bool:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def claimed(self) -> set[int]:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class PosixClaimStore(ClaimStore):
+    """Claims are zero-byte ``.claim-<n>`` marker files created with
+    ``open(..., 'x')`` (``O_CREAT|O_EXCL``) — atomic exactly-one-winner on
+    any POSIX filesystem, unlike a bare directory rename whose target-exists
+    failure mode silently *succeeds* when the squatter is an empty directory
+    (ADVICE round 5). The marker doubles as the durable claim record, so a
+    writer that crashes between claim and publish leaves the version number
+    burned (skipped, never reused) rather than half-published."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def _path(self, version: int) -> str:
+        return os.path.join(self.root, f".claim-{version}")
+
+    def try_claim(self, version: int) -> bool:
+        try:
+            with open(self._path(version), "x"):
+                return True
+        except FileExistsError:
+            return False
+
+    def claimed(self) -> set[int]:
+        return {
+            int(d[len(".claim-"):])
+            for d in os.listdir(self.root)
+            if d.startswith(".claim-")
+        }
+
+
+class InMemoryClaimStore(ClaimStore):
+    """In-memory conditional-PUT fake for contention stress tests: the same
+    exactly-one-winner semantics under a lock, plus an optional
+    ``pre_claim`` hook that runs *inside the race window* (before the
+    caller's check) so tests can deterministically inject an adversarial
+    writer claiming the version first — the interleaving a real object
+    store produces under load, made reproducible. Share one instance per
+    table root; a second instance is a second (oblivious) store."""
+
+    def __init__(self, pre_claim: Callable[[int], None] | None = None) -> None:
+        self._claimed: set[int] = set()
+        self._lock = threading.Lock()
+        self.pre_claim = pre_claim
+
+    def try_claim(self, version: int) -> bool:
+        if self.pre_claim is not None:
+            self.pre_claim(version)
+        return self.adversary_claim(version)
+
+    def adversary_claim(self, version: int) -> bool:
+        """The locked check-and-claim itself, without re-triggering the
+        ``pre_claim`` hook — what an injected adversary calls from inside
+        the hook to steal the version (calling ``try_claim`` there would
+        recurse)."""
+        with self._lock:
+            if version in self._claimed:
+                return False
+            self._claimed.add(version)
+            return True
+
+    def claimed(self) -> set[int]:
+        with self._lock:
+            return set(self._claimed)
 
 
 def _data_files(path: str) -> list[str]:
@@ -96,29 +190,41 @@ class VersionedTable:
     rename-claim commit protocol; readers resolve to the latest complete
     version, or any pinned one (time travel).
 
-    Commit protocol (single-filesystem optimistic concurrency):
+    Commit protocol (optimistic concurrency over a ``ClaimStore``):
 
     1. The writer stages its snapshot in a private ``.stage-<uuid>``
        directory (Spark writes data files + ``_SUCCESS`` there — the
        completeness marker travels with the data).
     2. It computes the next version number ``N = latest_claimed + 1`` and
-       publishes with one ``os.rename(stage, v=N)`` — atomic on POSIX.
-    3. If ``v=N`` already exists (another writer won the race, or a junk
-       directory squats there), the rename fails without corrupting
-       either side. With no ``expected_latest`` the writer re-computes
-       ``N`` and retries the rename — blind appends always converge. With
-       ``expected_latest`` set (read-modify-write, e.g. a MERGE), losing
-       the race means the writer's input snapshot is stale, so
+       claims it with ``store.try_claim(N)`` — the atomic exactly-one-
+       winner conditional-PUT primitive (``PosixClaimStore`` =
+       ``O_CREAT|O_EXCL`` marker files; object stores plug in a
+       conditional PUT on the same interface).
+    3. Exactly one of any set of racing writers wins the claim; only the
+       winner renames its stage to ``v=N``, so the publish itself is
+       contention-free. With no ``expected_latest`` a losing writer
+       re-computes ``N`` and re-claims — blind appends always converge.
+       With ``expected_latest`` set (read-modify-write, e.g. a MERGE),
+       losing the race means the writer's input snapshot is stale, so
        ``CommitConflict`` propagates and the caller re-reads + retries.
 
-    A crashed writer leaves only a private ``.stage-*`` directory (never a
-    partial ``v=N``); ``vacuum_stages()`` clears them.
+    Externally squatted ``v=N`` directories (junk with no claim record)
+    are never renamed over — POSIX ``rename(2)`` silently *replaces* an
+    empty target directory, so the winner existence-checks the target and
+    treats a squatter as a lost race, skipping past it (ADVICE round 5).
+
+    A crashed writer leaves only a private ``.stage-*`` directory, or a
+    burned ``.claim-N`` with no data (skipped by readers and by later
+    writers) — never a partial ``v=N``; ``vacuum_stages()`` clears stages.
     """
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, root: str, store: ClaimStore | None = None
+    ) -> None:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self.store = store if store is not None else PosixClaimStore(root)
 
     def versions(self) -> list[int]:
         out = []
@@ -134,11 +240,11 @@ class VersionedTable:
         return vs[-1] if vs else None
 
     def _claimed_versions(self) -> list[int]:
-        # every v=* dir, complete or not: a squatting junk dir must not be
-        # silently overwritten, just skipped past
-        return sorted(
-            int(d[2:]) for d in os.listdir(self.root) if d.startswith("v=")
-        )
+        # every v=* dir (complete or not — a squatting junk dir must not be
+        # silently overwritten, just skipped past) UNION the claim store's
+        # record (a claim whose writer crashed pre-publish burns the number)
+        dirs = {int(d[2:]) for d in os.listdir(self.root) if d.startswith("v=")}
+        return sorted(dirs | self.store.claimed())
 
     def commit(
         self,
@@ -169,16 +275,19 @@ class VersionedTable:
                         )
                 nxt = latest_claimed + 1
                 target = os.path.join(self.root, f"v={nxt}")
-                try:
+                # os.path.exists guard: rename(2) silently REPLACES an empty
+                # target directory, so an externally-squatted v=N (no claim
+                # record, created between the listing above and here) must be
+                # treated as a lost race, never renamed over (ADVICE round 5)
+                if self.store.try_claim(nxt) and not os.path.exists(target):
                     os.rename(stage, target)
                     return nxt
-                except OSError:
-                    if expected_latest is not None:
-                        raise CommitConflict(
-                            f"lost commit race for v={nxt} "
-                            f"(caller expected latest v={expected_latest})"
-                        ) from None
-                    continue  # blind append: recompute N and re-claim
+                if expected_latest is not None:
+                    raise CommitConflict(
+                        f"lost commit race for v={nxt} "
+                        f"(caller expected latest v={expected_latest})"
+                    )
+                continue  # blind append: recompute N and re-claim
             raise RuntimeError(f"commit did not claim a version in {max_retries} tries")
         finally:
             if os.path.exists(stage):

@@ -1170,6 +1170,17 @@ def _decode_jpeg_planes(data: bytes):
                 return table[(lng, code)]
         raise ValueError("invalid JPEG Huffman code")
 
+    # Validate table references BEFORE decode: a corrupt stream whose SOS/SOF
+    # points at a DHT/DQT id that was never defined must surface as the typed
+    # ValueError the error-row catch tuples understand, not a KeyError that
+    # crashes the whole job (ADVICE round 5).
+    for cid, td, ta in scan_spec:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references undefined Huffman table")
+    for _cid, _ch, _cv, tq in comps:
+        if tq not in qtables:
+            raise ValueError("JPEG component references undefined quant table")
+
     tables = {cid: (huff[(0, td)], huff[(1, ta)]) for cid, td, ta in scan_spec}
 
     def decode_block(br: _BitReader, cid: int, q: np.ndarray, pred: int):

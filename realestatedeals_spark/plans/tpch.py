@@ -31,8 +31,8 @@ _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
-       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -44,9 +44,16 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def _micros6(col: F.Column) -> F.Column:
-    """floor(x·1e6) as BIGINT — engine-portable exact accumulation unit for
-    6-decimal money products (see sum_charge comment in tpch_q1)."""
-    return F.floor(col * F.lit(1000000.0)).cast("long")
+    """round-to-nearest(x·1e6) as BIGINT — engine-portable exact accumulation
+    unit for 6-decimal money products (see sum_charge comment in tpch_q1).
+
+    Spelled ``floor(x·1e6 + 0.5)`` on BOTH engines: floor and + are
+    IEEE-exact, so the op sequence is bit-identical, and half-up nearest is
+    unbiased where plain floor carried a systematic downward drift whenever
+    the double product landed 1 ulp below its true integer micros (ADVICE
+    round 5). Per-row micros stay far below 2^52, so the +0.5 is never
+    absorbed."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
 
 
 @register("tpch_q1_pricing_summary", oracle=_Q1_ORACLE, tags=("agg", "bench"), bench=True)

@@ -574,3 +574,44 @@ def test_jpeg_truncated_and_corrupt_inputs_raise_cleanly():
                 assert out.shape == (16, 16)
             except (ValueError, NotImplementedError, IndexError, KeyError):
                 pass
+
+
+def test_jpeg_undefined_table_ids_raise_typed_error():
+    # ADVICE round 5: an SOS that references a Huffman-table id that no DHT
+    # defined (or an SOF pointing at a missing quant table) must raise the
+    # typed ValueError the error-row catch tuples cover — not KeyError.
+    import pytest
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    data = encode_jpeg_gray(np.full((16, 16), 77, np.uint8), 90)
+
+    # SOS payload: [len16][ns][cid][TdTa]... — point TdTa at undefined id 2
+    sos = data.index(b"\xff\xda")
+    bad_sos = bytearray(data)
+    bad_sos[sos + 6] = 0x22
+    with pytest.raises(ValueError, match="undefined Huffman"):
+        decode_jpeg_gray(bytes(bad_sos))
+
+    # SOF0 payload: [len16][prec][h16][w16][ncomp][cid][HV][Tq] — Tq -> 3
+    sof = data.index(b"\xff\xc0")
+    bad_sof = bytearray(data)
+    bad_sof[sof + 12] = 3
+    with pytest.raises(ValueError, match="undefined quant"):
+        decode_jpeg_gray(bytes(bad_sof))
+
+    # retag every DHT as class/id (1,3): the tables exist but under ids the
+    # scan never asks for -> same typed error, exercised per-DHT
+    p = 0
+    bad_dht = bytearray(data)
+    while True:
+        i = bad_dht.find(b"\xff\xc4", p)
+        if i < 0:
+            break
+        bad_dht[i + 4] = 0x13
+        p = i + 2
+    with pytest.raises(ValueError, match="undefined Huffman"):
+        decode_jpeg_gray(bytes(bad_dht))
