@@ -99,11 +99,15 @@ class PosixClaimStore(ClaimStore):
             return False
 
     def claimed(self) -> set[int]:
-        return {
-            int(d[len(".claim-"):])
-            for d in os.listdir(self.root)
-            if d.startswith(".claim-")
-        }
+        # tolerate junk entries whose suffix is not an integer (editor/backup
+        # artifacts like ".claim-3~") — crashing here would permanently brick
+        # every commit to the table (ADVICE round 6)
+        out = set()
+        for d in os.listdir(self.root):
+            suffix = d[len(".claim-"):]
+            if d.startswith(".claim-") and suffix.isdigit():
+                out.add(int(suffix))
+        return out
 
 
 class InMemoryClaimStore(ClaimStore):
@@ -278,10 +282,17 @@ class VersionedTable:
                 # os.path.exists guard: rename(2) silently REPLACES an empty
                 # target directory, so an externally-squatted v=N (no claim
                 # record, created between the listing above and here) must be
-                # treated as a lost race, never renamed over (ADVICE round 5)
+                # treated as a lost race, never renamed over (ADVICE round 5).
+                # The rename itself can still lose to a squatter landing
+                # inside the check→rename window: a non-empty one makes
+                # rename raise OSError — also a lost race, not an abort; the
+                # claim is already burned, so retrying is safe (ADVICE r6).
                 if self.store.try_claim(nxt) and not os.path.exists(target):
-                    os.rename(stage, target)
-                    return nxt
+                    try:
+                        os.rename(stage, target)
+                        return nxt
+                    except OSError:
+                        pass  # squatter won the window: fall through as lost race
                 if expected_latest is not None:
                     raise CommitConflict(
                         f"lost commit race for v={nxt} "
