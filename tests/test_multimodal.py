@@ -356,10 +356,19 @@ def test_jpeg_unsupported_variants_raise():
     px = np.zeros((8, 8), np.uint8)
     data = bytearray(encode_jpeg_gray(px, 100))
     sof = bytes(data).index(b"\xff\xc0")
+    # SOF2 is now a REAL decode path (round 7); a baseline file retagged as
+    # progressive is a CORRUPT progressive stream (its scan header says
+    # Ss=0, Se=63 — a DC scan with a nonzero band end) and must surface as
+    # the typed ValueError, not decode garbage or crash untyped
     prog = data.copy()
-    prog[sof + 1] = 0xC2  # progressive
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg_gray(bytes(prog))
+    # arithmetic-coded (SOF9) remains the documented boundary
+    arith = data.copy()
+    arith[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg_gray(bytes(arith))
     with pytest.raises(ValueError, match="multiple-of-8"):
         encode_jpeg_gray(np.zeros((7, 8), np.uint8))
 
@@ -615,3 +624,120 @@ def test_jpeg_undefined_table_ids_raise_typed_error():
         p = i + 2
     with pytest.raises(ValueError, match="undefined Huffman"):
         decode_jpeg_gray(bytes(bad_dht))
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — round 7, the verdicts' ask #3. The strongest
+# oracle available without external libs: a progressive encoding carries the
+# SAME quantized coefficients as the baseline encoding of the same pixels,
+# so the two decodes must be bit-identical arrays — any scan-script,
+# EOB-run, refinement, or successive-approximation bug breaks equality.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_matches_baseline_gray():
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    for q in (100, 90, 50):
+        px = rng.randint(0, 256, (24, 32)).astype(np.uint8)
+        base = decode_jpeg_gray(encode_jpeg_gray(px, quality=q))
+        prog = decode_jpeg_gray(encode_jpeg_progressive(px, quality=q))
+        assert np.array_equal(base, prog), f"quality {q}"
+
+
+def test_jpeg_progressive_matches_baseline_color():
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.RandomState(11)
+    y = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+    for sampling in ((2, 2), (1, 1)):
+        ch, cw = 32 // sampling[1], 32 // sampling[0]
+        cb = rng.randint(0, 256, (ch, cw)).astype(np.uint8)
+        cr = rng.randint(0, 256, (ch, cw)).astype(np.uint8)
+        base = decode_jpeg_rgb(encode_jpeg_ycbcr(y, cb, cr, quality=85, sampling=sampling))
+        prog = decode_jpeg_rgb(encode_jpeg_progressive(y, cb, cr, quality=85, sampling=sampling))
+        assert np.array_equal(base, prog), f"sampling {sampling}"
+
+
+def test_jpeg_progressive_constant_exact_and_eobrun():
+    # constant pixels: every AC band is all-zero, so the AC first scans are
+    # pure EOB runs spanning all 80 blocks — EOBn accumulation (n > 15,
+    # extension bits) is load-bearing, and quality-100 DC preservation makes
+    # the roundtrip exact
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    const = np.full((64, 80), 137, np.uint8)
+    data = encode_jpeg_progressive(const, quality=100)
+    assert np.array_equal(decode_jpeg_gray(data), const)
+    # structural pin that EOB-run coding engaged: without EOBRUN, 80 all-EOB
+    # blocks x 4 AC scans would cost >= 320 8-bit symbols of entropy data;
+    # with EOBn accumulation each AC scan is ONE symbol + extension bits.
+    # Count entropy bytes = bytes between each SOS segment end and the next
+    # marker (all segment payloads excluded).
+    import struct as _s
+
+    entropy = 0
+    i = 2
+    while i + 4 <= len(data):
+        assert data[i] == 0xFF
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = _s.unpack(">H", data[i + 2 : i + 4])
+        i += 2 + seglen
+        if marker == 0xDA:  # entropy data follows until the next marker
+            start = i
+            while not (data[i] == 0xFF and data[i + 1] != 0x00):
+                i += 1
+            entropy += i - start
+    assert entropy < 60, f"EOB-run coding not engaged: {entropy} entropy bytes"
+
+
+def test_jpeg_progressive_header_and_feature_path():
+    # the header walker reports SOF2 dims, and the real-codec feature path
+    # (decode_gray_auto dispatch) decodes a progressive file end-to-end
+    from realestatedeals_spark.operators.multimodal import (
+        decode_gray_auto,
+        decode_image_header,
+        encode_jpeg_progressive,
+    )
+
+    px = (np.add.outer(np.arange(16) * 3, np.arange(24) * 7) % 256).astype(np.uint8)
+    data = encode_jpeg_progressive(px, quality=100)
+    assert decode_image_header(data) == ("jpeg", 24, 16)
+    out = decode_gray_auto(data)
+    assert out.shape == (16, 24)
+
+
+def test_jpeg_progressive_fuzz_typed_errors():
+    # single-byte corruption anywhere in a progressive stream must either
+    # decode (benign) or raise an error-row-typed exception — never an
+    # untyped crash (same policy as the baseline fuzz above)
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    data = bytearray(encode_jpeg_progressive(px, quality=90))
+    for _ in range(150):
+        mut = bytearray(data)
+        mut[rng.randint(2, len(mut))] = rng.randint(0, 256)
+        try:
+            decode_jpeg_gray(bytes(mut))
+        except (ValueError, NotImplementedError, IndexError, KeyError):
+            pass
