@@ -35,26 +35,36 @@ def main() -> None:
             failed[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED in warm-up: {failed[name]}", file=sys.stderr)
 
-    # Best-of-2 timed runs per query: the host shows 2-4× run-to-run noise
-    # under load, and the min of repeated full executions is the standard
-    # steady-state estimator (every timed run still executes the query
-    # end-to-end — nothing is cached between runs beyond the JVM warm-up).
+    # Best-of-3 timed runs per query (round-7 verdict task #4): the host
+    # shows 2-4× run-to-run noise under load, and single-shot timing cannot
+    # resolve a 1.4× delta on a 2-second query. min of repeated full
+    # executions is the standard steady-state estimator; the median is
+    # recorded alongside so a best/median gap flags a noisy measurement
+    # (every timed run still executes the query end-to-end — nothing is
+    # cached between runs beyond the JVM warm-up).
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, fn in bench_queries().items():
         if name in failed:
             continue
-        best, n = float("inf"), 0
+        runs: list[float] = []
+        n = 0
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
+                runs.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001
             failed[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED in timed run: {failed[name]}", file=sys.stderr)
             continue
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
+        print(
+            f"# {name}: {n} rows best={timings[name]}s median={medians[name]}s",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -66,6 +76,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {**timings, **{k: "error" for k in failed}},
+        "queries_median": medians,
+        "method": "warmup pass + best-of-3 per query; value = sum of bests",
         "sf": sf_val,
     }
     if failed:

@@ -116,25 +116,21 @@ def process_cdc_batch(
     applied = state.applied_epoch()
     if epoch_id is not None and applied is not None and epoch_id <= applied:
         # redelivery of a fully-applied batch (crash after swap, before
-        # the streaming engine committed the epoch): everything is on disk
-        ktype = dict(scrape.dtypes).get(state.key, "string")
-        return scrape.sparkSession.createDataFrame(
-            [],
-            f"{state.key} {ktype}, status string, old_price double, "
-            "new_price double, price_change_percentage double",
-        )
+        # the streaming engine committed the epoch): everything is on disk.
+        # The empty frame is derived from classify_cdc's ACTUAL plan on the
+        # batch's own schema — never a hardcoded DDL string, which would
+        # silently diverge (e.g. decimal price columns) from the real
+        # emission schema on the first skipped epoch (ADVICE round 6).
+        empty = next_snapshot(scrape, state.key).limit(0)
+        return classify_cdc(empty, empty, key=state.key, price=state.price)
     snapshot = state.load()
     scraped = next_snapshot(scrape, state.key)
     if snapshot is None:
-        emissions = scraped.select(
-            F.col(state.key),
-            F.lit("new_listing").alias("status"),
-            F.lit(None).cast("double").alias("old_price"),
-            F.col(state.price).cast("double").alias("new_price"),
-            F.lit(None).cast("double").alias("price_change_percentage"),
-        )
-    else:
-        emissions = classify_cdc(scraped, snapshot, key=state.key, price=state.price)
+        # first batch: classify against an EMPTY snapshot of the scrape's
+        # own schema — every row classifies new_listing through the same
+        # plan (and therefore the same output dtypes) as every later batch
+        snapshot = scraped.limit(0)
+    emissions = classify_cdc(scraped, snapshot, key=state.key, price=state.price)
     # pin emissions before the state swap: the plan reads the snapshot files
     # that replace() is about to rename, so late consumers would hit
     # FILE_NOT_EXIST without an eager checkpoint

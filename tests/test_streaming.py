@@ -421,3 +421,44 @@ def test_cdc_torn_batch_both_crash_sides_exactly_once(spark, tmp_path):
     )
     # state converged to the last cycle
     assert {r.mls for r in state.load().collect()} == {2, 3}
+
+
+def test_cdc_decimal_price_schema_consistent(spark, tmp_path):
+    """ADVICE round 6: the redelivery-skip empty frame used to hardcode
+    `old_price double, new_price double` — a decimal price column diverged
+    from classify_cdc's real emission schema on the first skipped epoch.
+    All three emission paths (first batch, steady-state classify, and the
+    redelivery skip) must now produce the SAME schema, derived from the
+    batch itself, for a non-double price column."""
+    from decimal import Decimal
+
+    state = CdcState(spark, str(tmp_path / "state"))
+    emit = str(tmp_path / "emit")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "mls string, price decimal(12,2)")
+
+    b1 = batch([("m1", Decimal("100.00")), ("m2", Decimal("200.00"))])
+    e1 = process_cdc_batch(b1, state, emit, epoch_id=0)
+    assert {r["mls"]: r["status"] for r in e1.collect()} == {
+        "m1": "new_listing",
+        "m2": "new_listing",
+    }
+
+    b2 = batch([("m1", Decimal("100.00")), ("m2", Decimal("250.00"))])
+    e2 = process_cdc_batch(b2, state, emit, epoch_id=1)
+    rows2 = {r["mls"]: r for r in e2.collect()}
+    assert rows2["m2"]["status"] == "price_change"
+
+    # redelivery of the already-applied epoch 1: empty, SAME schema
+    e_skip = process_cdc_batch(b2, state, emit, epoch_id=1)
+    assert e_skip.count() == 0
+    assert e_skip.schema == e2.schema == e1.schema, (
+        f"skip={e_skip.schema.simpleString()} "
+        f"steady={e2.schema.simpleString()} first={e1.schema.simpleString()}"
+    )
+    # price columns carry the decimal type through, not a silent double cast
+    dt = dict((f.name, f.dataType.simpleString()) for f in e_skip.schema.fields)
+    assert dt["old_price"] == dt["new_price"] == "decimal(12,2)", dt
+    # the emissions sink holds a single consistent schema across epochs
+    assert spark.read.parquet(emit).count() == 3
