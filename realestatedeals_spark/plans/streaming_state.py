@@ -97,3 +97,102 @@ def c4_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_C4_FUNNEL_ET_ORACLE = """
+WITH su AS (SELECT user_id, min(epoch_us(ts)) AS st FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+cl AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ct
+       FROM events e JOIN su USING (user_id)
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) >= su.st GROUP BY e.user_id),
+pu AS (SELECT e.user_id, min(epoch_us(e.ts)) AS pt
+       FROM events e JOIN cl USING (user_id)
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= cl.ct GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(coalesce(su.st, -1) AS BIGINT) AS s_us,
+       CAST(coalesce(cl.ct, -1) AS BIGINT) AS c_us,
+       CAST(coalesce(pu.pt, -1) AS BIGINT) AS p_us,
+       CAST(CASE WHEN pu.pt IS NOT NULL THEN 3 WHEN cl.ct IS NOT NULL THEN 2
+                 WHEN su.st IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN su USING (user_id) LEFT JOIN cl USING (user_id) LEFT JOIN pu USING (user_id)
+"""
+
+
+@register(
+    "c4_funnel_event_time",
+    oracle=_C4_FUNNEL_ET_ORACLE,
+    tags=("C4", "streaming", "state", "funnel"),
+)
+def c4_funnel_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time funnel under OUT-OF-ORDER arrival (round 7, verdict task
+    #6): events replay as four micro-batches with ~40% of rows
+    hash-jittered one ts-quartile early/late — intra-user cross-batch
+    disorder well inside the watermark slack. The watermark-buffered
+    operator (streaming/stateful.py:funnel_progress_event_time) finalizes
+    each user's complete prefix as the watermark advances and re-steps the
+    buffered suffix per emission, so the LAST emission per user is exact
+    over all their events and hash-matches the batch e6 stepping — the
+    retraction case the ordered-arrival funnel documents as out of scope.
+    """
+    from pyspark.sql import Window as W
+
+    from realestatedeals_spark.streaming.stateful import funnel_progress_event_time
+
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    q = F.ntile(4).over(W.orderBy("ts", "user_id", "event_type")) - 1
+    jit = F.xxhash64("user_id", "ts", "event_type") % 5
+    batch = F.greatest(
+        F.lit(0),
+        F.least(F.lit(3), q + F.when(jit == 0, -1).when(jit == 1, 1).otherwise(0)),
+    )
+    tiled = ev.withColumn("b", batch)
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
+    ).first()
+    delay_us = (bounds["hi"] - bounds["lo"]) // 2  # 2 quartile widths of slack
+
+    work = tempfile.mkdtemp(prefix="funnel_et_bench_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i in range(4):
+            d = os.path.join(in_dir, f"b{i}")
+            tiled.filter(F.col("b") == i).drop("b").coalesce(1).write.parquet(d)
+            for fname in os.listdir(d):
+                t = 1_700_000_000 + i * 10
+                os.utime(os.path.join(d, fname), (t, t))
+
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir + "/*")
+        )
+        out_dir = os.path.join(work, "out")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q2 = (
+            funnel_progress_event_time(stream, delay=f"{delay_us} microseconds")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+        emitted = spark.read.parquet(out_dir)
+        last = W.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+        result = (
+            emitted.withColumn("rn", F.row_number().over(last))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "s_us", "c_us", "p_us", "stage")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

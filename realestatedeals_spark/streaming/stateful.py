@@ -17,8 +17,10 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -148,7 +150,7 @@ def funnel_progress(events: DataFrame) -> DataFrame:
     Under out-of-order arrival it is conservative: a late-arriving earlier
     signup lowers ``s`` immediately, but clicks discarded by the old ``s``
     in prior batches are not re-observed — exactly the retraction problem
-    batch recomputation (e6_funnel) exists for.
+    ``funnel_progress_event_time`` solves with watermark-bounded buffering.
 
     Input columns: user_id, ts_us (epoch micros), event_type.
     """
@@ -162,4 +164,128 @@ def funnel_progress(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time funnel with retraction (round 7, verdict task #6): the ordered-
+# arrival assumption of funnel_progress replaced by watermark-bounded
+# per-user event buffering. Every emission is EXACT over all events seen so
+# far — a late-arriving earlier signup re-steps the whole suffix, so a
+# provisional stage can go DOWN (retraction) and the final emission equals
+# the batch e6 stepping under ANY within-watermark arrival permutation.
+# State is bounded: events below the watermark fold irrevocably into three
+# finalized longs (the sorted-prefix step is prefix-exact because post-
+# watermark arrivals can only carry later timestamps), and only the
+# in-flight suffix stays buffered — per-user state is O(event rate x
+# watermark delay), not O(history), the property that survives 100 TB.
+# ---------------------------------------------------------------------------
+
+FUNNEL_ET_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("s_us", LongType()),
+        StructField("c_us", LongType()),
+        StructField("p_us", LongType()),
+        StructField("stage", LongType()),
+        StructField("n_buffered", LongType()),
+    ]
+)
+
+_FUNNEL_ET_STATE = StructType(
+    [
+        StructField("s", LongType()),
+        StructField("c", LongType()),
+        StructField("p", LongType()),
+        StructField("buf_ts", ArrayType(LongType())),
+        StructField("buf_et", ArrayType(LongType())),
+    ]
+)
+
+_EVENT_CODE = {"signup": 1, "click": 2, "purchase": 3}
+
+
+def _step_funnel(s: int, c: int, p: int, pairs: list[tuple[int, int]]) -> tuple[int, int, int]:
+    """Step the e6 semantics over (ts, code) pairs sorted by (ts, code):
+    earliest signup, earliest click at-or-after it, earliest purchase
+    at-or-after that. Sorting codes within equal timestamps keeps the
+    at-or-after ties (click == signup ts) identical to the batch query."""
+    for t, e in pairs:
+        if e == 1:
+            if s == _ABSENT:
+                s = t
+        elif e == 2:
+            if c == _ABSENT and s != _ABSENT and t >= s:
+                c = t
+        elif e == 3:
+            if p == _ABSENT and c != _ABSENT and t >= c:
+                p = t
+    return s, c, p
+
+
+def _update_funnel_event_time(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        s, c, p, buf_ts, buf_et = state.get
+        buf = list(zip(buf_ts, buf_et))
+    else:
+        s, c, p, buf = _ABSENT, _ABSENT, _ABSENT, []
+    for pdf in pdfs:
+        for t, e in zip(pdf["ts_us"], pdf["event_type"]):
+            code = _EVENT_CODE.get(e)
+            if code:
+                buf.append((int(t), code))
+    buf.sort()
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    # finalize the complete prefix: rows with ts < watermark can never be
+    # joined by later arrivals (Spark drops them as late), so folding them
+    # into (s, c, p) in sorted order is exact and irrevocable
+    n_final = 0
+    while n_final < len(buf) and buf[n_final][0] < wm_us:
+        n_final += 1
+    s, c, p = _step_funnel(s, c, p, buf[:n_final])
+    buf = buf[n_final:]
+    state.update((s, c, p, [t for t, _ in buf], [e for _, e in buf]))
+    # provisional view = finalized prefix + buffered suffix: exact over
+    # every event seen so far, retractions included
+    ps, pc, pp = _step_funnel(s, c, p, buf)
+    stage = 3 if pp != _ABSENT else (2 if pc != _ABSENT else (1 if ps != _ABSENT else 0))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "s_us": [ps],
+            "c_us": [pc],
+            "p_us": [pp],
+            "stage": [stage],
+            "n_buffered": [len(buf)],
+        }
+    )
+
+
+def funnel_progress_event_time(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Event-time funnel over an out-of-order stream: per-user funnel stage
+    with watermark-bounded buffering and exact retraction semantics.
+
+    ``events`` must carry ``user_id``, a TimestampType ``ts`` (the
+    watermark column), and ``event_type``. Arrival order within the
+    ``delay`` slack is irrelevant: every emission equals the batch
+    ``e6_funnel`` stepping over all events received so far, and the final
+    emission per user hash-matches the full batch computation. Events
+    later than ``delay`` are dropped by the engine (the standard watermark
+    contract) — the bound that keeps per-user state finite.
+
+    ``ts_us`` is derived JVM-side with ``unix_micros`` (tz-proof) before
+    the state function; the raw ``ts`` column rides along only to carry
+    the watermark."""
+    ev = events.withWatermark("ts", delay).select(
+        "user_id", "ts", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _update_funnel_event_time,
+        outputStructType=FUNNEL_ET_OUTPUT,
+        stateStructType=_FUNNEL_ET_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

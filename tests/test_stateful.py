@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -166,3 +168,124 @@ def test_funnel_progress_matches_batch_funnel(spark, sf_dir, tmp_path):
             2 if r["c"] is not None else (1 if r["s"] is not None else 0)
         )
     assert got == want
+
+
+def test_funnel_event_time_chaos_permuted_arrival(spark, sf_dir, tmp_path):
+    """Round-7 verdict task #6: permute intra-user arrival across
+    micro-batches (events jittered ±1 ts-quartile, well inside the
+    watermark slack) and the event-time funnel must STILL land every user
+    on the batch e6 stepping — the retraction case funnel_progress's
+    ordered-arrival assumption cannot handle. A final far-future sentinel
+    pair of batches then advances the watermark past all real events and
+    every user's buffer must drain to zero (state boundedness is real, not
+    an unexercised claim)."""
+    from pyspark.sql.types import StringType, TimestampType
+
+    from realestatedeals_spark.io.sources import load_events
+    from realestatedeals_spark.streaming.stateful import funnel_progress_event_time
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+
+    # deterministic chaos: base batch = ts-quartile, then ~40% of events
+    # jump one batch earlier/later by hash — intra-user cross-batch disorder
+    from pyspark.sql import Window as W
+
+    q = F.ntile(4).over(W.orderBy("ts", "user_id", "event_type")) - 1
+    jit = F.xxhash64("user_id", "ts", "event_type") % 5
+    batch = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(3),
+            q + F.when(jit == 0, -1).when(jit == 1, 1).otherwise(0),
+        ),
+    )
+    tiled = ev.withColumn("b", batch)
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
+    ).first()
+    delay_us = (bounds["hi"] - bounds["lo"]) // 2  # 2 quartile widths of slack
+    for i in range(4):
+        tiled.filter(F.col("b") == i).drop("b").coalesce(1).write.parquet(f"{src}/b{i}")
+        t = 1_700_000_000 + i * 10
+        for fname in os.listdir(f"{src}/b{i}"):
+            os.utime(os.path.join(f"{src}/b{i}", fname), (t, t))
+    # two sentinel batches per user (flush rows carry an ignored event_type):
+    # the first advances the watermark past every real event, the second
+    # re-invokes each group under that watermark so buffers finalize
+    users = ev.select("user_id").distinct()
+    for i, off in ((4, 10), (5, 20)):
+        users.select(
+            "user_id",
+            F.timestamp_micros(F.lit(bounds["hi"] + delay_us * 2 + off)).alias("ts"),
+            F.lit("flush").alias("event_type"),
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+        t = 1_700_000_000 + i * 10
+        for fname in os.listdir(f"{src}/b{i}"):
+            os.utime(os.path.join(f"{src}/b{i}", fname), (t, t))
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src + "/*")
+
+    def sink(batch_df, epoch_id):
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+    q2 = (
+        funnel_progress_event_time(stream, delay=f"{delay_us} microseconds")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+
+    got = {}
+    for r in sorted(spark.read.parquet(out).collect(), key=lambda r: r["epoch"]):
+        got[r["user_id"]] = r
+
+    # batch oracle: e6 stepping on the full data per user (s/c/p AND stage)
+    evu = ev.select("user_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    w = W.partitionBy("user_id")
+    s = F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(w)
+    b = evu.withColumn("s", s)
+    c = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts_us") >= F.col("s")), F.col("ts_us"))
+    ).over(w)
+    b = b.withColumn("c", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") >= F.col("c")), F.col("ts_us")
+        )
+    ).over(w)
+    want = {
+        r["user_id"]: r
+        for r in b.withColumn("p", p)
+        .groupBy("user_id")
+        .agg(F.first("s").alias("s"), F.first("c").alias("c"), F.first("p").alias("p"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    n_retracted = 0
+    for uid, wrow in want.items():
+        g = got[uid]
+        for col, key in (("s_us", "s"), ("c_us", "c"), ("p_us", "p")):
+            expect = wrow[key] if wrow[key] is not None else -1
+            assert g[col] == expect, f"user {uid} {col}: {g[col]} != {expect}"
+        assert g["n_buffered"] == 0, f"user {uid} buffer not drained: {g['n_buffered']}"
+    # the chaos must actually have exercised disorder: at least one user's
+    # intermediate emission differed from its final stage (a retraction or
+    # late upgrade), else the permutation was vacuous
+    inter = {}
+    for r in sorted(spark.read.parquet(out).collect(), key=lambda r: r["epoch"]):
+        uid = r["user_id"]
+        if uid in inter and inter[uid] != r["stage"]:
+            n_retracted += 1
+        inter[uid] = r["stage"]
+    assert n_retracted > 0, "permutation never changed any provisional stage"
