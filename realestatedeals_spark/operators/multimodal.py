@@ -224,23 +224,57 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
     )
 
 
-def image_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+def decode_gray_pil(data: bytes) -> np.ndarray:
+    """Native-library decode at the SAME seam as the in-repo codecs: any
+    callable ``bytes -> (H, W) uint8`` plugs into ``image_features(...,
+    codec=...)``. This one is backed by Pillow when it is installed
+    (``pip install pillow`` on the cluster image); importing lazily keeps
+    the module import-clean in codec-less containers, and the
+    pixel-equivalence test in tests/test_multimodal.py is skip-gated on
+    the import. PNG/GIF decode bit-identically to the stdlib codecs;
+    JPEG may differ by ±2 gray levels (libjpeg's integer IDCT vs the exact
+    float IDCT here) — the equivalence test pins both bounds."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 - optional native dependency
+
+    img = Image.open(io.BytesIO(data))
+    if img.mode in ("L", "P", "1"):
+        return np.asarray(img.convert("L"), dtype=np.uint8)
+    # color JPEG: PIL "L" applies the 601 luma transform to the RGB output;
+    # the in-repo decoder returns the Y plane directly — same definition
+    return np.asarray(img.convert("YCbCr"), dtype=np.uint8)[:, :, 0]
+
+
+def image_features(
+    media: DataFrame, use_real_codec: bool = False, codec=None
+) -> DataFrame:
     """Decode + feature-extract per image, Arrow-batched.
 
     ``use_real_codec=True`` runs the REAL stdlib decoders above — PNG
-    (zlib inflate + scanline unfilter), GIF (LZW + palette), or baseline
-    grayscale JPEG (Huffman + dequantize + IDCT), dispatched on magic
-    bytes — and emits pixel statistics [n_px, mean, std, min, max,
-    px_sum, row0_mean, col0_mean]; bytes with no container-feasible codec
-    (MP3/AAC, progressive JPEG) yield null features (dims still come
-    from ``decode_media_meta``). The
-    default path derives a deterministic ``_FEATURE_DIM``-float vector from
-    the content hash — FAKE values, real plumbing (batch iteration, schema,
-    null handling). Output: media_id, n_bytes, features array<float>.
+    (zlib inflate + scanline unfilter), GIF (LZW + palette), or grayscale
+    JPEG (baseline AND progressive: Huffman + dequantize + IDCT),
+    dispatched on magic bytes — and emits pixel statistics [n_px, mean,
+    std, min, max, px_sum, row0_mean, col0_mean]; bytes with no
+    container-feasible codec (MP3/AAC) yield null features (dims still
+    come from ``decode_media_meta``).
+
+    ``codec`` is the NATIVE-CODEC SEAM (round 7, verdict task #7): any
+    ``bytes -> (H, W) ndarray`` callable (e.g. ``decode_gray_pil``, or a
+    cv2/libjpeg-turbo wrapper) replaces the stdlib dispatch with zero
+    plan changes — the callable is serialized into the same mapInPandas
+    stage, so swapping codecs never touches partitioning, schema, or
+    batch shape. Passing ``codec`` implies the real-codec path.
+
+    The default path derives a deterministic ``_FEATURE_DIM``-float vector
+    from the content hash — FAKE values, real plumbing (batch iteration,
+    schema, null handling). Output: media_id, n_bytes, features
+    array<float>.
     """
+    decode = codec if codec is not None else decode_gray_auto
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if use_real_codec:
+        if use_real_codec or codec is not None:
             for pdf in batches:
                 ids, nbytes, feats = [], [], []
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -248,7 +282,7 @@ def image_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
                     b = bytes(content) if content is not None else b""
                     nbytes.append(len(b))
                     try:
-                        px = decode_gray_auto(b).astype(np.float64)
+                        px = decode(b).astype(np.float64)
                     except (ValueError, NotImplementedError, zlib.error, IndexError):
                         feats.append(None)
                         continue

@@ -741,3 +741,85 @@ def test_jpeg_progressive_fuzz_typed_errors():
             decode_jpeg_gray(bytes(mut))
         except (ValueError, NotImplementedError, IndexError, KeyError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# Native-codec seam (round 7, verdict task #7): image_features(codec=...)
+# accepts ANY bytes -> ndarray callable in place of the stdlib dispatch —
+# same mapInPandas stage, schema, partitioning, and batch shape. Proven two
+# ways: an injected alternative codec (runs everywhere), and Pillow
+# pixel-equivalence (skip-gated on the optional native dependency).
+# ---------------------------------------------------------------------------
+
+
+def test_native_codec_seam_injection(spark):
+    """Swap the codec with an injected callable and prove the SEAM carries
+    it: features must reflect the injected decoder's pixels (here: the
+    in-repo decode bit-inverted), not the stdlib path — byte-identical
+    plan, different codec, different (predictable) numbers."""
+    from realestatedeals_spark.operators.multimodal import (
+        decode_gray_auto,
+        encode_png_gray,
+        image_features,
+    )
+
+    px = (np.add.outer(np.arange(16) * 5, np.arange(16) * 3) % 251).astype(np.uint8)
+    rows = [(1, bytearray(encode_png_gray(px)))]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    def inverted_codec(b: bytes) -> np.ndarray:
+        return 255 - decode_gray_auto(b)
+
+    ours = image_features(media, use_real_codec=True).collect()[0]["features"]
+    theirs = image_features(media, codec=inverted_codec).collect()[0]["features"]
+    assert abs(ours[5] - float(px.sum())) < 1e-3  # stdlib px_sum
+    assert abs(theirs[5] - float((255 - px.astype(np.int64)).sum())) < 1e-3
+    assert abs((ours[1] + theirs[1]) - 255.0) < 1e-9  # means are complements
+
+
+def test_pil_codec_pixel_equivalence(spark):
+    """Pillow at the same seam: PNG/GIF decode BIT-IDENTICALLY to the
+    in-repo codecs; JPEG (baseline and progressive) within ±2 gray levels
+    (libjpeg integer IDCT vs exact float IDCT). Skip-gated on the optional
+    native dependency; CI images with pillow run it for real."""
+    import pytest
+
+    pil = pytest.importorskip("PIL")  # noqa: F841
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_gray_auto,
+        decode_gray_pil,
+        encode_gif_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_png_gray,
+        image_features,
+    )
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (24, 32)).astype(np.uint8)
+    lossless = {
+        "png": encode_png_gray(px),
+        "gif": encode_gif_gray(px),
+    }
+    for fmt, data in lossless.items():
+        ours = decode_gray_auto(data)
+        native = decode_gray_pil(data)
+        assert np.array_equal(ours, native), fmt
+    for fmt, data in {
+        "jpeg-baseline": encode_jpeg_gray(px, quality=90),
+        "jpeg-progressive": encode_jpeg_progressive(px, quality=90),
+    }.items():
+        ours = decode_gray_auto(data).astype(np.int64)
+        native = decode_gray_pil(data).astype(np.int64)
+        assert ours.shape == native.shape, fmt
+        assert np.abs(ours - native).max() <= 2, fmt
+
+    # end-to-end through the Spark seam: PIL-backed features on lossless
+    # content equal the in-repo codec's features exactly
+    media = spark.createDataFrame(
+        [(1, bytearray(lossless["png"]))], "media_id long, content binary"
+    )
+    ours = image_features(media, use_real_codec=True).collect()[0]["features"]
+    native = image_features(media, codec=decode_gray_pil).collect()[0]["features"]
+    assert ours == native
