@@ -249,3 +249,40 @@ def test_incremental_minhash_never_signs_history(spark):
     # against corpus text rejects it; doc 1 verifies. History text was only
     # consulted for the two candidate ids.
     assert got == {(1, 10)}
+
+
+def test_winnow_cap_load_bearing_on_boilerplate_corpus(spark, tmp_path):
+    """Round-7 verdict task #8: on a template-contaminated corpus
+    (tools/gen_scale.py --boilerplate: ~30% of docs share one of three
+    28-token header+footer templates) the 2% stop-fingerprint cap of
+    x2_winnow_overlap_capped must actually engage — hot template
+    fingerprints crossed the cap nowhere on the clean fixtures, so the
+    capped form was pure cost until now. Pins: (a) fingerprints cross the
+    cap, (b) uncapped output drowns in boilerplate-only pairs while capped
+    output keeps only true-copy pairs, (c) capped pairs are a subset of
+    uncapped (the cap only removes, never invents)."""
+    from pyspark.sql import functions as F
+
+    from realestatedeals_spark.plans.llm_text import (
+        _winnow_fingerprints,
+        x2_winnow_overlap,
+        x2_winnow_overlap_capped,
+    )
+    from tools.gen_scale import generate
+
+    d = str(tmp_path / "boiler")
+    generate(0.02, d, boilerplate=True)  # 1000 docs, ~300 templated
+
+    docs = spark.read.parquet(d + "/documents.parquet")
+    n = docs.count()
+    fp = _winnow_fingerprints(docs)
+    hot = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") * 50 > n)
+    n_hot = hot.count()
+    assert n_hot > 0, "boilerplate corpus produced no over-cap fingerprints"
+
+    capped = {(r["doc_a"], r["doc_b"]) for r in x2_winnow_overlap_capped(spark, d).collect()}
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in x2_winnow_overlap(spark, d).collect()}
+    assert capped <= uncapped
+    assert len(uncapped) > 10 * max(len(capped), 1), (
+        f"cap not load-bearing: {len(capped)} capped vs {len(uncapped)} uncapped"
+    )

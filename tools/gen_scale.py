@@ -46,7 +46,15 @@ def _write(outdir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def generate(sf: float, outdir: str, seed: int = 42) -> None:
+def generate(sf: float, outdir: str, seed: int = 42, boilerplate: bool = False) -> None:
+    """``boilerplate=True`` (round-7 verdict task #8) contaminates ~30% of
+    documents with one of three shared 28-token site templates (header AND
+    footer) — the corpus shape real web scrapes have and the plain
+    generator lacks. On such a corpus the winnowing fingerprints of the
+    templates are held by ~10% of all documents, far past the 2% MOSS cap,
+    making ``x2_winnow_overlap_capped``'s stop-fingerprint prune
+    load-bearing: the uncapped overlap self-join explodes on the template
+    posting lists while the capped form prunes them before the shuffle."""
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
     n_cust = int(150_000 * sf)
@@ -157,6 +165,16 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
             texts[i + 1] = " ".join(toks)
     for i in rng.integers(0, n_docs - 1, int(n_docs * 0.002)):
         texts[i + 1] = texts[i]
+    if boilerplate:
+        tmpl_rng = np.random.default_rng(7)
+        templates = [
+            " ".join(np.array(VOCAB)[tmpl_rng.integers(0, len(VOCAB), 28)])
+            for _ in range(3)
+        ]
+        for i in range(n_docs):
+            if i % 10 < 3:  # 30% of docs carry a shared header+footer
+                t = templates[i % 3]
+                texts[i] = f"{t} {texts[i]} {t}"
     _write(outdir, "documents", pa.table({
         "doc_id": pa.array(range(n_docs), pa.int64()),
         "text": texts,
@@ -186,12 +204,17 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    args = [a for a in sys.argv[1:] if a != "--boilerplate"]
+    boiler = "--boilerplate" in sys.argv[1:]
+    sf = float(args[0]) if args else 1.0
     out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          ".scaledata", f"sf{sf}")
+        args[1]
+        if len(args) > 1
+        else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scaledata",
+            f"sf{sf}" + ("-boiler" if boiler else ""),
+        )
     )
-    print(f"generating sf={sf} -> {out}")
-    generate(sf, out)
+    print(f"generating sf={sf} boilerplate={boiler} -> {out}")
+    generate(sf, out, boilerplate=boiler)
