@@ -588,14 +588,29 @@ def _lzw_decompress_gif(data: bytes, min_code_size: int = 8) -> bytes:
     return bytes(out)
 
 
-def encode_gif_gray(pixels: np.ndarray) -> bytes:
+def _gif_interlace_rows(h: int) -> list[int]:
+    """GIF89a Appendix E four-pass interlace row order: rows 0,8,16,… then
+    4,12,…, then 2,6,10,…, then the odd rows."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def encode_gif_gray(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """Minimal REAL grayscale GIF89a encoder: 256-entry grayscale palette +
-    one LZW-compressed image. Output opens in any GIF viewer."""
+    one LZW-compressed image (optionally four-pass interlaced — the
+    progressive-rendering layout dial-up-era GIFs and many generators
+    still emit). Output opens in any GIF viewer."""
     h, w = pixels.shape
     px = pixels.astype(np.uint8)
+    if interlace:
+        px = px[_gif_interlace_rows(h)]
     head = b"GIF89a" + _struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])  # GCT, 256 colors
     palette = bytes(v for i in range(256) for v in (i, i, i))
-    img_desc = b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    img_desc = b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + bytes([0x40 if interlace else 0x00])
     lzw = _lzw_compress_gif(px.tobytes())
     blocks = bytearray([8])  # LZW minimum code size
     for i in range(0, len(lzw), 255):
@@ -606,8 +621,9 @@ def encode_gif_gray(pixels: np.ndarray) -> bytes:
 
 
 def decode_gif_gray(data: bytes) -> np.ndarray:
-    """REAL GIF decoder (grayscale-palette images, no interlace): header +
-    palette walk, extension skip, LZW decompress, palette lookup."""
+    """REAL GIF decoder (grayscale-palette images, incl. four-pass
+    interlace): header + palette walk, extension skip, LZW decompress,
+    palette lookup, interlace row de-permutation."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h = _struct.unpack("<HH", data[6:10])
@@ -633,8 +649,7 @@ def decode_gif_gray(data: bytes) -> np.ndarray:
                 n = 2 << (lflags & 7)
                 palette = data[pos : pos + 3 * n]
                 pos += 3 * n
-            if lflags & 0x40:
-                raise NotImplementedError("interlaced GIF")
+            interlaced = bool(lflags & 0x40)
             mcs = data[pos]
             pos += 1
             lzw = bytearray()
@@ -649,7 +664,12 @@ def decode_gif_gray(data: bytes) -> np.ndarray:
                 raise ValueError("GIF without palette")
             pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
             gray = pal[idx[: iw * ih], 0]  # grayscale palette: r==g==b
-            return gray.reshape(ih, iw)
+            gray = gray.reshape(ih, iw)
+            if interlaced:
+                out = np.empty_like(gray)
+                out[_gif_interlace_rows(ih)] = gray
+                return out
+            return gray
         elif b0 == 0x3B:
             break
         else:
@@ -1270,6 +1290,7 @@ def encode_jpeg_progressive(
     cr: np.ndarray | None = None,
     quality: int = 100,
     sampling: tuple[int, int] = (2, 2),
+    restart_interval: int | None = None,
 ) -> bytes:
     """REAL progressive (SOF2) JPEG encoder — grayscale (``cb``/``cr``
     None) or interleaved-DC YCbCr color — using libjpeg's default
@@ -1327,6 +1348,7 @@ def encode_jpeg_progressive(
     mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
 
     body = bytearray()
+    rst = 0
     for comp_idxs, ss, se, ah, al in scans:
         ns = len(comp_idxs)
         sos = bytes([ns])
@@ -1336,29 +1358,41 @@ def encode_jpeg_progressive(
         body += _jpeg_seg(0xDA, sos)
         bw = _BitWriter()
         state = {"eobrun": 0, "be": []}
-        if ss == 0 and ah == 0:  # DC first scan (interleaved over MCUs)
-            preds = {i: 0 for i in comp_idxs}
-            if ns == 1:
-                c = comps[comp_idxs[0]]
-                units = [
-                    [(comp_idxs[0], by, bx)]
-                    for by in range(c["coef"].shape[0])
-                    for bx in range(c["coef"].shape[1])
-                ]
-            else:
-                units = []
-                for my in range(mcuy):
-                    for mx in range(mcux):
-                        unit = []
-                        for i in comp_idxs:
-                            c = comps[i]
-                            for v in range(c["v"]):
-                                for hh in range(c["h"]):
-                                    unit.append((i, my * c["v"] + v, mx * c["h"] + hh))
-                        units.append(unit)
-            for unit in units:
-                for i, by, bx in unit:
-                    val = int(comps[i]["coef"][by, bx, 0]) >> al
+        preds = {i: 0 for i in comp_idxs}
+        # coded units mirror the decoder: one MCU per unit for interleaved
+        # DC scans, one block per unit otherwise — the restart interval
+        # counts units, exactly as DRI specifies
+        if ss == 0 and ns > 1:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for i in comp_idxs:
+                        c = comps[i]
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                unit.append((i, my * c["v"] + v, mx * c["h"] + hh))
+                    units.append(unit)
+        else:
+            c = comps[comp_idxs[0]]
+            units = [
+                [(comp_idxs[0], by, bx)]
+                for by in range(c["coef"].shape[0])
+                for bx in range(c["coef"].shape[1])
+            ]
+        for ui, unit in enumerate(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                _emit_eobrun(bw, ac_codes, state)
+                if bw.nbits:  # byte-align with 1-bits, then raw RST marker
+                    bw.put((1 << (8 - bw.nbits)) - 1, 8 - bw.nbits)
+                bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = {i: 0 for i in comp_idxs}
+                state = {"eobrun": 0, "be": []}
+            for i, by, bx in unit:
+                zz = comps[i]["coef"][by, bx]
+                if ss == 0 and ah == 0:  # DC first
+                    val = int(zz[0]) >> al
                     diff = val - preds[i]
                     preds[i] = val
                     size = _jpeg_category(diff)
@@ -1366,23 +1400,13 @@ def encode_jpeg_progressive(
                     bw.put(code, length)
                     if size:
                         bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
-        elif ss == 0:  # DC refinement: one raw bit per block, same order
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    for i in comp_idxs:
-                        c = comps[i]
-                        for v in range(c["v"]):
-                            for hh in range(c["h"]):
-                                bw.put((int(c["coef"][my * c["v"] + v, mx * c["h"] + hh, 0]) >> al) & 1, 1)
-        else:  # AC scans: non-interleaved by spec
-            c = comps[comp_idxs[0]]
-            for by in range(c["coef"].shape[0]):
-                for bx in range(c["coef"].shape[1]):
-                    if ah == 0:
-                        _encode_ac_first_block(bw, ac_codes, c["coef"][by, bx], ss, se, al, state)
-                    else:
-                        _encode_ac_refine_block(bw, ac_codes, c["coef"][by, bx], ss, se, al, state)
-            _emit_eobrun(bw, ac_codes, state)
+                elif ss == 0:  # DC refinement: one raw bit per block
+                    bw.put((int(zz[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _encode_ac_first_block(bw, ac_codes, zz, ss, se, al, state)
+                else:
+                    _encode_ac_refine_block(bw, ac_codes, zz, ss, se, al, state)
+        _emit_eobrun(bw, ac_codes, state)
         body += bw.flush()
 
     dqt = _jpeg_seg(0xDB, b"\x00" + bytes(int(ql.reshape(64)[_JPEG_ZIGZAG][i]) for i in range(64)))
@@ -1399,7 +1423,10 @@ def encode_jpeg_progressive(
         + b"\x10" + bytes(_JPEG_PROG_AC[0]) + bytes(_JPEG_PROG_AC[1]),
     )
     app0 = _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return b"\xff\xd8" + app0 + dqt + sof + dht + bytes(body) + b"\xff\xd9"
+    dri = (
+        _jpeg_seg(0xDD, _struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
+    return b"\xff\xd8" + app0 + dqt + sof + dht + dri + bytes(body) + b"\xff\xd9"
 
 
 def _decode_jpeg_planes(data: bytes):
@@ -1432,12 +1459,17 @@ def _decode_jpeg_planes(data: bytes):
             p = 0
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
+                if pq == 0:  # 8-bit entries
+                    vals = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
+                    p += 65
+                elif pq == 1:  # 16-bit big-endian entries (T.81 B.2.4.1)
+                    vals = np.frombuffer(payload[p + 1 : p + 129], ">u2")
+                    p += 129
+                else:
+                    raise ValueError(f"bad JPEG quant precision {pq}")
                 tbl = np.zeros(64, np.int64)
-                tbl[_JPEG_ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
+                tbl[_JPEG_ZIGZAG] = vals.astype(np.int64)
                 qtables[tq] = tbl.reshape(8, 8)
-                p += 65
         elif marker == 0xC2:
             return _decode_jpeg_progressive(data)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1693,12 +1725,17 @@ def _decode_jpeg_progressive(data: bytes):
             p = 0
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
+                if pq == 0:  # 8-bit entries
+                    vals = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
+                    p += 65
+                elif pq == 1:  # 16-bit big-endian entries (T.81 B.2.4.1)
+                    vals = np.frombuffer(payload[p + 1 : p + 129], ">u2")
+                    p += 129
+                else:
+                    raise ValueError(f"bad JPEG quant precision {pq}")
                 tbl = np.zeros(64, np.int64)
-                tbl[_JPEG_ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
+                tbl[_JPEG_ZIGZAG] = vals.astype(np.int64)
                 qtables[tq] = tbl.reshape(8, 8)
-                p += 65
         elif marker == 0xC4:
             p = 0
             while p < len(payload):

@@ -823,3 +823,80 @@ def test_pil_codec_pixel_equivalence(spark):
     ours = image_features(media, use_real_codec=True).collect()[0]["features"]
     native = image_features(media, codec=decode_gray_pil).collect()[0]["features"]
     assert ours == native
+
+
+def test_gif_interlaced_roundtrip():
+    # four-pass GIF89a interlace (Appendix E): encode interlaced, decode must
+    # de-permute rows exactly; previously a NotImplementedError boundary
+    from realestatedeals_spark.operators.multimodal import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    rng = np.random.default_rng(13)
+    for shape in [(8, 8), (1, 5), (2, 7), (17, 33), (64, 48)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        plain = encode_gif_gray(px)
+        inter = encode_gif_gray(px, interlace=True)
+        assert inter != plain  # the layout genuinely differs on disk
+        assert np.array_equal(decode_gif_gray(inter), px), shape
+        assert np.array_equal(decode_gif_gray(plain), px), shape
+
+
+def test_jpeg_16bit_quant_tables():
+    # rewrite a real file's DQT to 16-bit precision (same values): decode
+    # must be identical; previously a NotImplementedError boundary
+    import struct
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(17)
+    px = rng.randint(0, 256, (16, 24)).astype(np.uint8)
+    for encoder in (encode_jpeg_gray, encode_jpeg_progressive):
+        data = bytearray(encoder(px, quality=90))
+        i = bytes(data).index(b"\xff\xdb")
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        assert seglen == 67  # one 8-bit table: 2 len + 1 pqtq + 64
+        pqtq = data[i + 4]
+        vals = bytes(data[i + 5 : i + 5 + 64])
+        wide = struct.pack(">H", 2 + 1 + 128) + bytes([(1 << 4) | (pqtq & 0x0F)])
+        wide += b"".join(struct.pack(">H", v) for v in vals)
+        data16 = bytes(data[:i + 2]) + wide + bytes(data[i + 2 + seglen:])
+        assert np.array_equal(decode_jpeg_gray(data16), decode_jpeg_gray(bytes(data))), (
+            encoder.__name__
+        )
+
+
+def test_jpeg_progressive_restart_intervals():
+    # DRI in progressive scans: segment switching + DC-pred/EOB-run reset in
+    # every scan type must reproduce the baseline decode bit-exactly, for
+    # gray and color, across interval sizes (1 = reset at every unit)
+    from realestatedeals_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.RandomState(7)
+    for q in (100, 85):
+        for ri in (1, 3, 7):
+            px = rng.randint(0, 256, (40, 48)).astype(np.uint8)
+            base = decode_jpeg_gray(encode_jpeg_gray(px, quality=q))
+            prog = decode_jpeg_gray(
+                encode_jpeg_progressive(px, quality=q, restart_interval=ri)
+            )
+            assert np.array_equal(base, prog), (q, ri)
+    y = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+    cb = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    cr = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    base = decode_jpeg_rgb(encode_jpeg_ycbcr(y, cb, cr, quality=85, sampling=(2, 2)))
+    prog = decode_jpeg_rgb(
+        encode_jpeg_progressive(y, cb, cr, quality=85, sampling=(2, 2), restart_interval=2)
+    )
+    assert np.array_equal(base, prog)
