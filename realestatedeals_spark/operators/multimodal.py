@@ -97,12 +97,36 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png_gray(pixels: np.ndarray) -> bytes:
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_PNG_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def encode_png_gray(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """Minimal REAL grayscale-8 PNG encoder: IHDR + one zlib IDAT with
-    filter-0 scanlines + IEND. Output opens in any PNG viewer."""
+    filter-0 scanlines + IEND (optionally Adam7 interlaced: seven pass
+    sub-images, each with its own filter bytes). Output opens in any PNG
+    viewer."""
     h, w = pixels.shape
-    raw = b"".join(b"\x00" + pixels[r].astype(np.uint8).tobytes() for r in range(h))
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    px = pixels.astype(np.uint8)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue  # empty pass contributes no scanlines (spec)
+            parts += [b"\x00" + sub[r].tobytes() for r in range(sub.shape[0])]
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -138,12 +162,15 @@ def _unfilter_scanline(ft: int, line: np.ndarray, prev: np.ndarray, bpp: int) ->
 
 
 def decode_png_gray(data: bytes) -> np.ndarray:
-    """REAL PNG decoder for 8-bit grayscale, all five scanline filters:
-    walks chunks, inflates IDAT, unfilters. Raises on non-grayscale color
-    types (plug point for RGB support — same unfilter, bpp=3)."""
+    """REAL PNG decoder for 8-bit grayscale, all five scanline filters and
+    both interlace methods (progressive Adam7 incl.): walks chunks,
+    inflates IDAT, unfilters each pass, scatters interlaced passes back
+    onto the pixel grid. Raises on non-grayscale color types (plug point
+    for RGB support — same unfilter, bpp=3)."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, w, h = 8, None, None
+    interlace = 0
     idat = b""
     while pos < len(data):
         (length,) = _struct.unpack(">I", data[pos : pos + 4])
@@ -151,10 +178,10 @@ def decode_png_gray(data: bytes) -> np.ndarray:
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
             w, h, depth, color, _, _, interlace = _struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or color != 0 or interlace != 0:
+            if depth != 8 or color != 0 or interlace not in (0, 1):
                 raise NotImplementedError(
                     f"PNG depth={depth} color={color} interlace={interlace}: only "
-                    "8-bit non-interlaced grayscale decoded here (bpp=1)"
+                    "8-bit grayscale (plain or Adam7) decoded here (bpp=1)"
                 )
         elif tag == b"IDAT":
             idat += payload
@@ -163,12 +190,34 @@ def decode_png_gray(data: bytes) -> np.ndarray:
         pos += 12 + length
     if w is None or h is None:
         raise ValueError("PNG missing IHDR chunk")
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w + 1)
+    flat = np.frombuffer(zlib.decompress(idat), np.uint8)
+
+    def unfilter(raw: np.ndarray, pw: int, ph: int) -> np.ndarray:
+        rows = raw.reshape(ph, pw + 1)
+        out = np.zeros((ph, pw), np.int32)
+        prev = np.zeros(pw, np.int32)
+        for r in range(ph):
+            prev = _unfilter_scanline(int(rows[r, 0]), rows[r, 1:], prev, bpp=1)
+            out[r] = prev
+        return out
+
+    if interlace == 0:
+        if flat.size < h * (w + 1):
+            raise ValueError("short PNG pixel data")
+        return unfilter(flat[: h * (w + 1)], w, h).astype(np.uint8)
+    # Adam7: seven independent sub-images, each with its own filter context
     out = np.zeros((h, w), np.int32)
-    prev = np.zeros(w, np.int32)
-    for r in range(h):
-        prev = _unfilter_scanline(int(raw[r, 0]), raw[r, 1:], prev, bpp=1)
-        out[r] = prev
+    off = 0
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        need = ph * (pw + 1)
+        if off + need > flat.size:
+            raise ValueError("short PNG pixel data")
+        out[y0::dy, x0::dx] = unfilter(flat[off : off + need], pw, ph)
+        off += need
     return out.astype(np.uint8)
 
 

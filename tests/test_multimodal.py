@@ -900,3 +900,22 @@ def test_jpeg_progressive_restart_intervals():
         encode_jpeg_progressive(y, cb, cr, quality=85, sampling=(2, 2), restart_interval=2)
     )
     assert np.array_equal(base, prog)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    # Adam7 (PNG spec 8.2): seven pass sub-images, each its own filter
+    # context; decode must scatter passes back exactly. Previously a
+    # NotImplementedError boundary. Edge shapes exercise empty passes.
+    from realestatedeals_spark.operators.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(23)
+    for shape in [(8, 8), (1, 1), (2, 3), (5, 4), (17, 33), (64, 48)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        inter = encode_png_gray(px, interlace=True)
+        plain = encode_png_gray(px)
+        assert inter != plain
+        assert np.array_equal(decode_png_gray(inter), px), shape
+        assert np.array_equal(decode_png_gray(plain), px), shape
