@@ -135,6 +135,66 @@ def encode_png_gray(pixels: np.ndarray, interlace: bool = False) -> bytes:
     )
 
 
+def encode_png_rgb(pixels: np.ndarray) -> bytes:
+    """REAL truecolor (color type 2) PNG encoder: (H, W, 3) uint8 → IHDR +
+    one zlib IDAT with filter-0 scanlines + IEND."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_png_rgb needs (H, W, 3)")
+    px = pixels.astype(np.uint8)
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb(data: bytes) -> np.ndarray:
+    """REAL truecolor PNG decoder (color type 2, 8-bit, non-interlaced):
+    same chunk walk and five-filter unfilter as the grayscale path with
+    bpp=3. Returns (H, W, 3) uint8. Grayscale files pass through as
+    replicated channels so callers can dispatch on either."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w, h, color = 8, None, None, None
+    idat = b""
+    while pos < len(data):
+        (length,) = _struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color, _, _, interlace = _struct.unpack(">IIBBBBB", payload)
+            if color == 0:
+                g = decode_png_gray(data)
+                return np.dstack([g, g, g])
+            if depth != 8 or color != 2 or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}: "
+                    "truecolor decode is 8-bit non-interlaced"
+                )
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or h is None:
+        raise ValueError("PNG missing IHDR chunk")
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    stride = w * 3 + 1
+    if raw.size < h * stride:
+        raise ValueError("short PNG pixel data")
+    rows = raw[: h * stride].reshape(h, stride)
+    out = np.zeros((h, w * 3), np.int32)
+    prev = np.zeros(w * 3, np.int32)
+    for r in range(h):
+        prev = _unfilter_scanline(int(rows[r, 0]), rows[r, 1:], prev, bpp=3)
+        out[r] = prev
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
 def _unfilter_scanline(ft: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     out = line.astype(np.int32)
     if ft == 0:  # None

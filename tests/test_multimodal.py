@@ -919,3 +919,83 @@ def test_png_adam7_interlaced_roundtrip():
         assert inter != plain
         assert np.array_equal(decode_png_gray(inter), px), shape
         assert np.array_equal(decode_png_gray(plain), px), shape
+
+
+def _png_forward_filter(px_rows: np.ndarray, filters: list[int], bpp: int) -> bytes:
+    """Apply PNG forward filtering (spec 9.2) row-by-row — the inverse of
+    _unfilter_scanline — to fabricate files using ALL five filter types,
+    which the repo encoders (always filter 0) never emit."""
+    h = px_rows.shape[0]
+    out = bytearray()
+    prev = np.zeros(px_rows.shape[1], np.int32)
+    for r in range(h):
+        ft = filters[r % len(filters)]
+        cur = px_rows[r].astype(np.int32)
+        filt = np.zeros_like(cur)
+        for i in range(len(cur)):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (int(cur[i]) - pred) % 256
+        out += bytes([ft]) + bytes(filt.astype(np.uint8).tobytes())
+        prev = cur
+    return bytes(out)
+
+
+def test_png_all_filter_types_gray_and_rgb():
+    # fabricate PNGs whose scanlines cycle through filters 0..4 (our own
+    # encoders never emit 1/3/4, so this is the only coverage of the Sub/
+    # Average/Paeth decode arms) for both grayscale (bpp=1) and truecolor
+    # (bpp=3)
+    import struct
+    import zlib
+
+    from realestatedeals_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png_gray,
+        decode_png_rgb,
+    )
+
+    rng = np.random.default_rng(31)
+    filters = [0, 1, 2, 3, 4]
+
+    gray = rng.integers(0, 256, size=(11, 13)).astype(np.uint8)
+    raw = _png_forward_filter(gray, filters, bpp=1)
+    ihdr = struct.pack(">IIBBBBB", 13, 11, 8, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png_gray(data), gray)
+
+    rgb = rng.integers(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    raw = _png_forward_filter(rgb.reshape(9, 21), filters, bpp=3)
+    ihdr = struct.pack(">IIBBBBB", 7, 9, 8, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png_rgb(data), rgb)
+
+
+def test_png_rgb_roundtrip_and_gray_passthrough():
+    from realestatedeals_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_gray,
+        encode_png_rgb,
+    )
+
+    rng = np.random.default_rng(37)
+    rgb = rng.integers(0, 256, size=(14, 10, 3)).astype(np.uint8)
+    assert np.array_equal(decode_png_rgb(encode_png_rgb(rgb)), rgb)
+    gray = rng.integers(0, 256, size=(6, 8)).astype(np.uint8)
+    out = decode_png_rgb(encode_png_gray(gray))
+    assert np.array_equal(out[:, :, 0], gray) and np.array_equal(out[:, :, 1], gray)
