@@ -351,12 +351,21 @@ def x5_embedding_near_dup_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse cells + nprobe probing + exact rerank. No SQL
     oracle (approximate by construction); recall vs brute force is asserted
-    in tests/test_similarity.py."""
-    from realestatedeals_spark.operators.similarity import ivf_topk
+    in tests/test_similarity.py.
+
+    Round 7: nlist scales ∝ √N (``adaptive_ivf_params``; = 16 at driver
+    SFs) so per-query probe cost is O(√N), not O(N) — with queries ∝ N the
+    fixed-nlist form was quadratic in total, the same latent hazard the
+    verdict's top task flagged on the LSH pair queries."""
+    from realestatedeals_spark.operators.similarity import (
+        adaptive_ivf_params,
+        ivf_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, max_iter=3)
+    nlist, nprobe = adaptive_ivf_params(emb.count())
+    return ivf_topk(emb, queries, k=5, nlist=nlist, nprobe=nprobe, max_iter=3)
 
 
 @register("x3_rp_lsh_topk", tags=("X3", "vectors", "approx"))

@@ -439,3 +439,37 @@ def test_adaptive_lsh_recall_exact_at_scaled_params(spark, sf_dir):
         ).collect()
     }
     assert exact and got == exact, f"scaled-params recall broke: {len(got)}/{len(exact)}"
+
+
+def test_adaptive_ivf_recall_at_scaled_params(spark):
+    """IVF at the SCALED operating point (nlist ∝ √N): planted twins are
+    identical vectors, so they land in the same k-means cell no matter how
+    many cells exist — recall of the twin as a top neighbor must hold when
+    the cell count grows. Pins the adaptive path end-to-end in Spark on a
+    clustered 3000-vector corpus (nlist 18 vs the base 16)."""
+    import numpy as np
+
+    from realestatedeals_spark.operators.similarity import adaptive_ivf_params, ivf_topk
+
+    assert adaptive_ivf_params(2500) == (16, 4)
+    nlist, nprobe = adaptive_ivf_params(3000)
+    assert nlist > 16 and nprobe == 4
+
+    rng = np.random.RandomState(19)
+    centers = rng.randn(20, 16) * 3
+    labels = rng.randint(0, 20, 3000)
+    vecs = centers[labels] + rng.randn(3000, 16)
+    twin_src = list(range(0, 3000, 100))  # 30 queried vectors get exact twins
+    for i in twin_src:
+        vecs[i + 1] = vecs[i]
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(3000)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter((F.col("vec_id") % 100) == 0)
+    got = ivf_topk(emb, queries, k=3, nlist=nlist, nprobe=nprobe, max_iter=3)
+    top = {
+        (r["query_id"], r["neighbor_id"]) for r in got.filter(F.col("rk") == 1).collect()
+    }
+    hits = sum(1 for i in twin_src if (i, i + 1) in top)
+    assert hits >= int(0.95 * len(twin_src)), f"{hits}/{len(twin_src)} twins found"
