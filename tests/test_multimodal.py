@@ -999,3 +999,79 @@ def test_png_rgb_roundtrip_and_gray_passthrough():
     gray = rng.integers(0, 256, size=(6, 8)).astype(np.uint8)
     out = decode_png_rgb(encode_png_gray(gray))
     assert np.array_equal(out[:, :, 0], gray) and np.array_equal(out[:, :, 1], gray)
+
+
+def test_jpeg_progressive_entropy_block_property():
+    """Block-level property fuzz of the progressive AC entropy coder: for
+    random sparse coefficient blocks — including directed shapes that force
+    ZRL-inside-refinement (>15 zero-history run before a newly-significant
+    coefficient) and multi-thousand-block EOB runs — encoding the standard
+    scan script (first Al=2, refine 2→1, refine 1→0) and decoding it back
+    must reproduce every coefficient exactly. Bypasses the DCT so the
+    entropy layer is stressed directly."""
+    from realestatedeals_spark.operators.multimodal import (
+        _BitReader,
+        _BitWriter,
+        _JPEG_PROG_AC,
+        _dec_ac_refine,
+        _dec_ac_first,
+        _emit_eobrun,
+        _encode_ac_first_block,
+        _encode_ac_refine_block,
+        _huff_canonical,
+        _huff_decode_map,
+    )
+
+    ac_codes = _huff_canonical(*_JPEG_PROG_AC)
+    ac_map = _huff_decode_map(*_JPEG_PROG_AC)
+    rng = np.random.RandomState(41)
+
+    def random_blocks(n):
+        blocks = []
+        for i in range(n):
+            zz = np.zeros(64, np.int64)
+            kind = i % 5
+            if kind == 0:
+                pass  # all-zero: pure EOB-run fodder
+            elif kind == 1:  # directed ZRL-in-refine: lone tail coefficient
+                zz[63] = rng.choice([-1, 1]) * rng.randint(1, 8)
+            elif kind == 2:  # sparse random
+                for k in rng.choice(range(1, 64), 3, replace=False):
+                    zz[k] = rng.randint(-40, 41)
+            elif kind == 3:  # two far-apart coefficients straddling a long run
+                zz[2] = rng.randint(-100, 101)
+                zz[60] = rng.choice([-1, 1]) * rng.randint(1, 4)
+            else:  # dense
+                for k in range(1, 64):
+                    if rng.rand() < 0.4:
+                        zz[k] = rng.randint(-20, 21)
+            blocks.append(zz)
+        return blocks
+
+    blocks = random_blocks(400)
+    scans = [(1, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)]  # first, refine, refine
+    streams = []
+    for ss, se, ah, al in scans:
+        bw = _BitWriter()
+        state = {"eobrun": 0, "be": []}
+        for zz in blocks:
+            if ah == 0:
+                _encode_ac_first_block(bw, ac_codes, zz, ss, se, al, state)
+            else:
+                _encode_ac_refine_block(bw, ac_codes, zz, ss, se, al, state)
+        _emit_eobrun(bw, ac_codes, state)
+        # _BitWriter emits marker-safe stuffed bytes (FF00); the file-level
+        # path de-stuffs via _jpeg_destuff before _BitReader — mirror that
+        streams.append(bw.flush().replace(b"\xff\x00", b"\xff"))
+
+    got = [np.zeros(64, np.int64) for _ in blocks]
+    for (ss, se, ah, al), data in zip(scans, streams):
+        br = _BitReader(data)
+        eobrun = 0
+        for zz in got:
+            if ah == 0:
+                eobrun = _dec_ac_first(br, ac_map, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _dec_ac_refine(br, ac_map, zz, ss, se, al, eobrun)
+    for i, (want, have) in enumerate(zip(blocks, got)):
+        assert np.array_equal(want, have), f"block {i} ({i % 5}): {want} != {have}"
