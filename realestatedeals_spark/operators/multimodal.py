@@ -537,29 +537,93 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+# G.711 companding (ITU-T G.711; the classic public-domain Sun/CCITT
+# formulas). Telephony WAVs use format codes 6 (A-law) and 7 (µ-law) with
+# 8-bit samples — formula-expandable, unlike the perceptual codecs.
+
+
+def ulaw_to_linear(codes: np.ndarray) -> np.ndarray:
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    t = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign != 0, -t, t)
+
+
+def linear_to_ulaw(samples: np.ndarray) -> np.ndarray:
+    s = samples.astype(np.int64)
+    sign = np.where(s < 0, 0x80, 0)
+    mag = np.minimum(np.abs(s), 32635) + 0x84
+    exp = np.clip(np.int64(np.floor(np.log2(mag))) - 7, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)) & 0xFF
+
+
+def alaw_to_linear(codes: np.ndarray) -> np.ndarray:
+    a = codes.astype(np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t)
+
+
+def linear_to_alaw(samples: np.ndarray) -> np.ndarray:
+    s = samples.astype(np.int64)
+    sign = np.where(s >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(s), 32767)
+    seg = np.clip(np.int64(np.floor(np.log2(np.maximum(mag, 1)))) - 7, 0, 7)
+    mant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    return (sign | (seg << 4) | mant) ^ 0x55
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """REAL mono G.711 WAV encoder: 16-bit linear → companded 8-bit
+    payload under format code 7 (µ-law) or 6 (A-law)."""
+    fmt_code = 7 if law == "ulaw" else 6
+    comp = linear_to_ulaw(samples) if law == "ulaw" else linear_to_alaw(samples)
+    payload = comp.astype(np.uint8).tobytes()
+    fmt = _struct.pack("<HHIIHH", fmt_code, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        body += b"\x00"  # RIFF word alignment pad
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
 def decode_wav_pcm16(data: bytes) -> tuple[int, np.ndarray]:
     """REAL WAV decoder: walks RIFF chunks, returns (sample_rate, samples)
-    for mono/stereo 16-bit PCM (stereo interleaved as-is). Raises on
-    non-PCM encodings (compressed audio needs codecs this container
-    lacks — same boundary as JPEG pixel decode)."""
+    for mono/stereo 16-bit linear PCM (stereo interleaved as-is) and for
+    8-bit G.711 µ-law/A-law telephony payloads (format codes 7/6, expanded
+    to linear via the standard companding formulas). Raises on perceptual
+    encodings (MP3/AAC need codecs this container lacks — same boundary as
+    arithmetic JPEG)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, rate, pcm = 12, None, None
+    pos, rate, pcm, audio_fmt = 12, None, None, None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
         payload = data[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
             audio_fmt, _ch, rate, _br, _ba, bits = _struct.unpack("<HHIIHH", payload[:16])
-            if audio_fmt != 1 or bits != 16:
+            if not ((audio_fmt == 1 and bits == 16) or (audio_fmt in (6, 7) and bits == 8)):
                 raise NotImplementedError(
-                    f"WAV format={audio_fmt} bits={bits}: only 16-bit PCM decoded here"
+                    f"WAV format={audio_fmt} bits={bits}: 16-bit PCM and "
+                    "8-bit G.711 (6/7) decoded here"
                 )
         elif tag == b"data":
             pcm = payload
         pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
+    raw = np.frombuffer(pcm, np.uint8)
+    if audio_fmt == 7:
+        return rate, ulaw_to_linear(raw).astype(np.int32)
+    if audio_fmt == 6:
+        return rate, alaw_to_linear(raw).astype(np.int32)
     return rate, np.frombuffer(pcm, "<i2").astype(np.int32)
 
 

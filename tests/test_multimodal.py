@@ -1075,3 +1075,64 @@ def test_jpeg_progressive_entropy_block_property():
                 eobrun = _dec_ac_refine(br, ac_map, zz, ss, se, al, eobrun)
     for i, (want, have) in enumerate(zip(blocks, got)):
         assert np.array_equal(want, have), f"block {i} ({i % 5}): {want} != {have}"
+
+
+def test_g711_companding_laws():
+    """G.711 µ-law/A-law (formula-based, ITU-T G.711): full 256-code
+    idempotence (decode∘encode∘decode = decode), the standard linear
+    ranges (±32124 µ, ±32256 A), monotone decode over positive codes, and
+    quantization error bounded by half the top-segment step (512)."""
+    from realestatedeals_spark.operators.multimodal import (
+        alaw_to_linear,
+        linear_to_alaw,
+        linear_to_ulaw,
+        ulaw_to_linear,
+    )
+
+    codes = np.arange(256)
+    for name, dec, enc, rng_max in (
+        ("ulaw", ulaw_to_linear, linear_to_ulaw, 32124),
+        ("alaw", alaw_to_linear, linear_to_alaw, 32256),
+    ):
+        lin = dec(codes)
+        assert np.array_equal(lin, dec(enc(lin))), name
+        assert lin.min() == -rng_max and lin.max() == rng_max, name
+        s = np.arange(-32000, 32001, 17)
+        assert np.abs(dec(enc(s)) - s).max() <= 512, name
+
+
+def test_wav_g711_container_roundtrip_and_features(spark):
+    from realestatedeals_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        decode_wav_pcm16,
+        encode_wav_g711,
+    )
+
+    s = ((np.arange(701) * 131) % 60001 - 30000).astype(np.int16)
+    rows = []
+    for mid, law in ((1, "ulaw"), (2, "alaw")):
+        data = encode_wav_g711(s, 8000, law=law)
+        rate, got = decode_wav_pcm16(data)
+        assert rate == 8000 and len(got) == 701
+        assert np.abs(got - s.astype(np.int64)).max() <= 512, law
+        rows.append((mid, "audio", bytearray(data), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert feats[1]["sample_rate"] == 8000 and feats[1]["n_samples"] == 701
+    assert feats[2]["sample_rate"] == 8000 and feats[2]["n_samples"] == 701
+
+
+def test_wav_unsupported_format_still_typed():
+    import struct
+
+    import pytest
+
+    from realestatedeals_spark.operators.multimodal import decode_wav_pcm16
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 0)  # 85 = MPEG layer 3
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="format=85"):
+        decode_wav_pcm16(data)
