@@ -272,6 +272,70 @@ def x5_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G.711 µ-law decode of the µ-law encode of v, as pure integer SQL — the
+# same ITU-T companding formulas as operators/multimodal.linear_to_ulaw/
+# ulaw_to_linear, verified bit-identical over the full int16 range.
+_G711_RT = (
+    "CASE WHEN v < 0 THEN -1 ELSE 1 END * ("
+    " (((((least(abs(v),32635)+132) >> (least(CAST(floor(log2(CAST(least(abs(v),32635)+132 AS DOUBLE))) AS BIGINT)-7,7) + 3)) & 15) * 8 + 132)"
+    "  << least(CAST(floor(log2(CAST(least(abs(v),32635)+132 AS DOUBLE))) AS BIGINT)-7,7)) - 132)"
+)
+
+_X5_G711_ORACLE = """
+WITH s AS (
+  SELECT doc_id, CAST(n_chars % 200 + 50 AS BIGINT) AS n,
+         list_transform(range(0, CAST(n_chars % 200 + 50 AS BIGINT)),
+                        i -> (doc_id * 7919 + i * 131) % 60001 - 30000) AS pcm
+  FROM documents),
+d AS (
+  SELECT doc_id, n,
+         list_transform(pcm, v -> {rt}) AS dec
+  FROM s)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       n AS n_samples,
+       CAST(list_sum(dec) AS BIGINT) AS s_sum,
+       CAST(list_max(list_transform(dec, x -> abs(x))) AS BIGINT) AS s_peak
+FROM d
+""".format(rt=_G711_RT)
+
+
+@register("x5_g711_roundtrip", oracle=_X5_G711_ORACLE, tags=("X5", "multimodal", "codec"))
+def x5_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL telephony-audio codec end-to-end (round 7): per document,
+    synthesize a deterministic full-range 16-bit signal, compand it to
+    µ-law (``linear_to_ulaw``), wrap it in an actual format-code-7 RIFF/WAV
+    file, and run the engine's real decode path (chunk walk + G.711
+    expansion) through ``audio_features``. The oracle re-derives the
+    companding roundtrip as pure integer SQL — a hash match proves the
+    bytes are valid G.711 WAV files AND that the expansion formula is
+    bit-exact, not merely close."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_g711,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(nch) % 200 + 50
+                i = np.arange(n, dtype=np.int64)
+                s = (int(did) * 7919 + i * 131) % 60001 - 30000
+                rows.append((int(did), bytearray(encode_wav_g711(s, 8000, law="ulaw"))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    return audio_features(media).select(
+        "media_id", "sample_rate", "n_samples", "s_sum", "s_peak"
+    )
+
+
 _X5_GIF_ORACLE = """
 SELECT doc_id AS media_id, 'gif' AS format,
        CAST(n_chars % 24 + 8 AS INTEGER) AS width,
