@@ -43,6 +43,7 @@ import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(Exception):
@@ -318,3 +319,111 @@ class VersionedTable:
                 shutil.rmtree(os.path.join(self.root, d))
                 n += 1
         return n
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    out_path: str,
+    bits_per_col: int = 8,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Rewrite ``df`` clustered on a Z-order (Morton) curve over ``cols`` —
+    the multi-dimensional file-layout optimization behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``: after the rewrite, every output file covers a
+    small hyper-rectangle of the key space, so parquet min/max stats prune
+    most files for predicates on ANY prefix-free subset of the dimensions
+    (a plain sort only prunes its leading column).
+
+    Spark-first construction, no UDFs:
+    1. approxQuantile computes 2^bits_per_col bucket boundaries per column
+       (one pass, driver holds only the tiny boundary arrays);
+    2. width_bucket maps each value to its quantile rank JVM-side —
+       rank-based, so skewed/arbitrary-unit columns interleave fairly;
+    3. bit-interleave the ranks with shiftleft/bitwiseOR column expressions
+       (whole-stage codegen, bits_per_col × n_cols terms);
+    4. repartitionByRange on the z-value (range shuffle = the only
+       exchange) and sortWithinPartitions before the write, so file
+       boundaries follow the curve.
+
+    Returns {files, z_col_bits, boundaries} for observability. At 100 TB
+    this runs per-partition of a table as an OPTIMIZE job; readers need no
+    changes — pruning comes from ordinary parquet stats.
+    """
+    n_buckets = 1 << bits_per_col
+    probes = [float(q) / n_buckets for q in range(1, n_buckets)]
+    ranks = []
+    for c in cols:
+        cuts = df.stat.approxQuantile(c, probes, 0.001)
+        # width_bucket needs strictly ascending bounds; dedupe ties from
+        # heavy-hitter values (rank collapses are fine for clustering)
+        uniq: list[float] = []
+        for b in cuts:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        # quantile rank = #boundaries below the value — a fold over the
+        # (≤255-element) literal boundary array, all JVM-side; Spark's
+        # width_bucket is uniform-width only, so it can't express this
+        boundaries = F.array(*[F.lit(float(b)) for b in uniq])
+        ranks.append(
+            F.aggregate(
+                boundaries,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") > b, 1).otherwise(0).cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for ci, r in enumerate(ranks):
+            pos = bit * len(ranks) + ci
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(r, bit).bitwiseAND(F.lit(1)), pos)
+            )
+    zdf = df.withColumn("_z", z)
+    writer = (
+        zdf.repartitionByRange(max(df.rdd.getNumPartitions(), 1), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("errorifexists")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(out_path)
+    files = _data_files(out_path)
+    return {
+        "files": len(files),
+        "z_col_bits": bits_per_col * len(cols),
+        "cols": list(cols),
+    }
+
+
+def parquet_prunable_files(
+    path: str, predicates: dict[str, tuple[float, float]]
+) -> dict:
+    """Count data files whose parquet column min/max statistics EXCLUDE a
+    conjunctive range predicate {col: (lo, hi)} — the file-skipping a
+    stats-aware reader (Spark parquet filter pushdown, Delta data
+    skipping) gets for free. Driver-side metadata walk only; no data read."""
+    import pyarrow.parquet as pq
+
+    total = pruned = 0
+    for f in _data_files(path):
+        md = pq.ParquetFile(f).metadata
+        mins: dict[str, float] = {}
+        maxs: dict[str, float] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                col = g.column(i)
+                name = col.path_in_schema
+                if name in predicates and col.statistics is not None:
+                    st = col.statistics
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+        total += 1
+        for c, (lo, hi) in predicates.items():
+            if c in mins and (maxs[c] < lo or mins[c] > hi):
+                pruned += 1
+                break
+    return {"total_files": total, "pruned_files": pruned}

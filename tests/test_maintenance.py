@@ -379,3 +379,57 @@ def test_agg_view_merge_over_inmemory_claim_store(spark):
             for r in view.current().collect()
         }
         assert got == {(1, "click"): (3, 1000), (2, "view"): (1, 50), (3, "view"): (1, 10)}
+
+
+def test_zorder_layout_improves_file_skipping(spark):
+    """Z-order rewrite (round 7 — the OPTIMIZE ZORDER analog): on a 2-D
+    key space, a conjunctive box predicate must let parquet min/max stats
+    exclude MORE files under the Z-layout than under (a) the arrival
+    layout and (b) a plain single-column sort — the whole point of
+    interleaving. Also: content identical, and the only exchange is the
+    range shuffle on the z-value."""
+    import numpy as np
+
+    from realestatedeals_spark.io.maintenance import (
+        parquet_prunable_files,
+        zorder_layout,
+    )
+
+    n = 40_000
+    rng = np.random.RandomState(3)
+    pdf = [(int(a), int(b)) for a, b in rng.randint(0, 10_000, (n, 2))]
+    df = spark.createDataFrame(pdf, "x long, y long").repartition(8)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        plain, xsort, zord = (os.path.join(root, d) for d in ("plain", "xsort", "zord"))
+        df.write.option("maxRecordsPerFile", "625").parquet(plain)
+        df.repartitionByRange(16, "x").sortWithinPartitions("x").write.option(
+            "maxRecordsPerFile", "625"
+        ).parquet(xsort)
+        stats = zorder_layout(
+            df, ["x", "y"], zord, bits_per_col=8, max_records_per_file=625
+        )
+        assert stats["files"] > 16  # multiple files, else pruning is vacuous
+
+        def frac(path, pred):
+            p = parquet_prunable_files(path, pred)
+            return p["pruned_files"] / p["total_files"]
+
+        box = {"x": (1000.0, 2000.0), "y": (7000.0, 8000.0)}  # ~1% box
+        assert frac(plain, box) < 0.1  # random layout: stats exclude nothing
+        assert frac(zord, box) >= frac(xsort, box), (frac(zord, box), frac(xsort, box))
+        assert frac(zord, box) >= 0.9
+
+        # the decisive case: a predicate on the NON-leading dimension —
+        # a plain x-sort prunes nothing (every stripe spans all y), the
+        # Z-layout keeps pruning because every file is a z-rectangle
+        yonly = {"y": (7000.0, 8000.0)}
+        assert frac(xsort, yonly) < 0.1
+        assert frac(zord, yonly) >= 0.7, frac(zord, yonly)
+
+        # content preserved row-for-row
+        want = sorted(pdf)
+        got = sorted((r["x"], r["y"]) for r in spark.read.parquet(zord).collect())
+        assert got == want
