@@ -521,10 +521,12 @@ def media_profile(media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real stdlib audio codec: WAV (RIFF) encode/decode for 16-bit PCM. Like the
-# PNG path above, the container format is fully expressible with struct —
-# so the audio plug point is a genuine codec too. Compressed audio (MP3/AAC
-# entropy decode) stays out of scope like JPEG pixel decode.
+# Real stdlib audio codec: WAV (RIFF) encode/decode for 16-bit PCM plus
+# G.711 mu-law/A-law telephony payloads (format codes 7/6 — formula-based
+# companding, round 7). Like the PNG path above, the container format is
+# fully expressible with struct — so the audio plug point is a genuine
+# codec too. Perceptual audio (MP3/AAC entropy decode) stays out of scope
+# like arithmetic JPEG.
 # ---------------------------------------------------------------------------
 
 
