@@ -595,32 +595,179 @@ def encode_wav_g711(
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+# IMA/DVI ADPCM (WAV format code 0x11) — the 4-bit differential codec from
+# the public IMA Digital Audio recommendation (the algorithm every
+# multimedia stack ships). Pure integer state machine: (predictor, index)
+# evolve per nibble against the 89-entry step table, so encode AND decode
+# are exactly reproducible in integer SQL — which is what the
+# x5_adpcm_roundtrip oracle does with a recursive CTE.
+
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+        19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+        50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+        337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+        876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+        5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+        15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+# index delta per 3-bit magnitude code (the sign bit does not move the index)
+_IMA_INDEX_DELTA = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_encode_step(sample: int, pred: int, index: int) -> tuple[int, int, int]:
+    """One IMA quantizer step: returns (nibble, new_pred, new_index)."""
+    step = int(_IMA_STEP_TABLE[index])
+    diff = sample - pred
+    sign = 8 if diff < 0 else 0
+    d = -diff if diff < 0 else diff
+    code = 0
+    vpdiff = step >> 3
+    if d >= step:
+        code |= 4
+        d -= step
+        vpdiff += step
+    if d >= step >> 1:
+        code |= 2
+        d -= step >> 1
+        vpdiff += step >> 1
+    if d >= step >> 2:
+        code |= 1
+        vpdiff += step >> 2
+    pred = pred - vpdiff if sign else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX_DELTA[code])))
+    return sign | code, pred, index
+
+
+def _ima_decode_step(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA dequantizer step: returns (new_pred, new_index)."""
+    step = int(_IMA_STEP_TABLE[index])
+    code = nibble & 7
+    vpdiff = step >> 3
+    if code & 4:
+        vpdiff += step
+    if code & 2:
+        vpdiff += step >> 1
+    if code & 1:
+        vpdiff += step >> 2
+    pred = pred - vpdiff if nibble & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX_DELTA[code])))
+    return pred, index
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """REAL mono IMA ADPCM WAV encoder (format code 0x11). Samples are
+    packed into ``block_align``-byte blocks; each block opens with a 4-byte
+    header carrying the block's first sample verbatim as the predictor plus
+    the carried step index, then 4-bit codes (low nibble first). Emits the
+    standard ``fact`` chunk with the true sample count so the decoder can
+    drop pad nibbles in the final block."""
+    s = [int(v) for v in np.asarray(samples, dtype=np.int64)]
+    if not s:
+        raise ValueError("empty signal")
+    spb = (block_align - 4) * 2 + 1  # samples per block, mono
+    index = 0
+    blocks = bytearray()
+    for b0 in range(0, len(s), spb):
+        chunk = s[b0 : b0 + spb]
+        pred = max(-32768, min(32767, chunk[0]))
+        blocks += _struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for v in chunk[1:]:
+            nib, pred, index = _ima_encode_step(v, pred, index)
+            nibbles.append(nib)
+        if len(nibbles) & 1:
+            nibbles.append(0)  # pad nibble (dropped via the fact count)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+    n = len(s)
+    avg_bps = (sample_rate * block_align + spb - 1) // spb
+    fmt = _struct.pack("<HHIIHHHH", 0x11, 1, sample_rate, avg_bps, block_align, 4, 2, spb)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + _struct.pack("<II", 4, n)
+    body += b"data" + _struct.pack("<I", len(blocks)) + bytes(blocks)
+    if len(blocks) & 1:
+        body += b"\x00"
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _decode_ima_adpcm_payload(pcm: bytes, block_align: int, n_samples: int) -> np.ndarray:
+    """Decode mono IMA ADPCM blocks → int32 linear samples."""
+    spb = (block_align - 4) * 2 + 1
+    out: list[int] = []
+    for b0 in range(0, len(pcm), block_align):
+        block = pcm[b0 : b0 + block_align]
+        if len(block) < 4:
+            break
+        pred, index, _rsvd = _struct.unpack("<hBB", block[:4])
+        if index > 88:
+            raise ValueError(f"IMA ADPCM step index {index} > 88")
+        out.append(pred)
+        want = min(spb, n_samples - len(out) + 1) - 1  # nibbles used this block
+        taken = 0
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                if taken >= want:
+                    break
+                pred, index = _ima_decode_step(nib, pred, index)
+                out.append(pred)
+                taken += 1
+        if len(out) >= n_samples:
+            break
+    return np.array(out[:n_samples], dtype=np.int32)
+
+
 def decode_wav_pcm16(data: bytes) -> tuple[int, np.ndarray]:
     """REAL WAV decoder: walks RIFF chunks, returns (sample_rate, samples)
     for mono/stereo 16-bit linear PCM (stereo interleaved as-is) and for
     8-bit G.711 µ-law/A-law telephony payloads (format codes 7/6, expanded
-    to linear via the standard companding formulas). Raises on perceptual
-    encodings (MP3/AAC need codecs this container lacks — same boundary as
-    arithmetic JPEG)."""
+    to linear via the standard companding formulas) and mono IMA ADPCM
+    (format code 0x11, 4-bit, block headers + step-index state machine).
+    Raises on perceptual encodings (MP3/AAC need codecs this container
+    lacks — same boundary as arithmetic JPEG)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, rate, pcm, audio_fmt = 12, None, None, None
+    block_align, fact_samples = None, None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
         payload = data[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            audio_fmt, _ch, rate, _br, _ba, bits = _struct.unpack("<HHIIHH", payload[:16])
-            if not ((audio_fmt == 1 and bits == 16) or (audio_fmt in (6, 7) and bits == 8)):
+            audio_fmt, ch, rate, _br, block_align, bits = _struct.unpack(
+                "<HHIIHH", payload[:16]
+            )
+            ok = (
+                (audio_fmt == 1 and bits == 16)
+                or (audio_fmt in (6, 7) and bits == 8)
+                or (audio_fmt == 0x11 and bits == 4 and ch == 1)
+            )
+            if not ok:
                 raise NotImplementedError(
-                    f"WAV format={audio_fmt} bits={bits}: 16-bit PCM and "
-                    "8-bit G.711 (6/7) decoded here"
+                    f"WAV format={audio_fmt} bits={bits}: 16-bit PCM, 8-bit "
+                    "G.711 (6/7) and mono IMA ADPCM (0x11) decoded here"
                 )
+        elif tag == b"fact":
+            (fact_samples,) = _struct.unpack("<I", payload[:4])
         elif tag == b"data":
             pcm = payload
         pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
+    if audio_fmt == 0x11:
+        spb = (block_align - 4) * 2 + 1
+        n_blocks = (len(pcm) + block_align - 1) // block_align
+        n = fact_samples if fact_samples is not None else n_blocks * spb
+        return rate, _decode_ima_adpcm_payload(pcm, block_align, n)
     raw = np.frombuffer(pcm, np.uint8)
     if audio_fmt == 7:
         return rate, ulaw_to_linear(raw).astype(np.int32)
@@ -629,11 +776,21 @@ def decode_wav_pcm16(data: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(pcm, "<i2").astype(np.int32)
 
 
+def decode_audio_auto(data: bytes) -> tuple[int, np.ndarray]:
+    """Magic-byte audio dispatch: RIFF/WAVE → the WAV/G.711/ADPCM decoder,
+    fLaC → the lossless FLAC decoder (operators/flac.py)."""
+    if data[:4] == b"fLaC":
+        from realestatedeals_spark.operators.flac import decode_flac
+
+        return decode_flac(data)
+    return decode_wav_pcm16(data)
+
+
 def audio_features(media: DataFrame) -> DataFrame:
     """REAL audio decode + feature extract, Arrow-batched: per item, parse
-    the WAV container and emit PCM statistics. Undecodable/compressed
-    content yields nulls (no crash). Output: media_id, sample_rate,
-    n_samples, s_sum, s_rms, s_peak."""
+    the container (WAV incl. G.711/IMA-ADPCM, or FLAC) and emit PCM
+    statistics. Undecodable/compressed content yields nulls (no crash).
+    Output: media_id, sample_rate, n_samples, s_sum, s_rms, s_peak."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -641,7 +798,7 @@ def audio_features(media: DataFrame) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
                 try:
-                    rate, s = decode_wav_pcm16(b)
+                    rate, s = decode_audio_auto(b)
                     sd = s.astype(np.float64)
                     rows.append(
                         (mid, rate, len(s), int(s.sum()),

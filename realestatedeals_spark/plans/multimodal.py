@@ -336,6 +336,160 @@ def x5_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FLAC is LOSSLESS, so the oracle needs no codec replay at all: it just
+# recomputes the synthesized signal's statistics — a hash match proves the
+# compressed bytes decode back to the EXACT samples (and the decode path
+# verified CRC-8/CRC-16/MD5 on the way).
+_X5_FLAC_ORACLE = """
+WITH s AS (
+  SELECT doc_id, CAST(n_chars % 300 + 40 AS BIGINT) AS n,
+         list_transform(range(0, CAST(n_chars % 300 + 40 AS BIGINT)),
+                        i -> (doc_id * 31 + i * i * 3) % 20001 - 10000) AS pcm
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       n AS n_samples,
+       CAST(list_sum(pcm) AS BIGINT) AS s_sum,
+       CAST(list_max(list_transform(pcm, x -> abs(x))) AS BIGINT) AS s_peak
+FROM s
+"""
+
+
+@register("x5_flac_roundtrip", oracle=_X5_FLAC_ORACLE, tags=("X5", "multimodal", "codec"))
+def x5_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-compression codec end-to-end (round 7): per document,
+    synthesize a deterministic 16-bit signal, compress it with the
+    engine's FLAC encoder (fixed predictors 0-4, Rice-coded residuals,
+    frame CRC-8/16, STREAMINFO MD5 — operators/flac.py), and run the
+    engine's real decode path through ``audio_features``. Because FLAC is
+    lossless the oracle is plain signal arithmetic: a hash match proves
+    decode(encode(x)) == x bit-for-bit through an actual entropy-coded
+    bitstream (the MD5 check inside the decoder enforces it a second way).
+    Quadratic-in-i signal term keeps every fixed-predictor order in play."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.flac import encode_flac
+    from realestatedeals_spark.operators.multimodal import audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(nch) % 300 + 40
+                i = np.arange(n, dtype=np.int64)
+                s = (int(did) * 31 + i * i * 3) % 20001 - 10000
+                rows.append((int(did), bytearray(encode_flac(s, 8000))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    return audio_features(media).select(
+        "media_id", "sample_rate", "n_samples", "s_sum", "s_peak"
+    )
+
+
+# IMA ADPCM roundtrip as pure integer SQL: the codec is a (predictor,
+# step-index) state machine, so the oracle replays encode∘decode exactly
+# with a recursive CTE — one iteration per sample, all documents advanced
+# together. The decoded sample IS the encoder's updated predictor, so one
+# replay covers both directions bit-exactly.
+_IMA_STEP_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,"
+    "50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,"
+    "337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
+    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,"
+    "5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,"
+    "18500,20350,22385,24623,27086,29794,32767]"
+)
+
+_X5_ADPCM_ORACLE = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, CAST(n_chars % 200 + 50 AS BIGINT) AS n,
+         list_transform(range(0, CAST(n_chars % 200 + 50 AS BIGINT)),
+                        i -> (doc_id * 4421 + i * 257) % 60001 - 30000) AS pcm
+  FROM documents),
+st(doc_id, i, pred, idx, ssum, speak) AS (
+  SELECT doc_id, CAST(0 AS BIGINT), pcm[1], CAST(0 AS BIGINT),
+         CAST(pcm[1] AS BIGINT), CAST(abs(pcm[1]) AS BIGINT)
+  FROM s
+  UNION ALL
+  SELECT doc_id, i + 1, np, least(greatest(idx + di, 0), 88),
+         ssum + np, greatest(speak, abs(np))
+  FROM (
+    SELECT *, CASE WHEN sgn THEN greatest(pred - vp, -32768)
+                   ELSE least(pred + vp, 32767) END AS np,
+           CASE WHEN b2 THEN 2 + CASE WHEN b1 THEN 4 ELSE 0 END
+                             + CASE WHEN b0 THEN 2 ELSE 0 END
+                ELSE -1 END AS di
+    FROM (
+      SELECT *, stp // 8 + CASE WHEN b2 THEN stp ELSE 0 END
+                         + CASE WHEN b1 THEN stp // 2 ELSE 0 END
+                         + CASE WHEN b0 THEN stp // 4 ELSE 0 END AS vp
+      FROM (
+        SELECT *, r1 >= stp // 4 AS b0
+        FROM (
+          SELECT *, r2 >= stp // 2 AS b1,
+                 r2 - CASE WHEN r2 >= stp // 2 THEN stp // 2 ELSE 0 END AS r1
+          FROM (
+            SELECT *, ad >= stp AS b2,
+                   ad - CASE WHEN ad >= stp THEN stp ELSE 0 END AS r2
+            FROM (
+              SELECT st.doc_id, st.i, st.pred, st.idx, st.ssum, st.speak,
+                     (s.pcm[st.i + 2] < st.pred) AS sgn,
+                     abs(s.pcm[st.i + 2] - st.pred) AS ad,
+                     {_IMA_STEP_SQL}[st.idx + 1] AS stp
+              FROM st JOIN s USING (doc_id)
+              WHERE st.i < s.n - 1))))))
+)
+SELECT st.doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+       s.n AS n_samples, st.ssum AS s_sum, st.speak AS s_peak
+FROM st JOIN s USING (doc_id)
+WHERE st.i = s.n - 1
+"""
+
+
+@register("x5_adpcm_roundtrip", oracle=_X5_ADPCM_ORACLE, tags=("X5", "multimodal", "codec"))
+def x5_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL differential-audio codec end-to-end (round 7): per document,
+    synthesize a deterministic full-range 16-bit signal, compress it with
+    the engine's IMA/DVI ADPCM encoder (4-bit codes, block header +
+    89-entry step table, operators/multimodal.py:encode_wav_ima_adpcm),
+    wrap it as a format-code-0x11 RIFF/WAV with a ``fact`` chunk, and run
+    the engine's real decode path through ``audio_features``. Unlike G.711
+    (a stateless per-sample formula) the quantizer state THREADS through
+    the whole stream — the oracle replays the exact integer state machine
+    with a recursive CTE, so a hash match proves every nibble of every
+    block decodes bit-exactly, not merely close. Covers the reference's
+    media-attachment hook (listing.py:9 photoUrl) for the dominant
+    telephony/voicemail compression family."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_ima_adpcm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(nch) % 200 + 50
+                i = np.arange(n, dtype=np.int64)
+                s = (int(did) * 4421 + i * 257) % 60001 - 30000
+                rows.append((int(did), bytearray(encode_wav_ima_adpcm(s, 8000))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    return audio_features(media).select(
+        "media_id", "sample_rate", "n_samples", "s_sum", "s_peak"
+    )
+
+
 _X5_GIF_ORACLE = """
 SELECT doc_id AS media_id, 'gif' AS format,
        CAST(n_chars % 24 + 8 AS INTEGER) AS width,

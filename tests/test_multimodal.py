@@ -1123,6 +1123,76 @@ def test_wav_g711_container_roundtrip_and_features(spark):
     assert feats[2]["sample_rate"] == 8000 and feats[2]["n_samples"] == 701
 
 
+def test_ima_adpcm_hand_computed_first_steps():
+    """Pin the quantizer against a hand-computed vector (IMA spec walk):
+    samples [0, 100] → step 7, code 7 (sign 0), vpdiff 0+7+3+1 = 11,
+    predictor 11, index 0+8 = 8."""
+    from realestatedeals_spark.operators.multimodal import (
+        _ima_decode_step,
+        _ima_encode_step,
+    )
+
+    nib, pred, idx = _ima_encode_step(100, 0, 0)
+    assert (nib, pred, idx) == (7, 11, 8)
+    assert _ima_decode_step(7, 0, 0) == (11, 8)
+    # negative direction: sign bit set, same magnitude path
+    nib, pred, idx = _ima_encode_step(-100, 0, 0)
+    assert (nib, pred, idx) == (15, -11, 8)
+    assert _ima_decode_step(15, 0, 0) == (-11, 8)
+
+
+def test_ima_adpcm_multiblock_roundtrip_and_tracking():
+    """Multi-block container: every block-header sample comes back verbatim
+    (the encoder stores it raw), the step index carries across blocks, odd
+    sample counts drop the pad nibble via the fact chunk, and the decoded
+    signal tracks a smooth source within the adaptive-quantizer envelope."""
+    from realestatedeals_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(1500)
+    s = (9000 * np.sin(t / 25)).astype(np.int64)
+    rate, d = decode_wav_pcm16(encode_wav_ima_adpcm(s, 16000, block_align=256))
+    assert rate == 16000 and len(d) == 1500
+    spb = (256 - 4) * 2 + 1
+    for b0 in range(0, 1500, spb):
+        assert d[b0] == s[b0], f"block header sample at {b0}"
+    # smooth signal: slope ~360/sample, adaptive step keeps error small
+    assert np.abs(d.astype(np.int64) - s).max() < 2000
+    # odd count → pad nibble written, fact chunk trims it
+    for n in (51, 50, 1):
+        _, dn = decode_wav_pcm16(encode_wav_ima_adpcm(s[:n], 8000))
+        assert len(dn) == n
+
+
+def test_ima_adpcm_audio_features_and_corrupt_index(spark):
+    import pytest
+
+    from realestatedeals_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        decode_wav_pcm16,
+        encode_wav_ima_adpcm,
+    )
+
+    s = ((np.arange(333) * 4421) % 60001 - 30000).astype(np.int64)
+    data = encode_wav_ima_adpcm(s, 8000)
+    media = spark.createDataFrame([(1, "audio", bytearray(data), None)], MEDIA_SCHEMA)
+    row = audio_features(media).collect()[0]
+    _, d = decode_wav_pcm16(data)
+    assert row["sample_rate"] == 8000 and row["n_samples"] == 333
+    assert row["s_sum"] == int(d.sum()) and row["s_peak"] == int(np.abs(d).max())
+    # corrupt block header index > 88 → typed error, features yield nulls
+    bad = bytearray(data)
+    dpos = bad.find(b"data") + 8
+    bad[dpos + 2] = 99  # index byte of the first block header (<hBB)
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav_pcm16(bytes(bad))
+    media_bad = spark.createDataFrame([(2, "audio", bad, None)], MEDIA_SCHEMA)
+    assert audio_features(media_bad).collect()[0]["n_samples"] is None
+
+
 def test_wav_unsupported_format_still_typed():
     import struct
 
