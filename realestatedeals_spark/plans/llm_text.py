@@ -848,3 +848,35 @@ def x4_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "doc_freq", F.col("rk").cast("int").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — model-based quality filtering TRAINED IN-ENGINE (round 7): full-batch
+# gradient descent where each iteration is one map-side-combinable
+# aggregation of integer-micros gradient contributions — bit-deterministic
+# under any partitioning (operators/classifier.py). Iterative training has
+# no single-statement SQL form, so this registers rows-only; the exact
+# cross-engine pin lives in tests/test_classifier.py (pandas reference
+# reproduces weights and every score to the last bit).
+# ---------------------------------------------------------------------------
+
+
+@register("x4_quality_classifier", tags=("X4", "text", "quality", "ml"))
+def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill a noisy weak-supervision labeling rule into a linear scorer
+    (exp-free logistic link, one-aggregation standardization, 12 GD
+    iterations of one aggregation each) over the documents table, then
+    score and filter the same corpus — the model-based quality-filter
+    stage of an LLM data pipeline, with training itself distributed and
+    bit-exactly reproducible under any partitioning."""
+    from realestatedeals_spark.operators.classifier import (
+        quality_features,
+        score_quality,
+        standardize,
+        train_logreg_gd,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    std, _mu, _sd, _n = standardize(quality_features(docs))
+    w = train_logreg_gd(std, iters=12, lr=6.0, l2=1e-4)
+    return score_quality(std, w)
