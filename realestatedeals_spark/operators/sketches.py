@@ -153,3 +153,79 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: distinct-count SET OPERATIONS (union, intersection,
+# difference) — what HLL cannot do without lossy inclusion-exclusion at
+# merge depth. The k-minimum-values construction (Bar-Yossef et al.; the
+# Apache DataSketches theta family) keeps the k smallest uniform hashes of
+# each set; set algebra happens on the sketches. Everything below is
+# DETERMINISTIC given the hash function (md5 prefix), so unlike a seeded
+# random sketch the whole estimator carries an exact SQL oracle: DuckDB
+# replays the identical hashes, k-selection, and estimate arithmetic.
+#
+# 100 TB shape: per set, ONE shuffle (rank within tag, keep rn <= k) — the
+# retained state per set is k doubles; merges are array ops on k-length
+# arrays, so a 10,000-partition corpus reduces to per-tag rows of 64
+# doubles regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_SCALE = 281474976710656.0  # 2^48 — 12 hex chars, exact in a double
+
+
+def kmv_hash(col) -> F.Column:
+    """Uniform hash in (0, 1]: 48-bit md5 prefix, bit-identical in Spark
+    (conv) and DuckDB ('0x'||…::BIGINT) and exact as a double."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long").cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_KMV_SCALE)
+
+
+def kmv_sketch(df: DataFrame, tag_col, value_col: str, k: int = KMV_K) -> DataFrame:
+    """Per-tag KMV sketch: sorted array of the k smallest DISTINCT value
+    hashes plus the retained count. ``tag_col`` may be any Column
+    expression. One rank shuffle; retained state = k doubles per tag."""
+    from pyspark.sql import Window as W
+
+    h = (
+        df.select(tag_col.alias("tag") if not isinstance(tag_col, str) else F.col(tag_col).alias("tag"),
+                  kmv_hash(F.col(value_col)).alias("u"))
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("tag").orderBy("u"))
+    return (
+        h.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .groupBy("tag")
+        .agg(F.array_sort(F.collect_list("u")).alias("mins"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def kmv_estimate(mins, cnt, k: int = KMV_K) -> F.Column:
+    """(k-1)/u_k when the sketch is full, exact count otherwise."""
+    return F.when(cnt < k, cnt.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at(mins, k)
+    )
+
+
+def kmv_theta(mins, cnt, k: int = KMV_K) -> F.Column:
+    """Sampling threshold θ: the k-th smallest hash, or 1 when not full."""
+    return F.when(cnt < k, F.lit(1.0)).otherwise(F.element_at(mins, k))
+
+
+def kmv_merge(mins_a, mins_b, k: int = KMV_K) -> F.Column:
+    """Union sketch: k smallest of the deduplicated hash union. Exactly
+    equals the sketch built directly from A ∪ B (same hash set), which
+    tests/test_sketches.py pins — lossless mergeability."""
+    return F.slice(F.array_sort(F.array_union(mins_a, mins_b)), 1, k)
+
+
+def kmv_intersect_estimate(mins_a, cnt_a, mins_b, cnt_b, k: int = KMV_K) -> F.Column:
+    """Theta intersection: |common hashes below θ_min| / θ_min."""
+    theta = F.least(kmv_theta(mins_a, cnt_a, k), kmv_theta(mins_b, cnt_b, k))
+    common = F.size(F.filter(F.array_intersect(mins_a, mins_b), lambda x: x < theta))
+    return common.cast("double") / theta

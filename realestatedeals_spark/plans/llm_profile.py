@@ -264,3 +264,137 @@ def x6_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "cnt", "cms_est", (F.col("cms_est") - F.col("cnt")).alias("overshoot"))
         .orderBy(F.desc("cnt"), F.asc("term"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X6 — KMV/theta sketch SET OPERATIONS (round 7): approximate distinct
+# union / intersection / difference between overlapping corpus slices —
+# the sketch algebra HLL cannot do (its merge is union-only). Because the
+# k-minimum-values construction is deterministic given the hash function,
+# the ENTIRE estimator carries an exact value-hash oracle: DuckDB replays
+# the same 48-bit md5 hashes, the same k-smallest selection, and the same
+# estimate arithmetic, bit for bit — an *oracled approximate sketch*.
+# Slices: A = texts of even doc_ids, B = texts of doc_ids % 3 == 0
+# (membership computed per DISTINCT text so duplicate texts are handled
+# set-correctly, not per-document).
+# ---------------------------------------------------------------------------
+
+_X6_KMV_ORACLE = """
+WITH t AS (
+  SELECT text,
+         max(doc_id % 2 = 0) AS in_a,
+         max(doc_id % 3 = 0) AS in_b
+  FROM documents GROUP BY text),
+h AS (
+  SELECT (('0x' || substr(md5(text), 1, 12))::BIGINT + 1) / 281474976710656.0 AS u,
+         in_a, in_b
+  FROM t),
+tags AS (
+  SELECT 'a' AS tag, u FROM h WHERE in_a
+  UNION ALL SELECT 'b', u FROM h WHERE in_b
+  UNION ALL SELECT 'i', u FROM h WHERE in_a AND in_b
+  UNION ALL SELECT 'o', u FROM h WHERE in_a OR in_b),
+rk AS (SELECT tag, u, row_number() OVER (PARTITION BY tag ORDER BY u) AS rn FROM tags),
+sk AS (SELECT tag,
+              list_sort(list(u) FILTER (WHERE rn <= 64)) AS mins,
+              CAST(sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+              CAST(count(*) AS BIGINT) AS n_exact
+       FROM rk GROUP BY tag),
+piv AS (SELECT
+  (SELECT mins FROM sk WHERE tag = 'a') AS ma,
+  (SELECT cnt  FROM sk WHERE tag = 'a') AS ca,
+  (SELECT n_exact FROM sk WHERE tag = 'a') AS na,
+  (SELECT mins FROM sk WHERE tag = 'b') AS mb,
+  (SELECT cnt  FROM sk WHERE tag = 'b') AS cb,
+  (SELECT n_exact FROM sk WHERE tag = 'b') AS nb,
+  (SELECT n_exact FROM sk WHERE tag = 'i') AS ni,
+  (SELECT n_exact FROM sk WHERE tag = 'o') AS no_),
+est AS (SELECT *,
+  CASE WHEN ca < 64 THEN 1.0 ELSE ma[64] END AS th_a,
+  CASE WHEN cb < 64 THEN 1.0 ELSE mb[64] END AS th_b,
+  list_sort(list_distinct(list_concat(ma, mb)))[1:64] AS mu
+  FROM piv),
+est2 AS (SELECT *,
+  CASE WHEN ca < 64 THEN CAST(ca AS DOUBLE) ELSE 63.0 / ma[64] END AS est_a,
+  CASE WHEN cb < 64 THEN CAST(cb AS DOUBLE) ELSE 63.0 / mb[64] END AS est_b,
+  CASE WHEN len(mu) < 64 THEN CAST(len(mu) AS DOUBLE) ELSE 63.0 / mu[64] END AS est_union,
+  CAST(len(list_filter(list_intersect(ma, mb), x -> x < least(th_a, th_b))) AS DOUBLE)
+    / least(th_a, th_b) AS est_inter
+  FROM est)
+SELECT est_a, est_b, est_union, est_inter,
+       est_a - est_inter AS est_diff_a,
+       na AS exact_a, nb AS exact_b, ni AS exact_inter, no_ AS exact_union
+FROM est2
+"""
+
+
+@register("x6_kmv_set_ops", oracle=_X6_KMV_ORACLE, tags=("X6", "profile", "sketch"))
+def x6_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch set algebra over two overlapping corpus slices
+    (operators/sketches.py): one rank shuffle builds all four per-tag
+    sketches; union is a k-array merge, intersection the theta estimator.
+    Exact counts ride along in the same aggregation for comparison. The
+    oracle replays every hash and estimate — approximate but bit-exact."""
+    from realestatedeals_spark.operators.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_hash,
+        kmv_intersect_estimate,
+        kmv_merge,
+        kmv_theta,
+    )
+    from pyspark.sql import Window as W
+
+    k = KMV_K
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.groupBy("text").agg(
+        F.max(F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.max(F.col("doc_id") % 3 == 0).alias("in_b"),
+    )
+    base = t.select(kmv_hash(F.col("text")).alias("u"), "in_a", "in_b")
+    tag_arr = F.array(
+        F.when(F.col("in_a"), F.lit("a")),
+        F.when(F.col("in_b"), F.lit("b")),
+        F.when(F.col("in_a") & F.col("in_b"), F.lit("i")),
+        F.when(F.col("in_a") | F.col("in_b"), F.lit("o")),
+    )
+    tagged = base.select(
+        F.explode(F.filter(tag_arr, lambda x: x.isNotNull())).alias("tag"), "u"
+    )
+    rn = F.row_number().over(W.partitionBy("tag").orderBy("u"))
+    sk = (
+        tagged.withColumn("rn", rn)
+        .groupBy("tag")
+        .agg(
+            F.array_sort(F.collect_list(F.when(F.col("rn") <= k, F.col("u")))).alias("mins"),
+            F.sum(F.when(F.col("rn") <= k, 1).otherwise(0)).alias("cnt"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+    )
+
+    def pick(col, tag):
+        return F.max(F.when(F.col("tag") == tag, F.col(col)))
+
+    piv = sk.groupBy().agg(
+        pick("mins", "a").alias("ma"), pick("cnt", "a").alias("ca"),
+        pick("n_exact", "a").alias("na"),
+        pick("mins", "b").alias("mb"), pick("cnt", "b").alias("cb"),
+        pick("n_exact", "b").alias("nb"),
+        pick("n_exact", "i").alias("ni"), pick("n_exact", "o").alias("no_"),
+    )
+    mu = kmv_merge(F.col("ma"), F.col("mb"), k)
+    est_a = kmv_estimate(F.col("ma"), F.col("ca"), k)
+    est_b = kmv_estimate(F.col("mb"), F.col("cb"), k)
+    est_union = kmv_estimate(mu, F.size(mu), k)
+    est_inter = kmv_intersect_estimate(F.col("ma"), F.col("ca"), F.col("mb"), F.col("cb"), k)
+    return piv.select(
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_union.alias("est_union"),
+        est_inter.alias("est_inter"),
+        (est_a - est_inter).alias("est_diff_a"),
+        F.col("na").alias("exact_a"),
+        F.col("nb").alias("exact_b"),
+        F.col("ni").alias("exact_inter"),
+        F.col("no_").alias("exact_union"),
+    )

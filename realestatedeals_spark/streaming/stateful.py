@@ -9,6 +9,16 @@ Spark, no external snapshot table.
 Scale: state lives partitioned by key in the state store (RocksDB provider
 on a real cluster), one Arrow batch per key group per micro-batch; nothing
 is collected to the driver.
+
+API note (probed round 7): Spark 4's successor API
+``transformWithStateInPandas`` (StatefulProcessor + ValueState/ListState/
+MapState/timers) is present in this PySpark build but its Python↔JVM state
+server requires ``google.protobuf``, which this container does not ship
+(pip installs are unavailable) — the runner exits with
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. ``applyInPandasWithState``
+covers the same per-key-state semantics without that dependency, so it
+stays the implementation here; the migration is mechanical (handleInputRows
+receives the same per-key Arrow batches these update functions consume).
 """
 
 from __future__ import annotations

@@ -166,3 +166,52 @@ def test_cms_table_is_mergeable_by_groupby_sum(spark, sf_dir):
         ).collect()
     }
     assert merged == whole
+
+
+def test_kmv_union_sketch_is_losslessly_mergeable(spark):
+    """merge(sketch(A), sketch(B)) must EQUAL sketch(A ∪ B) element-for-
+    element — the property that lets per-shard sketches combine at 100 TB
+    without touching the raw data again."""
+    from realestatedeals_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    rows = [(i, f"val-{i * 7919 % 5000}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v string")
+    a = df.filter(F.col("id") % 2 == 0)
+    b = df.filter(F.col("id") % 3 == 0)
+    sa = kmv_sketch(a, F.lit("s"), "v").collect()[0]
+    sb = kmv_sketch(b, F.lit("s"), "v").collect()[0]
+    direct = kmv_sketch(a.unionByName(b), F.lit("s"), "v").collect()[0]
+    merged = (
+        spark.createDataFrame([(sa["mins"], sb["mins"])], "ma array<double>, mb array<double>")
+        .select(kmv_merge(F.col("ma"), F.col("mb")).alias("mu"))
+        .collect()[0]["mu"]
+    )
+    assert merged == direct["mins"]
+
+
+def test_kmv_estimates_within_theory_bounds(spark):
+    """On planted sets with known overlap the KMV estimates must land
+    within ~4 relative standard errors (RSE ≈ 1/sqrt(k-2) ≈ 0.127 at
+    k=64) of the exact values — the textbook accuracy of the sketch, not a
+    fixture accident."""
+    from realestatedeals_spark.plans.llm_profile import x6_kmv_set_ops
+    import pandas as pd
+    import tempfile, os
+
+    # synthetic corpus: 6000 distinct texts; A = even ids (3000),
+    # B = ids % 3 == 0 (2000), intersection = ids % 6 == 0 (1000)
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(
+            {"doc_id": range(6000), "text": [f"text-{i}" for i in range(6000)],
+             "lang": ["en"] * 6000, "source": ["s"] * 6000,
+             "n_chars": [10] * 6000}
+        ).to_parquet(os.path.join(d, "documents.parquet"))
+        r = x6_kmv_set_ops(spark, d).collect()[0]
+    tol = 4 / (62**0.5)
+    for est, exact in (
+        (r["est_a"], r["exact_a"]), (r["est_b"], r["exact_b"]),
+        (r["est_union"], r["exact_union"]), (r["est_inter"], r["exact_inter"]),
+    ):
+        assert abs(est - exact) <= tol * exact, (est, exact)
+    assert r["exact_a"] == 3000 and r["exact_b"] == 2000
+    assert r["exact_inter"] == 1000 and r["exact_union"] == 4000
