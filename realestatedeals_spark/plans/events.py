@@ -1091,3 +1091,51 @@ def e22_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - prev).alias("delta"),
         (F.col("n").cast("double") / prev.cast("double")).alias("wow_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e23 — stream-stream LEFT OUTER interval join, batch-checked (round 7):
+# click→purchase ABANDONMENT. e9 is the inner join (attributed pairs);
+# this is its outer companion — every click, matched or null-padded — the
+# plan whose streaming form can only emit the null rows after the
+# watermark proves no purchase can still arrive. The registered batch
+# plan is EXACTLY the plan streaming/windows.py::interval_join_outer
+# builds in streaming mode; tests/test_streaming.py asserts stream ==
+# batch on the same input (with a far-future sentinel advancing the
+# watermark so append mode flushes the unmatched buffer).
+# ---------------------------------------------------------------------------
+
+_ABANDON_ORACLE = """
+WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       p.value AS purchase_value,
+       CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS lag_seconds,
+       p.ts IS NOT NULL AS matched
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("e23_click_abandonment", oracle=_ABANDON_ORACLE, tags=("events", "stream-stream", "interval-join", "outer"))
+def e23_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.streaming.windows import interval_join_outer
+
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = interval_join_outer(clicks, purchases, within="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("r_value").alias("purchase_value"),
+        "lag_seconds",
+        "matched",
+    )

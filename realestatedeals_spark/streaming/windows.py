@@ -128,3 +128,53 @@ def interval_join(
         .cast("bigint")
         .alias("lag_seconds"),
     )
+
+
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every left-side event with
+    its right-side matches within ``within``, or one null-padded row if
+    none arrive (click→purchase abandonment).
+
+    The outer side is what makes this interesting in streaming: Spark can
+    only emit the null-match once the watermark proves no matching right
+    event can still arrive (left buffer entry older than watermark +
+    interval), so unmatched rows surface with watermark latency while
+    matched rows stream out immediately. Same state-bounding rules as the
+    inner join — both sides watermarked, time bound in the condition.
+    Batch frames run the identical plan for the oracle comparison.
+
+    Output: key, l_ts/l_value, r_ts/r_value (null when unmatched),
+    lag_seconds (null when unmatched), matched flag.
+    """
+    lw = left.withWatermark("ts", watermark) if left.isStreaming else left
+    rw = right.withWatermark("ts", watermark) if right.isStreaming else right
+    l = lw.select(
+        F.col(key).alias("k"), F.col("ts").alias("l_ts"), F.col("value").alias("l_value")
+    )
+    r = rw.select(
+        F.col(key).alias("rk"), F.col("ts").alias("r_ts"), F.col("value").alias("r_value")
+    )
+    joined = l.join(
+        r,
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("k").alias("user_id"),
+        "l_ts",
+        "l_value",
+        "r_ts",
+        "r_value",
+        ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000)
+        .cast("bigint")
+        .alias("lag_seconds"),
+        F.col("r_ts").isNotNull().alias("matched"),
+    )

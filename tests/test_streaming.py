@@ -462,3 +462,55 @@ def test_cdc_decimal_price_schema_consistent(spark, tmp_path):
     assert dt["old_price"] == dt["new_price"] == "decimal(12,2)", dt
     # the emissions sink holds a single consistent schema across epochs
     assert spark.read.parquet(emit).count() == 3
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream join (click abandonment): matched rows
+    stream out immediately; NULL-padded unmatched rows may only be emitted
+    once the watermark proves no purchase can still arrive. A far-future
+    sentinel click + purchase (distinct users, never matching anything)
+    advances both sides' watermarks so every real click flushes; the
+    streaming result must then equal the batch plan row-for-row."""
+    import datetime as dt
+
+    from realestatedeals_spark.streaming.windows import interval_join_outer
+
+    stream_df, batch_df = events_stream(spark, tmp_path)
+    max_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+    far = max_ts + dt.timedelta(days=2)
+    sent = spark.createDataFrame(
+        [(999999, far, 0.0, "click"), (888888, far, 0.0, "purchase")],
+        "user_id long, ts timestamp, value double, event_type string",
+    )
+    def split(df):
+        c = df.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+        p = df.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        return c, p
+
+    # streaming input = real events ∪ sentinel (read from both dirs)
+    src_dir = str(tmp_path / "events_in")
+    sent.coalesce(1).write.mode("append").parquet(src_dir)
+    stream_all = spark.readStream.schema(batch_df.schema).parquet(src_dir)
+    sc, sp = split(stream_all)
+    q = (
+        interval_join_outer(sc, sp, within="12 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssoj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r["user_id"], r["l_ts"], r["r_ts"])
+    got = {
+        key(r): (r["lag_seconds"], r["matched"])
+        for r in spark.sql("select * from ssoj where user_id < 900000").collect()
+    }
+    bc, bp = split(batch_df)
+    want = {
+        key(r): (r["lag_seconds"], r["matched"])
+        for r in interval_join_outer(bc, bp, within="12 hours").collect()
+    }
+    assert got == want
+    # non-vacuous both ways: the fixture must contain matches AND abandons
+    assert any(m for _, m in want.values()) and any(not m for _, m in want.values())
