@@ -27,6 +27,7 @@ from . import streaming_cdc  # noqa: E402,F401
 from . import streaming_dedup  # noqa: E402,F401
 from . import streaming_state  # noqa: E402,F401
 from . import streaming_view  # noqa: E402,F401
+from . import streaming_scd2  # noqa: E402,F401
 from . import streaming_sessions  # noqa: E402,F401
 from . import streaming_enrich  # noqa: E402,F401
 from . import tablediff_plan  # noqa: E402,F401

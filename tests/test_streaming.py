@@ -514,3 +514,51 @@ def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
     assert got == want
     # non-vacuous both ways: the fixture must contain matches AND abandons
     assert any(m for _, m in want.values()) and any(not m for _, m in want.values())
+
+
+def test_scd2_merge_batch_unit_semantics(spark):
+    """Hand-built MERGE step: extend-without-change is a no-op, a changed
+    type closes the open with the original valid_from, untouched entities
+    pass through, and new entities start at version 1."""
+    import datetime as dt
+
+    from realestatedeals_spark.plans.streaming_scd2 import _OPENS_SCHEMA, _merge_batch
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    opens = spark.createDataFrame(
+        [
+            (1, "click", t(0), 10, 3),   # will be extended (same type) then closed
+            (2, "view", t(0), 11, 7),    # untouched this batch
+        ],
+        _OPENS_SCHEMA,
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "click", t(5), 20),      # no-op: same type as open v3
+            (1, "purchase", t(9), 21),   # closes v3, opens v4
+            (3, "view", t(2), 22),       # brand-new entity: v1
+        ],
+        "user_id bigint, event_type string, ts timestamp, event_id bigint",
+    )
+    closed, opens_new = _merge_batch(batch, opens, spark)
+    closed_rows = {(r["user_id"], r["version"]): r for r in closed.collect()}
+    assert set(closed_rows) == {(1, 3)}
+    # valid_from is the OPEN's original start, not the batch's first event
+    assert closed_rows[(1, 3)]["valid_from"] == t(0)
+    assert closed_rows[(1, 3)]["valid_to"] == t(9)
+    o = {r["user_id"]: r for r in opens_new.collect()}
+    assert o[1]["event_type"] == "purchase" and o[1]["version"] == 4
+    assert o[2]["event_type"] == "view" and o[2]["version"] == 7  # untouched
+    assert o[3]["event_type"] == "view" and o[3]["version"] == 1  # new entity
+
+
+def test_scd2_stream_equals_batch_rebuild(spark):
+    """The maintained dimension (3-batch streaming MERGE) must equal the
+    one-pass batch window rebuild row-for-row at sf0.001."""
+    from realestatedeals_spark.plans.events import e10_scd2_intervals
+    from realestatedeals_spark.plans.streaming_scd2 import c10_scd2_stream
+
+    key = lambda r: (r["user_id"], r["version"])
+    got = {key(r): tuple(r) for r in c10_scd2_stream(spark, "/root/testdata/sf0.001").collect()}
+    want = {key(r): tuple(r) for r in e10_scd2_intervals(spark, "/root/testdata/sf0.001").collect()}
+    assert got == want and want
