@@ -268,6 +268,11 @@ class VersionedTable:
         """
         stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
         df.write.mode("errorifexists").parquet(stage)
+        return self._publish(stage, expected_latest, max_retries)
+
+    def _publish(self, stage: str, expected_latest: int | None, max_retries: int) -> int:
+        """Claim-and-rename a fully-staged directory as the next version
+        (the shared tail of ``commit`` and ``delete_where``)."""
         try:
             for _ in range(max_retries):
                 claimed = self._claimed_versions()
@@ -305,11 +310,86 @@ class VersionedTable:
             if os.path.exists(stage):
                 shutil.rmtree(stage)
 
+    # -- merge-on-read deletes (Iceberg/Delta-style position deletion
+    # vectors): a DELETE commits a version directory holding only a
+    # ``_base`` pointer to the full snapshot it applies to plus a
+    # ``_dv/`` parquet of (file_path, row_index) positions — no data is
+    # copied or rewritten. Readers anti-join the DV against the base scan
+    # using the ``_metadata.file_path``/``row_index`` hidden columns. The
+    # DV is stored CUMULATIVE per version, so a read consults exactly one
+    # base + one DV regardless of how many deletes stacked up; at 100 TB a
+    # delete of k rows costs O(k) written bytes while the petabyte of data
+    # files stands still. ``compact`` (a plain ``commit(read())``) folds
+    # the DV into a fresh full snapshot when the positions grow large.
+
+    def _resolve(self, v: int) -> tuple[int, DataFrame | None]:
+        """(full-snapshot base version, cumulative DV or None) for ``v``."""
+        d = os.path.join(self.root, f"v={v}")
+        base_file = os.path.join(d, "_base")
+        if not os.path.exists(base_file):
+            return v, None
+        with open(base_file) as fh:
+            base = int(fh.read().strip())
+        dv = self.spark.read.parquet(os.path.join(d, "_dv"))
+        return base, dv
+
+    def _lineage(self, base: int) -> DataFrame:
+        """Base snapshot with hidden row-position columns exposed."""
+        return self.spark.read.parquet(os.path.join(self.root, f"v={base}")).select(
+            "*",
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
         if v is None or v not in self.versions():
             raise ValueError(f"no such version {version!r} in {self.root}")
-        return self.spark.read.parquet(os.path.join(self.root, f"v={v}"))
+        base, dv = self._resolve(v)
+        if dv is None:
+            return self.spark.read.parquet(os.path.join(self.root, f"v={base}"))
+        live = self._lineage(base).join(
+            dv,
+            (F.col("__file") == F.col("file_path")) & (F.col("__pos") == F.col("row_index")),
+            "left_anti",
+        )
+        return live.drop("__file", "__pos")
+
+    def delete_where(self, cond, max_retries: int = 20) -> int:
+        """Merge-on-read DELETE: append the positions of matching LIVE rows
+        to the cumulative deletion vector and commit — data files are
+        never touched. Read-modify-write semantics: the commit conflicts
+        if the table advanced since the positions were computed. Returns
+        the number of rows deleted; a no-match delete commits nothing."""
+        cur = self.latest_version()
+        if cur is None:
+            raise ValueError(f"empty table {self.root}")
+        base, dv = self._resolve(cur)
+        live = self._lineage(base)
+        if dv is not None:
+            live = live.join(
+                dv,
+                (F.col("__file") == F.col("file_path"))
+                & (F.col("__pos") == F.col("row_index")),
+                "left_anti",
+            )
+        hits = live.filter(cond).select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("row_index")
+        )
+        new_dv = dv.unionByName(hits) if dv is not None else hits
+        new_dv = new_dv.localCheckpoint(eager=True)  # pin positions pre-commit
+        n = new_dv.count() - (dv.count() if dv is not None else 0)
+        if n == 0:
+            return 0
+        stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
+        os.makedirs(stage)
+        new_dv.write.mode("errorifexists").parquet(os.path.join(stage, "_dv"))
+        with open(os.path.join(stage, "_base"), "w") as fh:
+            fh.write(str(base))
+        with open(os.path.join(stage, "_SUCCESS"), "w") as fh:
+            fh.write("")
+        self._publish(stage, expected_latest=cur, max_retries=max_retries)
+        return n
 
     def vacuum_stages(self) -> int:
         """Remove leftover ``.stage-*`` directories from crashed writers."""

@@ -146,3 +146,107 @@ def x9_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X9 — HYBRID retrieval with reciprocal-rank fusion (round 7): the modern
+# search stack's default — a lexical retriever and a vector retriever,
+# fused by RRF(d) = Σ_r 1/(k0 + rank_r(d)). Both component scores are
+# chosen to be cross-engine exact: the lexical score is an INTEGER
+# distinct-term overlap (BM25's ln() has no cross-engine rounding
+# guarantee; rank fusion only consumes ranks, so the integer overlap
+# retriever keeps the whole pipeline oracle-exact) and the vector score is
+# the same md5-hash cosine as x9_rag_retrieval. RRF then needs just two
+# divisions and one add per doc in a fixed order — bit-identical in Spark
+# and DuckDB. At 100 TB each retriever swaps to its pruned form (inverted
+# candidates / IVF buckets); the fusion contract is unchanged.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_HYB_TOPK = 10
+
+_X9_HYBRID_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS terms,
+         list_transform(range(0, {_DIM}),
+           i -> ('0x' || substr(md5(text || ':' || i), 1, 8))::BIGINT
+                / 4294967296.0 - 0.5) AS v
+  FROM documents),
+q AS (SELECT doc_id AS q_doc, terms AS q_terms, v AS qv FROM toks WHERE doc_id < {_N_QUERY_DOCS}),
+c AS (SELECT doc_id AS n_doc, terms, v FROM toks WHERE doc_id >= {_N_QUERY_DOCS}),
+pairs AS (
+  SELECT q_doc, n_doc,
+         CAST(len(list_intersect(q_terms, terms)) AS BIGINT) AS overlap,
+         list_reduce(list_transform(range(1, {_DIM + 1}), i -> qv[i] * v[i]),
+                     (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(range(1, {_DIM + 1}), i -> qv[i] * qv[i]),
+                             (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(range(1, {_DIM + 1}), i -> v[i] * v[i]),
+                               (acc, x) -> acc + x))) AS cosine
+  FROM q, c),
+ranked AS (
+  SELECT q_doc, n_doc, overlap, cosine,
+         row_number() OVER (PARTITION BY q_doc ORDER BY overlap DESC, n_doc) AS r_lex,
+         row_number() OVER (PARTITION BY q_doc ORDER BY cosine DESC, n_doc) AS r_vec
+  FROM pairs),
+fused AS (
+  SELECT q_doc, n_doc, r_lex, r_vec,
+         (1.0 / ({_RRF_K} + r_lex)) + (1.0 / ({_RRF_K} + r_vec)) AS rrf
+  FROM ranked)
+SELECT q_doc, n_doc,
+       CAST(r_lex AS BIGINT) AS rank_lex, CAST(r_vec AS BIGINT) AS rank_vec,
+       rrf,
+       CAST(row_number() OVER (PARTITION BY q_doc ORDER BY rrf DESC, n_doc)
+            AS BIGINT) AS rank_fused
+FROM fused
+QUALIFY rank_fused <= {_HYB_TOPK}
+"""
+
+
+@register("x9_hybrid_retrieval", oracle=_X9_HYBRID_ORACLE, tags=("X9", "retrieval", "hybrid"))
+def x9_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical ∪ vector retrieval fused with RRF; integer overlap + hash
+    cosine keep every rank — and therefore the fused ordering — hash-exact
+    against the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", " "), lambda t: t != "")).alias("terms"),
+        _hash_embed(F.col("text")).alias("v"),
+    )
+    q = base.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_doc"), F.col("terms").alias("q_terms"),
+        F.col("v").alias("qv"),
+    )
+    c = base.filter(F.col("doc_id") >= _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("n_doc"), "terms", "v"
+    )
+    norm = lambda col: F.sqrt(_dot(col, col))  # noqa: E731
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "q_doc",
+        "n_doc",
+        F.size(F.array_intersect(F.col("q_terms"), F.col("terms"))).cast("long").alias("overlap"),
+        (_dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v")))).alias("cosine"),
+    )
+    w_lex = W.partitionBy("q_doc").orderBy(F.col("overlap").desc(), "n_doc")
+    w_vec = W.partitionBy("q_doc").orderBy(F.col("cosine").desc(), "n_doc")
+    ranked = pairs.select(
+        "q_doc", "n_doc",
+        F.row_number().over(w_lex).alias("r_lex"),
+        F.row_number().over(w_vec).alias("r_vec"),
+    )
+    rrf = (F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("r_lex"))) + (
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("r_vec"))
+    )
+    fused = ranked.select(
+        "q_doc", "n_doc",
+        F.col("r_lex").cast("long").alias("rank_lex"),
+        F.col("r_vec").cast("long").alias("rank_vec"),
+        rrf.alias("rrf"),
+    )
+    w_f = W.partitionBy("q_doc").orderBy(F.col("rrf").desc(), "n_doc")
+    return (
+        fused.withColumn("rank_fused", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("rank_fused") <= _HYB_TOPK)
+    )

@@ -37,6 +37,7 @@ _BNLJ_WHITELIST = {
     "e11_gap_fill_forward": "cross vs 1-row broadcast date-bounds frame (spine generation)",
     "x3_pq_topk": "ADC scan crosses codes vs the bounded broadcast query-LUT frame",
     "x9_rag_retrieval": "linear scan crosses corpus chunks vs the bounded broadcast query-chunk frame",
+    "x9_hybrid_retrieval": "linear scan crosses corpus docs vs the bounded broadcast 5-query frame; both retrievers share it",
     "x2_semdedup": "cluster assignment crosses vs the k-row broadcast centroid frame (model state)",
     "x7_temperature_mix": "cross vs 1-row broadcast rate-normalizer frame",
     "x4_term_drift": "cross vs 1-row broadcast corpus-totals frame",
