@@ -322,16 +322,22 @@ class VersionedTable:
     # files stands still. ``compact`` (a plain ``commit(read())``) folds
     # the DV into a fresh full snapshot when the positions grow large.
 
-    def _resolve(self, v: int) -> tuple[int, DataFrame | None]:
-        """(full-snapshot base version, cumulative DV or None) for ``v``."""
+    def _resolve(self, v: int) -> tuple[int, DataFrame | None, DataFrame | None]:
+        """(full-snapshot base version, cumulative DV or None, cumulative
+        insert store or None) for ``v``. The DV addresses BASE data files
+        only; rows born after the base live in the (small, rewritten-
+        cumulative) ``_ins`` store and are updated/deleted by rewriting it
+        — compaction folds both back into a full snapshot."""
         d = os.path.join(self.root, f"v={v}")
         base_file = os.path.join(d, "_base")
         if not os.path.exists(base_file):
-            return v, None
+            return v, None, None
         with open(base_file) as fh:
             base = int(fh.read().strip())
         dv = self.spark.read.parquet(os.path.join(d, "_dv"))
-        return base, dv
+        ins_dir = os.path.join(d, "_ins")
+        ins = self.spark.read.parquet(ins_dir) if os.path.exists(ins_dir) else None
+        return base, dv, ins
 
     def _lineage(self, base: int) -> DataFrame:
         """Base snapshot with hidden row-position columns exposed."""
@@ -341,30 +347,8 @@ class VersionedTable:
             F.col("_metadata.row_index").alias("__pos"),
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
-        v = self.latest_version() if version is None else version
-        if v is None or v not in self.versions():
-            raise ValueError(f"no such version {version!r} in {self.root}")
-        base, dv = self._resolve(v)
-        if dv is None:
-            return self.spark.read.parquet(os.path.join(self.root, f"v={base}"))
-        live = self._lineage(base).join(
-            dv,
-            (F.col("__file") == F.col("file_path")) & (F.col("__pos") == F.col("row_index")),
-            "left_anti",
-        )
-        return live.drop("__file", "__pos")
-
-    def delete_where(self, cond, max_retries: int = 20) -> int:
-        """Merge-on-read DELETE: append the positions of matching LIVE rows
-        to the cumulative deletion vector and commit — data files are
-        never touched. Read-modify-write semantics: the commit conflicts
-        if the table advanced since the positions were computed. Returns
-        the number of rows deleted; a no-match delete commits nothing."""
-        cur = self.latest_version()
-        if cur is None:
-            raise ValueError(f"empty table {self.root}")
-        base, dv = self._resolve(cur)
+    def _live_base(self, base: int, dv: DataFrame | None) -> DataFrame:
+        """Base rows surviving the DV, position columns still attached."""
         live = self._lineage(base)
         if dv is not None:
             live = live.join(
@@ -373,23 +357,98 @@ class VersionedTable:
                 & (F.col("__pos") == F.col("row_index")),
                 "left_anti",
             )
-        hits = live.filter(cond).select(
-            F.col("__file").alias("file_path"), F.col("__pos").alias("row_index")
-        )
-        new_dv = dv.unionByName(hits) if dv is not None else hits
-        new_dv = new_dv.localCheckpoint(eager=True)  # pin positions pre-commit
-        n = new_dv.count() - (dv.count() if dv is not None else 0)
-        if n == 0:
-            return 0
+        return live
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self.versions():
+            raise ValueError(f"no such version {version!r} in {self.root}")
+        base, dv, ins = self._resolve(v)
+        if dv is None:
+            return self.spark.read.parquet(os.path.join(self.root, f"v={base}"))
+        out = self._live_base(base, dv).drop("__file", "__pos")
+        return out.unionByName(ins) if ins is not None else out
+
+    def _commit_mor(
+        self,
+        base: int,
+        dv: DataFrame,
+        ins: DataFrame | None,
+        expected_latest: int,
+        max_retries: int,
+    ) -> int:
+        """Stage and publish a merge-on-read version (_base + _dv [+ _ins])."""
         stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
         os.makedirs(stage)
-        new_dv.write.mode("errorifexists").parquet(os.path.join(stage, "_dv"))
+        dv.write.mode("errorifexists").parquet(os.path.join(stage, "_dv"))
+        if ins is not None:
+            ins.write.mode("errorifexists").parquet(os.path.join(stage, "_ins"))
         with open(os.path.join(stage, "_base"), "w") as fh:
             fh.write(str(base))
         with open(os.path.join(stage, "_SUCCESS"), "w") as fh:
             fh.write("")
-        self._publish(stage, expected_latest=cur, max_retries=max_retries)
+        return self._publish(stage, expected_latest=expected_latest, max_retries=max_retries)
+
+    def delete_where(self, cond, max_retries: int = 20) -> int:
+        """Merge-on-read DELETE: matching base rows go into the cumulative
+        deletion vector (data files untouched); matching post-base inserts
+        are dropped from the rewritten insert store. Read-modify-write:
+        the commit conflicts if the table advanced since the positions
+        were computed. Returns rows deleted; no-match commits nothing."""
+        cur = self.latest_version()
+        if cur is None:
+            raise ValueError(f"empty table {self.root}")
+        base, dv, ins = self._resolve(cur)
+        live = self._live_base(base, dv)
+        hits = live.filter(cond).select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("row_index")
+        )
+        new_dv = (dv.unionByName(hits) if dv is not None else hits).localCheckpoint(
+            eager=True
+        )
+        n = new_dv.count() - (dv.count() if dv is not None else 0)
+        new_ins = ins
+        if ins is not None:
+            new_ins = ins.filter(~cond).localCheckpoint(eager=True)
+            n += ins.count() - new_ins.count()
+        if n == 0:
+            return 0
+        self._commit_mor(base, new_dv, new_ins, cur, max_retries)
         return n
+
+    def merge_into(self, source: DataFrame, keys: list[str], max_retries: int = 20) -> dict:
+        """Merge-on-read UPSERT (MERGE ... WHEN MATCHED THEN UPDATE, WHEN
+        NOT MATCHED THEN INSERT), key-matched: matched base rows are
+        position-deleted and re-inserted with the source's values; matched
+        insert-store rows are replaced in the rewritten store; unmatched
+        source rows are inserted. Data files are never rewritten — an
+        upsert of k rows costs O(k + |insert store|) written bytes.
+        Returns {'updated': ..., 'inserted': ...}."""
+        cur = self.latest_version()
+        if cur is None:
+            raise ValueError(f"empty table {self.root}")
+        base, dv, ins = self._resolve(cur)
+        src = source.localCheckpoint(eager=True)
+        live = self._live_base(base, dv)
+        matched_base = live.join(src.select(*keys), keys, "semi")
+        hits = matched_base.select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("row_index")
+        )
+        new_dv = (dv.unionByName(hits) if dv is not None else hits).localCheckpoint(
+            eager=True
+        )
+        n_base_upd = new_dv.count() - (dv.count() if dv is not None else 0)
+        kept_ins = (
+            ins.join(src.select(*keys), keys, "anti") if ins is not None else None
+        )
+        n_ins_upd = (
+            (ins.count() - kept_ins.count()) if ins is not None else 0
+        )
+        new_ins = src if kept_ins is None else kept_ins.unionByName(src)
+        new_ins = new_ins.localCheckpoint(eager=True)
+        self._commit_mor(base, new_dv, new_ins, cur, max_retries)
+        updated = n_base_upd + n_ins_upd
+        return {"updated": updated, "inserted": src.count() - updated}
 
     def vacuum_stages(self) -> int:
         """Remove leftover ``.stage-*`` directories from crashed writers."""

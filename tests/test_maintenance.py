@@ -483,11 +483,11 @@ def test_delete_where_stacks_cumulatively_and_compacts(spark):
         want = sorted(i for i in range(1000) if i % 7 != 0 and i >= 100)
         assert sorted(r["id"] for r in t.read().collect()) == want
         # second DV version must still point at the ORIGINAL full snapshot
-        base, dv = t._resolve(t.latest_version())
+        base, dv, _ins = t._resolve(t.latest_version())
         assert base == 1 and dv is not None
         # compact folds the DV into a fresh full snapshot
         v = t.commit(t.read(), expected_latest=t.latest_version())
-        base2, dv2 = t._resolve(v)
+        base2, dv2, _ins2 = t._resolve(v)
         assert base2 == v and dv2 is None
         assert sorted(r["id"] for r in t.read().collect()) == want
 
@@ -530,3 +530,49 @@ def test_delete_where_conflicts_when_table_advances(spark):
         # table is the interloper's version; a fresh delete then succeeds
         assert t.read().count() == 5
         assert t.delete_where(F.col("grp") == 1) == 1
+
+
+def test_merge_into_upsert_semantics_and_no_rewrite(spark):
+    """MERGE: matched base rows are position-deleted and re-inserted with
+    source values, unmatched source rows are inserted, base data files
+    stay byte-identical, and a following MERGE updates insert-store rows
+    by rewriting the (small) store only."""
+    with tempfile.TemporaryDirectory() as tmp:
+        t = _dv_table(spark, tmp, n=100)
+        base_dir = os.path.join(t.root, "v=1")
+        before = {f: os.path.getmtime(os.path.join(base_dir, f)) for f in os.listdir(base_dir)}
+
+        src = spark.createDataFrame(
+            [(5, 99, -5), (200, 99, -200)], "id long, grp long, val long"
+        )
+        res = t.merge_into(src, keys=["id"])
+        assert res == {"updated": 1, "inserted": 1}
+        rows = {r["id"]: (r["grp"], r["val"]) for r in t.read().collect()}
+        assert len(rows) == 101
+        assert rows[5] == (99, -5) and rows[200] == (99, -200)
+        assert rows[6] == (6 % 7, 18)  # untouched neighbor
+        after = {f: os.path.getmtime(os.path.join(base_dir, f)) for f in os.listdir(base_dir)}
+        assert after == before
+
+        # second merge hits an insert-store row (200) and a base row (7)
+        src2 = spark.createDataFrame(
+            [(200, 1, 1), (7, 1, 1), (300, 1, 1)], "id long, grp long, val long"
+        )
+        res2 = t.merge_into(src2, keys=["id"])
+        assert res2 == {"updated": 2, "inserted": 1}
+        rows = {r["id"]: (r["grp"], r["val"]) for r in t.read().collect()}
+        assert len(rows) == 102
+        assert rows[200] == (1, 1) and rows[7] == (1, 1) and rows[300] == (1, 1)
+        assert rows[5] == (99, -5)  # first merge's update survives
+
+        # delete spanning base + insert-store rows
+        n = t.delete_where(F.col("grp") == 1)
+        assert n == 3 + len([i for i in range(100) if i % 7 == 1 and i not in (5, 7, 200)])
+        assert 300 not in {r["id"] for r in t.read().collect()}
+
+        # compaction folds DV + insert store into a full snapshot
+        want = sorted((r["id"], r["grp"], r["val"]) for r in t.read().collect())
+        v = t.commit(t.read(), expected_latest=t.latest_version())
+        b, d, i = t._resolve(v)
+        assert b == v and d is None and i is None
+        assert sorted((r["id"], r["grp"], r["val"]) for r in t.read().collect()) == want
