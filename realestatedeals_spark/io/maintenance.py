@@ -450,6 +450,40 @@ class VersionedTable:
         updated = n_base_upd + n_ins_upd
         return {"updated": updated, "inserted": src.count() - updated}
 
+    def referenced_bases(self) -> set[int]:
+        """Full-snapshot versions some merge-on-read version points at."""
+        out = set()
+        for v in self.versions():
+            base_file = os.path.join(self.root, f"v={v}", "_base")
+            if os.path.exists(base_file):
+                with open(base_file) as fh:
+                    out.add(int(fh.read().strip()))
+        return out
+
+    def expire_versions(self, keep_last: int = 1) -> list[int]:
+        """Retention cleanup: drop all but the newest ``keep_last``
+        versions — EXCEPT full snapshots still referenced as the base of a
+        surviving merge-on-read version (dropping those would corrupt
+        every DV read against them; the Iceberg expire-snapshots hazard).
+        Returns the versions actually removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        keep = set(vs[-keep_last:])
+        # transitively protect bases of anything kept
+        protected = set(keep)
+        for v in keep:
+            base_file = os.path.join(self.root, f"v={v}", "_base")
+            if os.path.exists(base_file):
+                with open(base_file) as fh:
+                    protected.add(int(fh.read().strip()))
+        removed = []
+        for v in vs:
+            if v not in protected:
+                shutil.rmtree(os.path.join(self.root, f"v={v}"))
+                removed.append(v)
+        return removed
+
     def vacuum_stages(self) -> int:
         """Remove leftover ``.stage-*`` directories from crashed writers."""
         n = 0

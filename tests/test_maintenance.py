@@ -576,3 +576,24 @@ def test_merge_into_upsert_semantics_and_no_rewrite(spark):
         b, d, i = t._resolve(v)
         assert b == v and d is None and i is None
         assert sorted((r["id"], r["grp"], r["val"]) for r in t.read().collect()) == want
+
+
+def test_expire_versions_protects_mor_bases(spark):
+    """Retention must never drop a full snapshot that a surviving
+    merge-on-read version references — the expire-snapshots hazard DVs
+    introduce. v=1 (base) survives keep_last=1 even though it is old;
+    unreferenced middles are removed; reads stay correct afterwards."""
+    with tempfile.TemporaryDirectory() as tmp:
+        t = _dv_table(spark, tmp, n=50)           # v=1 full
+        t.commit(t.read())                        # v=2 full (unreferenced later)
+        assert t.delete_where(F.col("id") < 10) > 0   # v=3 MoR, base=2
+        removed = t.expire_versions(keep_last=1)
+        assert removed == [1]                      # v=2 protected as v=3's base
+        assert sorted(t.versions()) == [2, 3]
+        assert t.read().count() == 40
+        # compact → v=4 full; now 2 and 3 are expendable
+        t.commit(t.read(), expected_latest=3)
+        assert sorted(t.expire_versions(keep_last=1)) == [2, 3]
+        assert t.versions() == [4] and t.read().count() == 40
+        with pytest.raises(ValueError):
+            t.expire_versions(keep_last=0)
