@@ -152,15 +152,39 @@ def encode_png_rgb(pixels: np.ndarray) -> bytes:
     )
 
 
+def encode_png_palette(pixels: np.ndarray) -> bytes:
+    """REAL indexed-color (color type 3) PNG encoder: (H, W, 3) uint8 with
+    ≤256 distinct colors → IHDR + PLTE (palette sorted by RGB triple for
+    determinism) + one zlib IDAT of filter-0 index scanlines + IEND."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_png_palette needs (H, W, 3)")
+    px = pixels.astype(np.uint8).reshape(-1, 3)
+    palette, inverse = np.unique(px, axis=0, return_inverse=True)  # RGB-sorted
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} distinct colors: palette PNG holds 256")
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)  # 8-bit indexed
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png_rgb(data: bytes) -> np.ndarray:
-    """REAL truecolor PNG decoder (color type 2, 8-bit, non-interlaced):
-    same chunk walk and five-filter unfilter as the grayscale path with
-    bpp=3. Returns (H, W, 3) uint8. Grayscale files pass through as
-    replicated channels so callers can dispatch on either."""
+    """REAL color PNG decoder (8-bit, non-interlaced): truecolor (type 2,
+    bpp=3) and indexed-color (type 3, bpp=1 + PLTE lookup), with the same
+    chunk walk and five-filter unfilter as the grayscale path. Returns
+    (H, W, 3) uint8. Grayscale files pass through as replicated channels
+    so callers can dispatch on either."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, w, h, color = 8, None, None, None
-    idat = b""
+    idat, plte = b"", None
     while pos < len(data):
         (length,) = _struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -170,11 +194,15 @@ def decode_png_rgb(data: bytes) -> np.ndarray:
             if color == 0:
                 g = decode_png_gray(data)
                 return np.dstack([g, g, g])
-            if depth != 8 or color != 2 or interlace != 0:
+            if depth != 8 or color not in (2, 3) or interlace != 0:
                 raise NotImplementedError(
                     f"PNG depth={depth} color={color} interlace={interlace}: "
-                    "truecolor decode is 8-bit non-interlaced"
+                    "color decode is 8-bit non-interlaced truecolor/indexed"
                 )
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -182,17 +210,25 @@ def decode_png_rgb(data: bytes) -> np.ndarray:
         pos += 12 + length
     if w is None or h is None:
         raise ValueError("PNG missing IHDR chunk")
+    bpp = 3 if color == 2 else 1
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
-    stride = w * 3 + 1
+    stride = w * bpp + 1
     if raw.size < h * stride:
         raise ValueError("short PNG pixel data")
     rows = raw[: h * stride].reshape(h, stride)
-    out = np.zeros((h, w * 3), np.int32)
-    prev = np.zeros(w * 3, np.int32)
+    out = np.zeros((h, w * bpp), np.int32)
+    prev = np.zeros(w * bpp, np.int32)
     for r in range(h):
-        prev = _unfilter_scanline(int(rows[r, 0]), rows[r, 1:], prev, bpp=3)
+        prev = _unfilter_scanline(int(rows[r, 0]), rows[r, 1:], prev, bpp=bpp)
         out[r] = prev
-    return out.astype(np.uint8).reshape(h, w, 3)
+    if color == 2:
+        return out.astype(np.uint8).reshape(h, w, 3)
+    if plte is None:
+        raise ValueError("indexed PNG missing PLTE chunk")
+    idx = out.astype(np.uint8).reshape(h, w)
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("palette index out of range")
+    return plte[idx]
 
 
 def _unfilter_scanline(ft: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:

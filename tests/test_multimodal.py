@@ -1206,3 +1206,48 @@ def test_wav_unsupported_format_still_typed():
     data = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(NotImplementedError, match="format=85"):
         decode_wav_pcm16(data)
+
+
+def test_png_palette_roundtrip_and_bounds():
+    """Indexed-color (PLTE) PNG: encode an RGB grid with ≤256 distinct
+    colors, decode through the shared unfilter path (bpp=1) + palette
+    lookup, and get the exact pixels back; >256 colors and out-of-range
+    indexes raise typed errors."""
+    import pytest
+    import zlib as _zlib
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(11)
+    colors = rng.randint(0, 256, (200, 3)).astype(np.uint8)
+    idx = rng.randint(0, 200, (23, 31))
+    img = colors[idx]
+    data = encode_png_palette(img)
+    assert np.array_equal(decode_png_rgb(data), img)
+    # a noisy few-color image: indexed bytes beat 3-byte truecolor samples
+    from realestatedeals_spark.operators.multimodal import encode_png_rgb
+
+    noisy = colors[:16][rng.randint(0, 16, (64, 64))]
+    assert len(encode_png_palette(noisy)) < 0.75 * len(encode_png_rgb(noisy))
+    assert np.array_equal(decode_png_rgb(encode_png_palette(noisy)), noisy)
+    # >256 distinct colors is a typed refusal
+    i = np.arange(20 * 20)
+    many = np.dstack(
+        [(i % 256), (i // 256), np.zeros_like(i)]
+    ).astype(np.uint8).reshape(20, 20, 3)
+    with pytest.raises(ValueError, match="palette PNG holds 256"):
+        encode_png_palette(many)
+    # out-of-range index: truncate the PLTE of a valid file
+    bad = bytearray(encode_png_palette(img))
+    p = bad.find(b"PLTE") - 4
+    (ln,) = __import__("struct").unpack(">I", bad[p : p + 4])
+    import struct as _st
+
+    trunc = bad[: p] + _st.pack(">I", 3) + b"PLTE" + bad[p + 8 : p + 11]
+    trunc += _zlib.crc32(b"PLTE" + bad[p + 8 : p + 11]).to_bytes(4, "big")
+    trunc += bytes(bad[p + 8 + ln + 4 :])
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png_rgb(bytes(trunc))
