@@ -253,3 +253,92 @@ def x4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe(docs, 12)
     return encode_with_merges(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# X4 — URL canonicalization (round 7): the normalization pass crawl dedup
+# needs before any exact/near dedup. Like x4_pii_scrub, the fixture has no
+# URLs, so the query deterministically synthesizes MESSY ones per doc_id
+# (case noise, default ports, trailing slashes, shuffled query params,
+# utm_* junk, fragments) on BOTH sides, then checks the generic
+# canonicalizer (functions/web.py) collapses them: same canonical URL ⇒
+# same variant group, counted via one window.
+# ---------------------------------------------------------------------------
+
+_URL_RAW_SQL = """
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END || '://' ||
+  CASE WHEN doc_id % 3 = 0 THEN 'WWW.SITE' ELSE 'www.site' END ||
+  CAST(doc_id % 25 AS VARCHAR) || '.example' ||
+  CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END ||
+  '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+  CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END ||
+  CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END ||
+  CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+"""
+
+_X4_URL_ORACLE = f"""
+WITH raw AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
+parts AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS base FROM raw),
+p2 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(base, '^[^:]+://([^/?]+)', 1)) AS hostport,
+         regexp_extract(base, '^[^:]+://[^/?]+([^?]*)', 1) AS raw_path,
+         regexp_extract(base, '\\?(.*)$', 1) AS qraw
+  FROM parts),
+p3 AS (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         CASE WHEN raw_path IN ('', '/') THEN '/'
+              ELSE regexp_replace(raw_path, '/$', '') END AS path,
+         list_sort(list_filter(string_split(qraw, '&'),
+                               p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS params
+  FROM p2),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host || path ||
+         CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+              ELSE '' END AS url_canon
+  FROM p3)
+SELECT doc_id, url AS url_raw, url_canon,
+       CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_variants
+FROM canon
+"""
+
+
+@register("x4_url_canonicalize", oracle=_X4_URL_ORACLE, tags=("X4", "clean", "web"))
+def x4_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy-URL synthesis + generic canonicalizer + variant-group counts;
+    hash-exact against the oracle replaying the same normalization."""
+    from pyspark.sql import Window as W
+
+    from realestatedeals_spark.functions.web import canonicalize_url
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.SITE")).otherwise(F.lit("www.site")),
+        (d % 25).cast("string"),
+        F.lit(".example"),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (d % 50).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
+        F.when(d % 3 == 0, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+        F.when(d % 2 == 1, F.concat(F.lit("#sec"), (d % 7).cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", url.alias("url_raw"))
+    canon = docs.select(
+        "doc_id", "url_raw", canonicalize_url(F.col("url_raw")).alias("url_canon")
+    )
+    return canon.withColumn(
+        "n_variants", F.count(F.lit(1)).over(W.partitionBy("url_canon")).cast("long")
+    )

@@ -66,3 +66,22 @@ def test_numeric_tail_and_strip(spark):
 def test_price_change_pct(spark):
     assert one(spark, S.price_change_pct(F.col("n"), F.col("o")), n=110, o=100) == 10.0
     assert one(spark, S.price_change_pct(F.col("n"), F.col("o")), n=110, o=0) is None
+
+
+def test_canonicalize_url_unit_cases(spark):
+    """Generic URL canonicalizer edge cases beyond the registry fixture:
+    https default port, non-default port preserved, root path, no query,
+    utm-only query dropped entirely, param sort stability."""
+    from realestatedeals_spark.functions.web import canonicalize_url
+
+    cases = [
+        ("HTTPS://Host.Example:443/", "https://host.example/"),
+        ("https://host.example:8443/x", "https://host.example:8443/x"),
+        ("http://a.b", "http://a.b/"),
+        ("http://a.b/p/?utm_source=x&utm_medium=y", "http://a.b/p"),
+        ("http://a.b/p?z=1&y=2&x=3#frag", "http://a.b/p?x=3&y=2&z=1"),
+        ("http://A.B:80/p/q/", "http://a.b/p/q"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
