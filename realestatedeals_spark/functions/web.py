@@ -47,3 +47,21 @@ def canonicalize_url(url: Column) -> Column:
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&"))
     ).otherwise(F.lit(""))
     return F.concat(scheme, F.lit("://"), host, path, qstr)
+
+
+def extract_main_text(html: Column) -> Column:
+    """Boilerplate-stripping main-content extraction (trafilatura-lite):
+    drop <script>/<style> subtrees, keep only the <main> region, turn
+    paragraph boundaries into newlines, strip remaining tags, decode the
+    basic HTML entities, and collapse runs of spaces. Pure JVM regexp
+    expressions in the Java∩RE2 subset (non-greedy quantifiers, no
+    lookarounds), replayed bit-identically by the SQL oracle."""
+    x = F.regexp_replace(html, "<script[^>]*>.*?</script>", "")
+    x = F.regexp_replace(x, "<style[^>]*>.*?</style>", "")
+    x = F.regexp_extract(x, "<main[^>]*>(.*?)</main>", 1)
+    x = F.regexp_replace(x, "</p>\\s*<p[^>]*>", "\n")
+    x = F.regexp_replace(x, "<[^>]+>", "")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        x = F.regexp_replace(x, ent, ch)
+    x = F.regexp_replace(x, "  +", " ")
+    return F.trim(x)

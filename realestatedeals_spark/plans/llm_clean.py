@@ -342,3 +342,71 @@ def x4_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.withColumn(
         "n_variants", F.count(F.lit(1)).over(W.partitionBy("url_canon")).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — HTML boilerplate removal (round 7): the main-content extraction a
+# web-crawl pipeline runs before any text analysis. The fixture is plain
+# text, so both sides wrap each document in a deterministic page skeleton
+# (title/style/script head, nav, ad div, <main> with the real text split
+# across two <p>s and an entity, footer) and the GENERIC extractor
+# (functions/web.py:extract_main_text) must recover exactly the original
+# text plus the planted second paragraph — checked by string equality in
+# the output, hash-exact in the oracle.
+# ---------------------------------------------------------------------------
+
+_HTML_WRAP_SQL = """
+  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+  '</title><style>.ad{display:block}</style>' ||
+  '<script>var trk="' || CAST(doc_id % 97 AS VARCHAR) || '";</script></head>' ||
+  '<body><nav><ul><li>Home</li><li>Listings</li></ul></nav>' ||
+  '<div class="ad">BUY NOW ' || CAST(doc_id % 13 AS VARCHAR) || '</div>' ||
+  '<main><p>' || text || '</p> <p>tail &amp; id ' || CAST(doc_id % 7 AS VARCHAR) ||
+  '</p></main><footer>© example ' || CAST(2000 + doc_id % 25 AS VARCHAR) ||
+  '</footer></body></html>'
+"""
+
+_X4_HTML_ORACLE = f"""
+WITH pages AS (SELECT doc_id, text, {_HTML_WRAP_SQL} AS html FROM documents),
+x1 AS (SELECT doc_id, text, regexp_replace(html, '<script[^>]*>.*?</script>', '', 'g') AS h FROM pages),
+x2 AS (SELECT doc_id, text, regexp_replace(h, '<style[^>]*>.*?</style>', '', 'g') AS h FROM x1),
+x3 AS (SELECT doc_id, text, regexp_extract(h, '<main[^>]*>(.*?)</main>', 1) AS h FROM x2),
+x4 AS (SELECT doc_id, text, regexp_replace(h, '</p>\\s*<p[^>]*>', E'\\n', 'g') AS h FROM x3),
+x5 AS (SELECT doc_id, text, regexp_replace(h, '<[^>]+>', '', 'g') AS h FROM x4),
+x6 AS (SELECT doc_id, text,
+              replace(replace(replace(replace(replace(h,
+                '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', '''') AS h
+       FROM x5),
+x7 AS (SELECT doc_id, text, trim(regexp_replace(h, '  +', ' ', 'g')) AS extracted FROM x6)
+SELECT doc_id, extracted,
+       extracted = text || E'\\ntail & id ' || CAST(doc_id % 7 AS VARCHAR) AS exact_recovery
+FROM x7
+"""
+
+
+@register("x4_html_extract", oracle=_X4_HTML_ORACLE, tags=("X4", "clean", "web"))
+def x4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each document in a deterministic page skeleton, run the generic
+    boilerplate stripper, and assert exact recovery of the main content."""
+    from realestatedeals_spark.functions.web import extract_main_text
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit("</title><style>.ad{display:block}</style>"),
+        F.lit('<script>var trk="'), (d % 97).cast("string"), F.lit('";</script></head>'),
+        F.lit("<body><nav><ul><li>Home</li><li>Listings</li></ul></nav>"),
+        F.lit('<div class="ad">BUY NOW '), (d % 13).cast("string"), F.lit("</div>"),
+        F.lit("<main><p>"), F.col("text"),
+        F.lit("</p> <p>tail &amp; id "), (d % 7).cast("string"),
+        F.lit("</p></main><footer>© example "), (2000 + d % 25).cast("string"),
+        F.lit("</footer></body></html>"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", html.alias("html"))
+    out = docs.select(
+        "doc_id", "text", extract_main_text(F.col("html")).alias("extracted")
+    )
+    expect = F.concat(F.col("text"), F.lit("\ntail & id "), (d % 7).cast("string"))
+    return out.select(
+        "doc_id", "extracted", (F.col("extracted") == expect).alias("exact_recovery")
+    )

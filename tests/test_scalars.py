@@ -85,3 +85,34 @@ def test_canonicalize_url_unit_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_extract_main_text_adversarial_cases(spark):
+    """Boilerplate stripper edge cases: </main> hidden inside a script is
+    not a real boundary (scripts strip first), nested inline tags vanish,
+    entities decode, and whitespace collapses."""
+    from realestatedeals_spark.functions.web import extract_main_text
+
+    cases = [
+        (
+            "<html><script>if(a<b){x='</main>'}</script>"
+            "<main><p>real <b>bold</b> text</p></main></html>",
+            "real bold text",
+        ),
+        (
+            "<main><p>first</p>   <p>second &amp; third</p></main>",
+            "first\nsecond & third",
+        ),
+        ("<main><p>a&lt;b &gt;c &quot;q&quot; &#39;s&#39;</p></main>", "a<b >c \"q\" 's'"),
+        ("<body>no main region</body>", ""),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [r["t"] for r in df.select(extract_main_text(F.col("html")).alias("t")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_html_extract_recovery_is_total(spark):
+    from realestatedeals_spark.plans.llm_clean import x4_html_extract
+
+    rows = x4_html_extract(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["exact_recovery"] for r in rows)
