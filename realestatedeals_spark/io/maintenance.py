@@ -38,6 +38,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import time
 import threading
 import uuid
 from typing import Callable
@@ -224,12 +225,17 @@ class VersionedTable:
     """
 
     def __init__(
-        self, spark: SparkSession, root: str, store: ClaimStore | None = None
+        self,
+        spark: SparkSession,
+        root: str,
+        store: ClaimStore | None = None,
+        clock: Callable[[], float] | None = None,
     ) -> None:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
         self.store = store if store is not None else PosixClaimStore(root)
+        self._clock = clock if clock is not None else time.time
 
     def versions(self) -> list[int]:
         out = []
@@ -296,6 +302,12 @@ class VersionedTable:
                 if self.store.try_claim(nxt) and not os.path.exists(target):
                     try:
                         os.rename(stage, target)
+                        # commit wall-clock, stamped AFTER the atomic publish
+                        # so AS-OF ordering follows version order (a crash in
+                        # this window leaves no marker; read_as_of falls back
+                        # to the directory mtime)
+                        with open(os.path.join(target, "_commit_ts"), "w") as fh:
+                            fh.write(repr(self._clock()))
                         return nxt
                     except OSError:
                         pass  # squatter won the window: fall through as lost race
@@ -367,7 +379,11 @@ class VersionedTable:
         if dv is None:
             return self.spark.read.parquet(os.path.join(self.root, f"v={base}"))
         out = self._live_base(base, dv).drop("__file", "__pos")
-        return out.unionByName(ins) if ins is not None else out
+        if ins is None:
+            return out
+        # schema evolution: columns added by later upserts surface as null
+        # on pre-evolution rows (and vice versa)
+        return out.unionByName(ins, allowMissingColumns=True)
 
     def _commit_mor(
         self,
@@ -416,18 +432,33 @@ class VersionedTable:
         self._commit_mor(base, new_dv, new_ins, cur, max_retries)
         return n
 
-    def merge_into(self, source: DataFrame, keys: list[str], max_retries: int = 20) -> dict:
+    def merge_into(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        max_retries: int = 20,
+        allow_schema_evolution: bool = False,
+    ) -> dict:
         """Merge-on-read UPSERT (MERGE ... WHEN MATCHED THEN UPDATE, WHEN
         NOT MATCHED THEN INSERT), key-matched: matched base rows are
         position-deleted and re-inserted with the source's values; matched
         insert-store rows are replaced in the rewritten store; unmatched
         source rows are inserted. Data files are never rewritten — an
         upsert of k rows costs O(k + |insert store|) written bytes.
+        Matched rows take the source row WHOLESALE (full-row replace).
+        With ``allow_schema_evolution`` the source may add or omit
+        columns; missing columns read back as null on either side.
         Returns {'updated': ..., 'inserted': ...}."""
         cur = self.latest_version()
         if cur is None:
             raise ValueError(f"empty table {self.root}")
         base, dv, ins = self._resolve(cur)
+        table_cols = set(self.read(cur).columns)
+        if not allow_schema_evolution and set(source.columns) != table_cols:
+            raise ValueError(
+                f"source schema {sorted(source.columns)} != table schema "
+                f"{sorted(table_cols)}; pass allow_schema_evolution=True to widen"
+            )
         src = source.localCheckpoint(eager=True)
         live = self._live_base(base, dv)
         matched_base = live.join(src.select(*keys), keys, "semi")
@@ -444,11 +475,36 @@ class VersionedTable:
         n_ins_upd = (
             (ins.count() - kept_ins.count()) if ins is not None else 0
         )
-        new_ins = src if kept_ins is None else kept_ins.unionByName(src)
+        if kept_ins is None:
+            new_ins = src
+        elif allow_schema_evolution:
+            new_ins = kept_ins.unionByName(src, allowMissingColumns=True)
+        else:
+            new_ins = kept_ins.unionByName(src)
         new_ins = new_ins.localCheckpoint(eager=True)
         self._commit_mor(base, new_dv, new_ins, cur, max_retries)
         updated = n_base_upd + n_ins_upd
         return {"updated": updated, "inserted": src.count() - updated}
+
+    def commit_ts(self, v: int) -> float:
+        """Wall-clock commit time of version ``v`` (the ``_commit_ts``
+        marker stamped right after the atomic publish; falls back to the
+        version directory's mtime for a writer that crashed inside the
+        rename→stamp window)."""
+        d = os.path.join(self.root, f"v={v}")
+        marker = os.path.join(d, "_commit_ts")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return float(fh.read().strip())
+        return os.path.getmtime(d)
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Time travel by wall clock: read the latest version whose commit
+        time is ≤ ``ts`` (``SELECT ... TIMESTAMP AS OF`` semantics)."""
+        eligible = [v for v in self.versions() if self.commit_ts(v) <= ts]
+        if not eligible:
+            raise ValueError(f"no version committed at or before {ts!r}")
+        return self.read(eligible[-1])
 
     def referenced_bases(self) -> set[int]:
         """Full-snapshot versions some merge-on-read version points at."""

@@ -470,7 +470,7 @@ def test_delete_where_merge_on_read_no_data_rewrite(spark):
         # DV version holds only the pointer + vector, no data parquet
         dv_dir = os.path.join(t.root, "v=2")
         top = set(os.listdir(dv_dir))
-        assert top == {"_base", "_dv", "_SUCCESS"}
+        assert top == {"_base", "_dv", "_SUCCESS", "_commit_ts"}
         # time travel to the pre-delete version still sees every row
         assert t.read(1).count() == 1000
 
@@ -597,3 +597,51 @@ def test_expire_versions_protects_mor_bases(spark):
         assert t.versions() == [4] and t.read().count() == 40
         with pytest.raises(ValueError):
             t.expire_versions(keep_last=0)
+
+
+def test_read_as_of_timestamp_time_travel(spark):
+    """TIMESTAMP AS OF: an injected clock stamps three commits at t=100,
+    200, 300; reads between commit times resolve to the newest version at
+    or before the asked instant."""
+    from realestatedeals_spark.io.maintenance import VersionedTable
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ticks = iter([100.0, 200.0, 300.0])
+        t = VersionedTable(spark, os.path.join(tmp, "t"), clock=lambda: next(ticks))
+        for n in (1, 2, 3):
+            t.commit(spark.range(n))
+        assert t.commit_ts(1) == 100.0 and t.commit_ts(3) == 300.0
+        assert t.read_as_of(100.0).count() == 1
+        assert t.read_as_of(250.0).count() == 2
+        assert t.read_as_of(1e9).count() == 3
+        with pytest.raises(ValueError, match="no version committed"):
+            t.read_as_of(99.9)
+
+
+def test_merge_schema_evolution_adds_column(spark):
+    """allow_schema_evolution: an upsert may introduce a new column; rows
+    from before the evolution read it as null, and a strict merge without
+    the flag refuses the widened source."""
+    with tempfile.TemporaryDirectory() as tmp:
+        t = _dv_table(spark, tmp, n=20)
+        wide = spark.createDataFrame(
+            [(3, 9, 9, "fresh"), (50, 9, 9, "new-row")],
+            "id long, grp long, val long, note string",
+        )
+        with pytest.raises(Exception):
+            t.merge_into(wide, keys=["id"])
+        res = t.merge_into(wide, keys=["id"], allow_schema_evolution=True)
+        assert res == {"updated": 1, "inserted": 1}
+        rows = {r["id"]: r for r in t.read().collect()}
+        assert set(rows[3].asDict()) == {"id", "grp", "val", "note"}
+        assert rows[3]["note"] == "fresh" and rows[50]["note"] == "new-row"
+        assert rows[4]["note"] is None  # pre-evolution row: null-filled
+        # a second evolved merge against the now-wide insert store
+        res2 = t.merge_into(
+            spark.createDataFrame([(50, 1, 1)], "id long, grp long, val long"),
+            keys=["id"],
+            allow_schema_evolution=True,
+        )
+        assert res2 == {"updated": 1, "inserted": 0}
+        rows = {r["id"]: r for r in t.read().collect()}
+        assert rows[50]["note"] is None and rows[3]["note"] == "fresh"
