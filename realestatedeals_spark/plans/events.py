@@ -1139,3 +1139,50 @@ def e23_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag_seconds",
         "matched",
     )
+
+
+# ---------------------------------------------------------------------------
+# e24 — per-user EWMA (round 7): the recursive aggregate SQL window frames
+# cannot express (each step consumes the previous ACCUMULATOR, not a frame
+# of inputs). Re-expressed as a fold over the time-sorted value array with
+# α = 1/8 — both engines run the identical multiply/add sequence per
+# element (exactly-representable α, left fold seeded with the first
+# value), so the floating EWMA is hash-exact, per the repo's sorted-fold
+# determinism recipe. Scale: one shuffle on user_id; per-user arrays are
+# event-history bounded (chunk by era for unbounded keys).
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH vals AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       list_reduce(vs, (acc, x) -> (acc * 0.875) + (x * 0.125)) AS ewma,
+       vs[-1] AS last_value
+FROM vals
+"""
+
+
+@register("e24_ewma", oracle=_EWMA_ORACLE, tags=("events", "window", "fold"))
+def e24_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(arr, lambda s: s["value"]).alias("vs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vs"), 2, F.size("vs") - 1),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: (acc * F.lit(0.875)) + (x * F.lit(0.125)),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        ewma.alias("ewma"),
+        F.element_at("vs", -1).alias("last_value"),
+    )

@@ -1,0 +1,58 @@
+"""io_mor_delete — the merge-on-read DML path as a driver-checked query.
+
+A GDPR-style purge pipeline over ``documents``: commit the corpus into a
+``VersionedTable``, DELETE one deterministic slice via a position
+deletion vector (data files untouched), MERGE an upsert batch (one
+updated doc, one new doc), and return the live table. The oracle states
+the surviving set directly from the mutation rules, so a hash match
+proves the DV anti-join and the insert-store union return exactly the
+right rows — while the physical layout work (no base-file rewrite,
+conflict-checked commits) is pinned in tests/test_maintenance.py.
+
+Reference parity: the reference rewrites its whole JSON state file to
+drop a listing (main.py:144-171); this is that mutation done as O(k)
+metadata on an immutable store.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.io.maintenance import VersionedTable
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.plans.registry import register
+
+_MOR_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 31 = 1 THEN 'REDACTED' ELSE text END AS text
+FROM documents
+WHERE doc_id % 17 <> 3
+UNION ALL
+SELECT -1 AS doc_id, 'en' AS lang, 'appended row' AS text
+"""
+
+
+@register("io_mor_delete", oracle=_MOR_ORACLE, tags=("io", "lakehouse", "dml"))
+def io_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    work = tempfile.mkdtemp(prefix="mor_delete_")
+    try:
+        t = VersionedTable(spark, os.path.join(work, "docs"))
+        t.commit(docs)
+        n = t.delete_where(F.col("doc_id") % 17 == 3)
+        assert n > 0
+        upd = t.read().filter(F.col("doc_id") % 31 == 1).select(
+            "doc_id", "lang", F.lit("REDACTED").alias("text")
+        )
+        extra = spark.createDataFrame(
+            [(-1, "en", "appended row")], "doc_id long, lang string, text string"
+        )
+        t.merge_into(upd.unionByName(extra), keys=["doc_id"])
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
