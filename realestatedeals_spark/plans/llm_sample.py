@@ -971,3 +971,39 @@ def x7_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 — weighted Bernoulli sampling (round 7): include each document with
+# probability proportional to its weight (here: capped length — the
+# token-budget-proportional sampling a training-mix builder runs). The
+# inclusion test is PURE INTEGER — keep iff h48 * 10000 < w * 3 * 2^48,
+# i.e. P(keep) = 3w/10000 with w = min(n_chars, 1000) — so the sample is
+# deterministic, engine-exact, and reproducible at any partitioning (the
+# same property as the repo's hash-split family, extended to non-uniform
+# inclusion). Both factors stay far inside int64.
+# ---------------------------------------------------------------------------
+
+_X7_WEIGHTED_ORACLE = """
+WITH h AS (
+  SELECT doc_id, lang, CAST(least(n_chars, 1000) AS BIGINT) AS w,
+         ('0x' || substr(md5('wbs:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h48
+  FROM documents)
+SELECT doc_id, lang, w
+FROM h
+WHERE h48 * 10000 < w * 3 * 281474976710656
+"""
+
+
+@register("x7_weighted_sample", oracle=_X7_WEIGHTED_ORACLE, tags=("X7", "sampling"))
+def x7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars"), F.lit(1000)).cast("long")
+    h48 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wbs:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return docs.select("doc_id", "lang", w.alias("w"), h48.alias("h48")).filter(
+        F.col("h48") * 10000 < F.col("w") * 3 * F.lit(281474976710656)
+    ).drop("h48")

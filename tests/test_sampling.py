@@ -95,3 +95,33 @@ def test_sequence_pack_tiles_exactly(spark, sf_dir):
         for seg in segs:
             assert seg["doc_tok_start"] == pos
             pos = seg["doc_tok_end"]
+
+
+def test_weighted_sample_rate_tracks_weight(spark, tmp_path):
+    """Long documents (w=1000) must be kept ~10x as often as short ones
+    (w=100): P(keep) = 3w/10000 exactly, so with 4000 docs per stratum the
+    empirical rates sit well inside 4 sigma of 30% and 3%."""
+    import os
+
+    import pandas as pd
+
+    from realestatedeals_spark.plans.llm_sample import x7_weighted_sample
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(2 * n),
+            "text": ["x"] * (2 * n),
+            "lang": ["en"] * (2 * n),
+            "source": ["s"] * (2 * n),
+            "n_chars": [1000] * n + [100] * n,
+        }
+    )
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    kept = x7_weighted_sample(spark, d).collect()
+    long_rate = sum(r["w"] == 1000 for r in kept) / n
+    short_rate = sum(r["w"] == 100 for r in kept) / n
+    assert abs(long_rate - 0.30) < 4 * (0.3 * 0.7 / n) ** 0.5
+    assert abs(short_rate - 0.03) < 4 * (0.03 * 0.97 / n) ** 0.5
