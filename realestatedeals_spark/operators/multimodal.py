@@ -342,6 +342,22 @@ def decode_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         w, h = _struct.unpack("<HH", b[6:10])
         return "gif", w, h
+    if b[:4] == b"II*\x00" and len(b) >= 8:  # little-endian TIFF: IFD walk
+        try:
+            (ifd,) = _struct.unpack("<I", b[4:8])
+            (n,) = _struct.unpack("<H", b[ifd : ifd + 2])
+            w = h = None
+            for i in range(n):
+                e = ifd + 2 + i * 12
+                tid, typ = _struct.unpack("<HH", b[e : e + 4])
+                v = _struct.unpack("<H" if typ == 3 else "<I", b[e + 8 : e + 10 if typ == 3 else e + 12])[0]
+                if tid == 256:
+                    w = v
+                elif tid == 257:
+                    h = v
+            return "tiff", w, h
+        except (_struct.error, IndexError):
+            return "tiff", None, None
     return None, None, None
 
 
@@ -1056,6 +1072,8 @@ def decode_gray_auto(data: bytes) -> np.ndarray:
         return decode_gif_gray(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg_gray(data)
+    if data[:4] == b"II*\x00":
+        return decode_tiff_gray(data)
     raise ValueError("no stdlib pixel codec for this format")
 
 
@@ -2322,3 +2340,153 @@ def image_dhash(media: DataFrame, grid: tuple[int, int] = (8, 9)) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         run, schema="media_id long, dhash string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real TIFF codec (baseline 6.0 subset): little-endian container, IFD tag
+# directory, multi-strip grayscale-8 payload, compression 1 (none) and
+# 32773 (PackBits RLE, the TIFF spec's Section 9 algorithm). A fourth
+# container SHAPE next to PNG (chunked), GIF (block-stream), and JPEG
+# (marker-segments): TIFF is offset-directory based, so the decoder walks
+# pointers instead of a stream.
+# ---------------------------------------------------------------------------
+
+
+def _packbits_compress(data: bytes) -> bytes:
+    """TIFF PackBits: runs of ≥3 become (257-n, byte); literals batch up
+    to 128 with a (n-1) header."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])
+        ):
+            i += 1
+        out.append(i - lit - 1)
+        out += data[lit:i]
+    return bytes(out)
+
+
+def _packbits_decompress(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h == 128:  # noop
+            continue
+        if h < 128:  # literal run of h+1
+            out += data[i : i + h + 1]
+            i += h + 1
+        else:  # repeat next byte 257-h times
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+    if len(out) != expected:
+        raise ValueError(f"PackBits strip decoded {len(out)} != {expected} bytes")
+    return bytes(out)
+
+
+def encode_tiff_gray(
+    pixels: np.ndarray, compression: str = "packbits", rows_per_strip: int = 16
+) -> bytes:
+    """REAL multi-strip grayscale TIFF encoder (little-endian, baseline
+    tags: dims, bits, compression, photometric, strip offsets/counts)."""
+    h, w = pixels.shape
+    px = pixels.astype(np.uint8)
+    comp_code = {"none": 1, "packbits": 32773}[compression]
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = px[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(_packbits_compress(raw) if comp_code == 32773 else raw)
+    # layout: 8-byte header | strip data | IFD | offset arrays
+    offsets, pos = [], 8
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    n_tags = 8
+    ifd_end = ifd_off + 2 + n_tags * 12 + 4
+    # LONG arrays for offsets/counts live after the IFD when count > 1
+    def arr_or_inline(values: list[int], at: int) -> tuple[bytes, bytes, int]:
+        if len(values) == 1:
+            return _struct.pack("<I", values[0]), b"", at
+        blob = b"".join(_struct.pack("<I", v) for v in values)
+        return _struct.pack("<I", at), blob, at + len(blob)
+    off_val, off_blob, nxt = arr_or_inline(offsets, ifd_end)
+    cnt_val, cnt_blob, _ = arr_or_inline([len(s) for s in strips], nxt)
+
+    def tag(tid: int, typ: int, count: int, value: bytes) -> bytes:
+        return _struct.pack("<HHI", tid, typ, count) + value
+
+    ifd = _struct.pack("<H", n_tags)
+    ifd += tag(256, 4, 1, _struct.pack("<I", w))          # ImageWidth
+    ifd += tag(257, 4, 1, _struct.pack("<I", h))          # ImageLength
+    ifd += tag(258, 3, 1, _struct.pack("<HH", 8, 0))      # BitsPerSample
+    ifd += tag(259, 3, 1, _struct.pack("<HH", comp_code, 0))
+    ifd += tag(262, 3, 1, _struct.pack("<HH", 1, 0))      # BlackIsZero
+    ifd += tag(273, 4, len(strips), off_val)              # StripOffsets
+    ifd += tag(278, 4, 1, _struct.pack("<I", rows_per_strip))
+    ifd += tag(279, 4, len(strips), cnt_val)              # StripByteCounts
+    ifd += _struct.pack("<I", 0)  # next-IFD pointer
+    header = b"II*\x00" + _struct.pack("<I", ifd_off)
+    return header + b"".join(strips) + ifd + off_blob + cnt_blob
+
+
+def decode_tiff_gray(data: bytes) -> np.ndarray:
+    """REAL TIFF decoder for the baseline grayscale subset: walks the IFD
+    pointer directory, reads multi-strip payloads, PackBits or raw. Typed
+    errors for big-endian files and unsupported photometric/compression."""
+    if data[:4] == b"MM\x00*":
+        raise NotImplementedError("big-endian TIFF: little-endian decoded here")
+    if data[:4] != b"II*\x00":
+        raise ValueError("not a TIFF")
+    (ifd_off,) = _struct.unpack("<I", data[4:8])
+    (n_tags,) = _struct.unpack("<H", data[ifd_off : ifd_off + 2])
+    tags = {}
+    for i in range(n_tags):
+        e = ifd_off + 2 + i * 12
+        tid, typ, count = _struct.unpack("<HHI", data[e : e + 8])
+        tags[tid] = (typ, count, data[e + 8 : e + 12])
+
+    def longs(tid: int) -> list[int]:
+        typ, count, val = tags[tid]
+        size = 2 if typ == 3 else 4
+        if count * size <= 4:
+            if typ == 3:
+                return list(_struct.unpack(f"<{count}H", val[: 2 * count]))
+            return list(_struct.unpack(f"<{count}I", val[: 4 * count]))
+        (off,) = _struct.unpack("<I", val)
+        fmt = f"<{count}H" if typ == 3 else f"<{count}I"
+        return list(_struct.unpack(fmt, data[off : off + count * size]))
+
+    w, h = longs(256)[0], longs(257)[0]
+    comp = longs(259)[0] if 259 in tags else 1
+    photo = longs(262)[0] if 262 in tags else 1
+    bits = longs(258)[0] if 258 in tags else 8
+    if photo != 1 or bits != 8:
+        raise NotImplementedError(f"TIFF photometric={photo} bits={bits}: gray-8 decoded here")
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression={comp}: none/PackBits decoded here")
+    rps = longs(278)[0] if 278 in tags else h
+    offs, cnts = longs(273), longs(279)
+    rows = []
+    for k, (o, c) in enumerate(zip(offs, cnts)):
+        nrows = min(rps, h - k * rps)
+        raw = data[o : o + c]
+        if comp == 32773:
+            raw = _packbits_decompress(raw, nrows * w)
+        if len(raw) != nrows * w:
+            raise ValueError("TIFF strip size mismatch")
+        rows.append(np.frombuffer(raw, np.uint8).reshape(nrows, w))
+    return np.vstack(rows)

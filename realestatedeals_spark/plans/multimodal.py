@@ -804,3 +804,59 @@ def x5_image_near_dup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").cast("long").alias("min_doc"),
         F.max("media_id").cast("long").alias("max_doc"),
     )
+
+
+_X5_TIFF_ORACLE = """
+SELECT doc_id AS media_id, 'tiff' AS format,
+       CAST(n_chars % 24 + 8 AS INTEGER) AS width,
+       CAST(doc_id % 16 + 8 AS INTEGER) AS height,
+       CAST(list_reduce(list_transform(range(0, doc_id % 16 + 8), r ->
+              list_reduce(list_transform(range(0, n_chars % 24 + 8), c ->
+                (doc_id * 41 + 13 * r + 3 * c) % 256), (a, x) -> a + x)),
+            (a, x) -> a + x) AS BIGINT) AS px_sum
+FROM documents
+"""
+
+
+@register("x5_tiff_roundtrip", oracle=_X5_TIFF_ORACLE, tags=("X5", "multimodal", "codec"))
+def x5_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL offset-directory codec end-to-end (round 7): per document,
+    encode a deterministic grayscale grid as an actual multi-strip
+    PackBits TIFF (operators/multimodal.py:encode_tiff_gray — IFD tag
+    walk, strip offset arrays, Section-9 RLE), then run the engine's real
+    decode paths over the binary column: IFD header parse for dims and
+    full strip decompression for statistics. The oracle recomputes the
+    pixel grid arithmetically, so a hash match proves the bytes ARE valid
+    TIFFs that decompress back to the exact pixels — the fourth container
+    SHAPE (pointer directory) after chunked PNG, block-stream GIF, and
+    marker-segment JPEG."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import encode_tiff_gray
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = int(nch) % 24 + 8, int(did) % 16 + 8
+                px = (
+                    int(did) * 41
+                    + 13 * np.arange(h, dtype=np.int64)[:, None]
+                    + 3 * np.arange(w, dtype=np.int64)[None, :]
+                ) % 256
+                rows.append((int(did), bytearray(encode_tiff_gray(px, "packbits"))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    meta = decode_media_meta(media)
+    feats = image_features(media, use_real_codec=True)
+    return meta.join(feats.select("media_id", "features"), "media_id").select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        F.element_at("features", 6).cast("long").alias("px_sum"),
+    )

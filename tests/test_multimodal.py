@@ -1251,3 +1251,66 @@ def test_png_palette_roundtrip_and_bounds():
     trunc += bytes(bad[p + 8 + ln + 4 :])
     with pytest.raises(ValueError, match="index out of range"):
         decode_png_rgb(bytes(trunc))
+
+
+def test_tiff_roundtrip_multistrip_and_packbits_fuzz():
+    """TIFF codec: multi-strip roundtrips under both compressions, strip
+    boundaries land mid-image, PackBits is an identity under fuzz, and
+    big-endian / unsupported compression raise typed errors."""
+    import random
+    import struct
+
+    import pytest
+
+    from realestatedeals_spark.operators.multimodal import (
+        _packbits_compress,
+        _packbits_decompress,
+        decode_image_header,
+        decode_tiff_gray,
+        encode_tiff_gray,
+    )
+
+    rng = np.random.default_rng(13)
+    for shape in [(1, 9), (16, 16), (37, 53), (100, 11)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        for comp in ("none", "packbits"):
+            data = encode_tiff_gray(px, comp, rows_per_strip=16)
+            assert decode_image_header(data) == ("tiff", shape[1], shape[0])
+            assert (decode_tiff_gray(data) == px).all(), (shape, comp)
+    # runs compress: a flat image must shrink well below raw size
+    flat = np.full((64, 64), 9, np.uint8)
+    assert len(encode_tiff_gray(flat, "packbits")) < 64 * 64 // 8
+    random.seed(4)
+    for _ in range(100):
+        n = random.randrange(0, 400)
+        raw = bytes(random.choice([random.randrange(256), 7]) for _ in range(n))
+        assert _packbits_decompress(_packbits_compress(raw), n) == raw
+    # typed boundaries
+    px = rng.integers(0, 256, size=(8, 8)).astype(np.uint8)
+    data = bytearray(encode_tiff_gray(px, "none"))
+    with pytest.raises(NotImplementedError, match="big-endian"):
+        decode_tiff_gray(b"MM\x00*" + bytes(data[4:]))
+    # flip compression tag to LZW (5): find tag 259 in the IFD
+    (ifd,) = struct.unpack("<I", data[4:8])
+    (n_tags,) = struct.unpack("<H", data[ifd : ifd + 2])
+    for i in range(n_tags):
+        e = ifd + 2 + i * 12
+        if struct.unpack("<H", data[e : e + 2])[0] == 259:
+            data[e + 8 : e + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compression=5"):
+        decode_tiff_gray(bytes(data))
+
+
+def test_tiff_flows_through_image_features(spark):
+    from realestatedeals_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_tiff_gray,
+        image_features,
+    )
+
+    px = ((np.arange(12)[:, None] * 5 + np.arange(18)[None, :]) % 256).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_tiff_gray(px)), None)], MEDIA_SCHEMA
+    )
+    feats = image_features(media, use_real_codec=True).collect()[0]["features"]
+    assert feats[0] == 12 * 18 and int(feats[5]) == int(px.sum())
