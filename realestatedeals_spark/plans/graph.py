@@ -243,3 +243,73 @@ def g5_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("coreness")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# g6 — multi-source BFS hop distance (round 7): "distance to the nearest
+# seed" over the undirected customer↔supplier purchase graph — the
+# propagation primitive behind contamination tracing and influence radius.
+# Spark side: frontier-expansion loop (join frontier→edges, anti-join the
+# settled set, one localCheckpoint per hop to cut lineage) — each hop is
+# one join whose input is the FRONTIER, never the full graph. The oracle
+# replays it as a recursive CTE with UNION dedup + final min(d): first
+# BFS layer to reach a node IS its min distance, so both sides agree
+# hash-exactly. Hop cap keeps both sides bounded (diameter of this
+# bipartite graph is tiny; unreached nodes are simply absent).
+# ---------------------------------------------------------------------------
+
+_G6_BFS_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS cu,
+         's:' || CAST(l.l_suppkey AS VARCHAR) AS su
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+e AS (SELECT cu AS src, su AS dst FROM base
+      UNION ALL SELECT su, cu FROM base),
+seeds AS (SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS node
+          FROM customer WHERE c_custkey % 100 = 1),
+bfs(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.node WHERE b.d < 6)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY node
+"""
+
+
+@register("g6_bfs_hops", oracle=_G6_BFS_ORACLE, tags=("graph", "iterative", "bfs"))
+def g6_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cu"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("su"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("cu").alias("src"), F.col("su").alias("dst")).unionByName(
+        base.select(F.col("su").alias("src"), F.col("cu").alias("dst"))
+    )
+    dist = (
+        cust.filter(F.col("c_custkey") % 100 == 1)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for k in range(1, 7):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "anti")
+            .withColumn("dist", F.lit(k).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
