@@ -410,3 +410,52 @@ def x4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "extracted", (F.col("extracted") == expect).alias("exact_recovery")
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — deterministic pseudonymization (round 7): x4_pii_scrub REDACTS;
+# this TOKENIZES — each PII value maps to a stable keyed token
+# (md5(key || value) prefix), so the same email always becomes the same
+# token and joins/group-bys on the pseudonymized column still work — the
+# privacy transform a training pipeline applies when it must keep linkage
+# without keeping identities. Same synthesis-on-both-sides pattern as the
+# scrub query; token derivation is md5, exactly replayable in SQL.
+# ---------------------------------------------------------------------------
+
+_PSEUDO_KEY = "corpus-epoch-7"
+
+_X4_PSEUDO_ORACLE = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         'user' || CAST(doc_id % 41 AS VARCHAR) || '@mail' ||
+           CAST(doc_id % 7 AS VARCHAR) || '.example' AS email
+  FROM documents),
+tok AS (
+  SELECT doc_id, email,
+         'pii_' || substr(md5('{_PSEUDO_KEY}:' || email), 1, 16) AS token
+  FROM seeded)
+SELECT doc_id, token,
+       CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS n_same_person
+FROM tok
+"""
+
+
+@register("x4_pseudonymize", oracle=_X4_PSEUDO_ORACLE, tags=("X4", "clean", "privacy"))
+def x4_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable keyed tokens for synthesized emails; the window count proves
+    linkage survives (every doc sharing an email shares a token)."""
+    from pyspark.sql import Window as W
+
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit("user"), (d % 41).cast("string"), F.lit("@mail"),
+        (d % 7).cast("string"), F.lit(".example"),
+    )
+    token = F.concat(
+        F.lit("pii_"),
+        F.substring(F.md5(F.concat(F.lit(_PSEUDO_KEY + ":"), email)), 1, 16),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", token.alias("token"))
+    return docs.withColumn(
+        "n_same_person", F.count(F.lit(1)).over(W.partitionBy("token")).cast("long")
+    )
