@@ -56,3 +56,35 @@ def test_scan_pushdown_and_pruning(spark, sf_dir, name):
             assert re.search(r"PushedFilters: \[(?!\])", ln), (
                 f"{name}: expected non-empty PushedFilters on {table}: {ln[:300]}"
             )
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, tmp_path):
+    """io_dpp_join's fact scan must carry a DynamicPruning expression in
+    its PartitionFilters — the dim-side result prunes fact partitions at
+    RUNTIME, which no static pushdown can do (the filter lives on the
+    other side of the join). Also checks the pruned result matches the
+    direct filter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realestatedeals_spark.io.sources import load_table
+    from realestatedeals_spark.plans.dpp_plan import build_dpp_join
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"), "l_quantity"
+    )
+    fact = os.path.join(str(tmp_path), "facts")
+    li.write.partitionBy("ship_month").parquet(fact)
+    q = build_dpp_join(spark, "/root/testdata/sf0.001", fact)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = {
+        (r["ship_month"], r["n_items"])
+        for r in li.filter(F.col("ship_month").startswith("1996-"))
+        .groupBy("ship_month")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .collect()
+    }
+    got = {(r["ship_month"], r["n_items"]) for r in q.collect()}
+    assert got == want and want
