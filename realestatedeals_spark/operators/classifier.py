@@ -179,3 +179,43 @@ def score_quality(feats: DataFrame, w: list[float], threshold: float = 0.5) -> D
         (p >= F.lit(float(threshold))).alias("keep"),
         F.col("y").cast("long").alias("label"),
     )
+
+
+# Frozen model: the deploy artifact of `train_logreg_gd` (12 iters, lr=6,
+# l2=1e-4, sf0.001 documents fixture — reproduce with the same call; the
+# training is bit-deterministic so these constants are too). Scoring with
+# frozen weights uses only add/abs/divide/multiply, so it is exactly
+# SQL-expressible — x4_quality_score_model carries a hash-exact oracle.
+FROZEN_MUS = (0.066084696, 0.455951166, 0.30631200000000003, 0.0, 0.178362348)
+FROZEN_SDS = (
+    0.03890767218155803,
+    0.017019994807297694,
+    0.14334028274005872,
+    1.0,
+    0.006876977237630854,
+)
+FROZEN_W = (
+    0.5259294522038683,
+    5.336705181113764,
+    -0.490131538819243,
+    -3.988452936382624,
+    0.0,
+    -0.18072410950361809,
+)
+
+
+def score_frozen(docs: DataFrame) -> DataFrame:
+    """Score any corpus with the frozen model: features → frozen
+    standardization → frozen linear → fast sigmoid → micros + keep flag.
+    Pure column expressions; no training pass, no aggregation."""
+    feats = quality_features(docs)
+    z = F.lit(float(FROZEN_W[0]))
+    for j, name in enumerate(FEATURES):
+        g = (F.col(name) - F.lit(float(FROZEN_MUS[j]))) / F.lit(float(FROZEN_SDS[j]))
+        z = z + F.lit(float(FROZEN_W[j + 1])) * g
+    p = fast_sigmoid(z)
+    return feats.select(
+        "doc_id",
+        F.floor(p * F.lit(1e6)).cast("long").alias("score_micros"),
+        (p >= F.lit(0.5)).alias("keep"),
+    )

@@ -880,3 +880,56 @@ def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     std, _mu, _sd, _n = standardize(quality_features(docs))
     w = train_logreg_gd(std, iters=12, lr=6.0, l2=1e-4)
     return score_quality(std, w)
+
+
+# ---------------------------------------------------------------------------
+# X4 — FROZEN-model quality scoring (round 7): the deploy path of the
+# trained filter. Training (x4_quality_classifier) is iterative and
+# rows-only; scoring with frozen weights is pure arithmetic — and because
+# the link is the exp-free fast sigmoid and standardization constants are
+# literals, the ENTIRE model evaluation replays exactly in SQL. This is
+# the train-once / score-100TB split a production pipeline uses.
+# ---------------------------------------------------------------------------
+
+
+def _frozen_oracle() -> str:
+    from realestatedeals_spark.operators.classifier import (
+        FROZEN_MUS,
+        FROZEN_SDS,
+        FROZEN_W,
+    )
+
+    sw = _sw_sql_list()
+    feats = [
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x IN {sw})) AS DOUBLE)"
+        " / CAST(len(string_split(text, ' ')) AS DOUBLE)",
+        "least(CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE),"
+        " 12.0) / 12.0",
+        "least(CAST(n_chars AS DOUBLE), 1000.0) / 1000.0",
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+        " / CAST(n_chars AS DOUBLE)",
+        "CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)"
+        " / CAST(n_chars AS DOUBLE)",
+    ]
+    z = repr(FROZEN_W[0])
+    for j, f in enumerate(feats):
+        g = f"(({f}) - {FROZEN_MUS[j]!r}) / {FROZEN_SDS[j]!r}"
+        z = f"({z}) + {FROZEN_W[j + 1]!r} * ({g})"
+    p = f"(1.0 + ({z}) / (1.0 + abs({z}))) / 2.0"
+    return f"""
+SELECT doc_id,
+       CAST(floor(({p}) * 1000000.0) AS BIGINT) AS score_micros,
+       ({p}) >= 0.5 AS keep
+FROM documents
+WHERE len(string_split(text, ' ')) > 0
+"""
+
+
+@register("x4_quality_score_model", oracle=_frozen_oracle(), tags=("X4", "text", "quality", "ml"))
+def x4_quality_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the corpus with the frozen trained filter — pure column
+    expressions, hash-exact against the SQL replay of the model."""
+    from realestatedeals_spark.operators.classifier import score_frozen
+
+    docs = load_table(spark, sf_dir, "documents")
+    return score_frozen(docs)

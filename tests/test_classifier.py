@@ -146,3 +146,43 @@ def test_standardize_handles_constant_feature(spark):
     assert sds[0] == 1.0 and sds[3] == 1.0  # degenerate features don't blow up
     got = std.collect()
     assert all(abs(r["f_digit"]) < 1e-9 for r in got)
+
+
+def test_frozen_model_scores_match_pandas_exactly(spark):
+    """The frozen-weights scorer must reproduce an independent pandas
+    evaluation bit-exactly (same fast-sigmoid, same fold order) on a
+    synthetic corpus — the deploy-path analog of the training parity pin."""
+    from realestatedeals_spark.operators.classifier import (
+        FROZEN_MUS,
+        FROZEN_SDS,
+        FROZEN_W,
+        score_frozen,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", 22),
+        (2, "zz " * 40 + "zz", 122),
+        (3, "a b c d e 123 456", 17),
+        (4, "x" * 900, 900),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", n) for i, t, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: (r["score_micros"], r["keep"]) for r in score_frozen(docs).collect()}
+    for i, t, n in rows:
+        toks = t.split(" ")
+        f = [
+            sum(x in SW for x in toks) / len(toks),
+            min(float(n) / len(toks), 12.0) / 12.0,
+            min(float(n), 1000.0) / 1000.0,
+            sum(c.isdigit() for c in t) / float(n),
+            t.count(" ") / float(n),
+        ]
+        z = FROZEN_W[0]
+        for j in range(5):
+            z = z + FROZEN_W[j + 1] * ((f[j] - FROZEN_MUS[j]) / FROZEN_SDS[j])
+        p = (1.0 + z / (1.0 + abs(z))) / 2.0
+        import math
+
+        assert got[i] == (math.floor(p * 1e6), p >= 0.5), i
