@@ -56,3 +56,65 @@ def io_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# io_corrupt_scan (round 7): tolerant ingestion. Real crawled feeds carry
+# malformed records; a 100 TB load must quarantine them without failing
+# the job. Each document becomes one JSONL line, deterministically
+# corrupted for doc_id % 7 == 0 (truncated object); the PERMISSIVE read
+# with columnNameOfCorruptRecord routes bad lines into a quarantine
+# column while good rows parse. The oracle derives both populations from
+# the corruption rule, so the hash match proves malformed input is
+# neither dropped nor double-counted — per-line fault isolation.
+# ---------------------------------------------------------------------------
+
+_CORRUPT_ORACLE = """
+SELECT
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+  CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+  CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars ELSE 0 END) AS BIGINT) AS parsed_chars
+FROM documents
+"""
+
+
+@register("io_corrupt_scan", oracle=_CORRUPT_ORACLE, tags=("io", "ingestion", "quarantine"))
+def io_corrupt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "n_chars": ')),
+    ).otherwise(
+        F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+            F.lit(', "n_chars": '), F.col("n_chars").cast("string"), F.lit("}"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="corrupt_scan_")
+    try:
+        feed = os.path.join(work, "feed")
+        docs.select(line.alias("value")).write.text(feed)
+        parsed = spark.read.schema(
+            "doc_id long, n_chars long, _corrupt_record string"
+        ).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        ).json(feed)
+        # caching before splitting corrupt/good is the documented Spark
+        # requirement for referencing the corrupt column
+        parsed = parsed.cache()
+        out = parsed.agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias(
+                "n_quarantined"
+            ),
+            F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).alias(
+                "n_parsed"
+            ),
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")).otherwise(0)
+            ).alias("parsed_chars"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
