@@ -506,6 +506,36 @@ class VersionedTable:
             raise ValueError(f"no version committed at or before {ts!r}")
         return self.read(eligible[-1])
 
+    def optimize(
+        self,
+        zorder_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """OPTIMIZE [ZORDER BY]: rewrite the live table (deletion vectors
+        and insert store folded away) as a fresh full snapshot — Z-order
+        clustered when ``zorder_cols`` is given, plain coalesced layout
+        otherwise — and publish it through the same conflict-checked
+        commit. Readers never see a moving path; old versions stay for
+        time travel until ``expire_versions``."""
+        cur = self.latest_version()
+        if cur is None:
+            raise ValueError(f"empty table {self.root}")
+        df = self.read(cur)
+        stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
+        if zorder_cols:
+            zorder_layout(
+                df, zorder_cols, stage, max_records_per_file=max_records_per_file
+            )
+        else:
+            writer = df.coalesce(max(df.rdd.getNumPartitions() // 4, 1)).write.mode(
+                "errorifexists"
+            )
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+            writer.parquet(stage)
+        return self._publish(stage, expected_latest=cur, max_retries=max_retries)
+
     def referenced_bases(self) -> set[int]:
         """Full-snapshot versions some merge-on-read version points at."""
         out = set()

@@ -650,3 +650,42 @@ def test_merge_schema_evolution_adds_column(spark):
         assert res2 == {"updated": 1, "inserted": 0}
         rows = {r["id"]: r for r in t.read().collect()}
         assert rows[50]["note"] is None and rows[3]["note"] == "fresh"
+
+
+def test_optimize_folds_dvs_and_zorders(spark):
+    """OPTIMIZE after merge-on-read DML: the new full snapshot carries the
+    DV-filtered + upserted content exactly, the MoR chain is broken (old
+    base expendable after), and with zorder_cols the rewritten files are
+    clustered (every file's id-span is a small fraction of the table's)."""
+    import numpy as np
+
+    from realestatedeals_spark.io.maintenance import (
+        VersionedTable,
+        parquet_prunable_files,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = VersionedTable(spark, os.path.join(tmp, "t"))
+        rng = np.random.RandomState(7)
+        rows = [(int(i), int(v)) for i, v in enumerate(rng.randint(0, 10_000, 20_000))]
+        df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+        t.commit(df)
+        t.delete_where(F.col("id") % 5 == 0)
+        t.merge_into(
+            spark.createDataFrame([(1, -1), (30_000, -2)], "id long, v long"),
+            keys=["id"],
+        )
+        want = sorted((r["id"], r["v"]) for r in t.read().collect())
+        v = t.optimize(zorder_cols=["id", "v"], max_records_per_file=1000)
+        base, dv, ins = t._resolve(v)
+        assert base == v and dv is None and ins is None
+        assert sorted((r["id"], r["v"]) for r in t.read().collect()) == want
+        # clustered layout: a 2% id-range predicate prunes most files
+        got = parquet_prunable_files(
+            os.path.join(t.root, f"v={v}"), {"id": (100.0, 500.0)}
+        )
+        assert got["total_files"] >= 10
+        assert got["pruned_files"] / got["total_files"] >= 0.6
+        # old versions expendable once the chain is broken
+        removed = t.expire_versions(keep_last=1)
+        assert set(removed) == {1, 2, 3}
