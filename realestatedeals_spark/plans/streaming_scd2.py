@@ -116,6 +116,41 @@ def _merge_batch(batch: DataFrame, opens: DataFrame, spark: SparkSession):
     return closed_new, untouched.unionByName(new_opens)
 
 
+def scd2_merge_step(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    closed_t: VersionedTable,
+    opens_t: VersionedTable,
+) -> bool:
+    """One idempotent foreachBatch MERGE step. foreachBatch redelivers a
+    batch when the process dies between the table commits and the
+    streaming checkpoint — and replaying a batch against ALREADY-ADVANCED
+    opens would forge spurious versions (an already-applied event sorting
+    before its own seed looks like a change again). Each applied batch
+    commits exactly one version to each table, so the opens table's
+    version number IS the applied-batch watermark: batch k (0-based) is
+    applied iff latest_version ≥ k+1, and a redelivered batch is skipped
+    wholesale — the same monotone watermark c3's CDC loop uses. Returns
+    True if the batch was applied, False if skipped."""
+    applied = opens_t.latest_version() or 0
+    if applied >= batch_id + 1:
+        return False
+    opens = (
+        opens_t.read()
+        if opens_t.latest_version() is not None
+        else spark.createDataFrame([], _OPENS_SCHEMA)
+    )
+    closed_new, opens_new = _merge_batch(batch_df, opens, spark)
+    prev_closed = closed_t.read() if closed_t.latest_version() is not None else None
+    all_closed = (
+        prev_closed.unionByName(closed_new) if prev_closed is not None else closed_new
+    )
+    closed_t.commit(all_closed, expected_latest=closed_t.latest_version())
+    opens_t.commit(opens_new, expected_latest=opens_t.latest_version())
+    return True
+
+
 @register("c10_scd2_stream", oracle=_SCD2_ORACLE, tags=("C10", "streaming", "scd2", "merge"))
 def c10_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the event change-feed as 3 time-ordered micro-batches and
@@ -143,23 +178,8 @@ def c10_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         opens_t = VersionedTable(spark, os.path.join(work, "opens"))
 
         def step(batch_df: DataFrame, batch_id: int) -> None:
-            opens = (
-                opens_t.read()
-                if opens_t.latest_version() is not None
-                else spark.createDataFrame([], _OPENS_SCHEMA)
-            )
-            closed_new, opens_new = _merge_batch(batch_df, opens, spark)
-            prev_closed = (
-                closed_t.read()
-                if closed_t.latest_version() is not None
-                else None
-            )
-            all_closed = (
-                prev_closed.unionByName(closed_new) if prev_closed is not None else closed_new
-            )
-            # read-modify-write commits: stale state must conflict, not mix
-            closed_t.commit(all_closed, expected_latest=closed_t.latest_version())
-            opens_t.commit(opens_new, expected_latest=opens_t.latest_version())
+            scd2_merge_step(spark, batch_df, batch_id, closed_t, opens_t)
+
 
         stream = (
             spark.readStream.schema("user_id bigint, event_type string, ts timestamp, event_id bigint")

@@ -562,3 +562,37 @@ def test_scd2_stream_equals_batch_rebuild(spark):
     got = {key(r): tuple(r) for r in c10_scd2_stream(spark, "/root/testdata/sf0.001").collect()}
     want = {key(r): tuple(r) for r in e10_scd2_intervals(spark, "/root/testdata/sf0.001").collect()}
     assert got == want and want
+
+
+def test_scd2_merge_step_skips_redelivered_batches(spark, tmp_path):
+    """foreachBatch redelivery (crash between commit and checkpoint) must
+    not double-apply: replaying an applied batch against the advanced
+    opens table would forge spurious versions. The opens version number is
+    the applied-batch watermark — redelivered batches skip wholesale and
+    the dimension is byte-identical before/after the replay."""
+    import datetime as dt
+
+    from realestatedeals_spark.io.maintenance import VersionedTable
+    from realestatedeals_spark.plans.streaming_scd2 import scd2_merge_step
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    closed_t = VersionedTable(spark, str(tmp_path / "closed"))
+    opens_t = VersionedTable(spark, str(tmp_path / "opens"))
+    schema = "user_id bigint, event_type string, ts timestamp, event_id bigint"
+    b0 = spark.createDataFrame([(1, "view", t(0), 1), (1, "click", t(2), 2)], schema)
+    b1 = spark.createDataFrame([(1, "purchase", t(5), 3)], schema)
+
+    assert scd2_merge_step(spark, b0, 0, closed_t, opens_t) is True
+    snap = sorted(map(tuple, opens_t.read().collect()))
+    # redeliver batch 0 → skipped, nothing changes
+    assert scd2_merge_step(spark, b0, 0, closed_t, opens_t) is False
+    assert sorted(map(tuple, opens_t.read().collect())) == snap
+    assert closed_t.latest_version() == 1 and opens_t.latest_version() == 1
+
+    assert scd2_merge_step(spark, b1, 1, closed_t, opens_t) is True
+    # stale redelivery of batch 0 after batch 1 → still skipped
+    assert scd2_merge_step(spark, b0, 0, closed_t, opens_t) is False
+    final = {(r["user_id"], r["version"]): r["event_type"] for r in opens_t.read().collect()}
+    assert final == {(1, 3): "purchase"}
+    closed = {(r["version"]): r["event_type"] for r in closed_t.read().collect()}
+    assert closed == {1: "view", 2: "click"}
