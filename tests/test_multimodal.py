@@ -1314,3 +1314,52 @@ def test_tiff_flows_through_image_features(spark):
     )
     feats = image_features(media, use_real_codec=True).collect()[0]["features"]
     assert feats[0] == 12 * 18 and int(feats[5]) == int(px.sum())
+
+
+def test_adpcm_sql_oracle_matches_engine_on_clamp_heavy_signals():
+    """Structural (not fixture-accident) oracle correctness: the recursive
+    SQL replay of the IMA quantizer must match the Python codec bit-exactly
+    on signals that saturate the predictor clamp and the top step sizes —
+    regions the registry fixture (±30000) may never visit."""
+    import duckdb
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_ima_adpcm,
+    )
+    from realestatedeals_spark.plans.multimodal import _IMA_STEP_SQL
+
+    con = duckdb.connect()
+    rng = np.random.RandomState(9)
+    sigs = [
+        np.array(([32767] * 3 + [-32768] * 3) * 40, dtype=np.int64),
+        np.array([0, 32767] * 120, dtype=np.int64),
+        rng.randint(-32768, 32768, 251).astype(np.int64),
+        np.clip(np.arange(-40000, 40000, 333), -32768, 32767).astype(np.int64),
+    ]
+    for s in sigs:
+        _, dec = decode_wav_pcm16(encode_wav_ima_adpcm(s, 8000, block_align=256))
+        pcm_sql = "[" + ",".join(str(int(v)) for v in s) + "]"
+        q = f"""
+WITH RECURSIVE s AS (SELECT 1 AS doc_id, {len(s)}::BIGINT AS n, {pcm_sql}::BIGINT[] AS pcm),
+st(doc_id, i, pred, idx, ssum, speak) AS (
+  SELECT doc_id, 0::BIGINT, pcm[1], 0::BIGINT, pcm[1]::BIGINT, abs(pcm[1])::BIGINT FROM s
+  UNION ALL
+  SELECT doc_id, i + 1, np, least(greatest(idx + di, 0), 88), ssum + np, greatest(speak, abs(np))
+  FROM (
+    SELECT *, CASE WHEN sgn THEN greatest(pred - vp, -32768) ELSE least(pred + vp, 32767) END AS np,
+           CASE WHEN b2 THEN 2 + CASE WHEN b1 THEN 4 ELSE 0 END + CASE WHEN b0 THEN 2 ELSE 0 END ELSE -1 END AS di
+    FROM (
+      SELECT *, stp // 8 + CASE WHEN b2 THEN stp ELSE 0 END + CASE WHEN b1 THEN stp // 2 ELSE 0 END + CASE WHEN b0 THEN stp // 4 ELSE 0 END AS vp
+      FROM ( SELECT *, r1 >= stp // 4 AS b0
+        FROM ( SELECT *, r2 >= stp // 2 AS b1, r2 - CASE WHEN r2 >= stp // 2 THEN stp // 2 ELSE 0 END AS r1
+          FROM ( SELECT *, ad >= stp AS b2, ad - CASE WHEN ad >= stp THEN stp ELSE 0 END AS r2
+            FROM ( SELECT st.doc_id, st.i, st.pred, st.idx, st.ssum, st.speak,
+                     (s.pcm[st.i + 2] < st.pred) AS sgn, abs(s.pcm[st.i + 2] - st.pred) AS ad,
+                     {_IMA_STEP_SQL}[st.idx + 1] AS stp
+              FROM st JOIN s USING (doc_id) WHERE st.i < s.n - 1))))))
+)
+SELECT st.ssum, st.speak FROM st JOIN s USING (doc_id) WHERE st.i = s.n - 1
+"""
+        ssum, speak = con.sql(q).fetchone()
+        assert (ssum, speak) == (int(dec.sum()), int(np.abs(dec).max()))
