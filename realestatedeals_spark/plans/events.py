@@ -1186,3 +1186,63 @@ def e24_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma.alias("ewma"),
         F.element_at("vs", -1).alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e25 — Holt's linear-trend forecast (round 7): the COUPLED double
+# recursion (level and trend update from each other) that neither window
+# frames nor a single list fold can express. Spark side: per-user sorted
+# value array + one F.aggregate fold with a STRUCT accumulator; oracle
+# side: the same recursion replayed row-by-row with a recursive CTE (the
+# ADPCM-oracle pattern, float edition). α=1/4 and β=1/8 are exactly
+# representable, every step is multiply/add in a fixed order, so level,
+# trend, and the one-step forecast are hash-exact doubles cross-engine.
+# ---------------------------------------------------------------------------
+
+_HOLT_ORACLE = """
+WITH RECURSIVE vals AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id),
+st(user_id, i, lev, tr) AS (
+  SELECT user_id, 1::BIGINT, vs[1], 0.0::DOUBLE FROM vals
+  UNION ALL
+  SELECT st.user_id, i + 1,
+         (0.25 * v.vs[CAST(i + 1 AS INT)]) + (0.75 * (lev + tr)),
+         (0.125 * (((0.25 * v.vs[CAST(i + 1 AS INT)]) + (0.75 * (lev + tr))) - lev))
+           + (0.875 * tr)
+  FROM st JOIN vals v USING (user_id) WHERE st.i < v.n)
+SELECT st.user_id, v.n AS n_events, st.lev AS level, st.tr AS trend,
+       st.lev + st.tr AS forecast_next
+FROM st JOIN vals v USING (user_id) WHERE st.i = v.n
+"""
+
+
+@register("e25_holt_forecast", oracle=_HOLT_ORACLE, tags=("events", "forecast", "fold"))
+def e25_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(arr, lambda s: s["value"]).alias("vs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    init = F.struct(
+        F.element_at(F.col("vs"), 1).alias("lev"), F.lit(0.0).alias("tr")
+    )
+    step = lambda acc, x: F.struct(
+        ((F.lit(0.25) * x) + (F.lit(0.75) * (acc["lev"] + acc["tr"]))).alias("lev"),
+        (
+            F.lit(0.125)
+            * (((F.lit(0.25) * x) + (F.lit(0.75) * (acc["lev"] + acc["tr"]))) - acc["lev"])
+            + F.lit(0.875) * acc["tr"]
+        ).alias("tr"),
+    )
+    fin = F.aggregate(F.slice(F.col("vs"), 2, F.size("vs") - 1), init, step)
+    return per_user.select(
+        "user_id",
+        "n_events",
+        fin["lev"].alias("level"),
+        fin["tr"].alias("trend"),
+        (fin["lev"] + fin["tr"]).alias("forecast_next"),
+    )
