@@ -119,3 +119,23 @@ def test_audio_features_dispatches_flac(spark):
     row = audio_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()[0]
     assert row["sample_rate"] == 8000 and row["n_samples"] == 500
     assert row["s_sum"] == int(s.sum()) and row["s_peak"] == int(np.abs(s).max())
+
+
+def test_flac_random_fuzz_roundtrip():
+    """Property fuzz: 30 random signals across lengths, amplitudes, and
+    smoothness regimes all roundtrip losslessly (order/k selection and the
+    escape heuristic must never lose bits)."""
+    rng = np.random.RandomState(42)
+    for trial in range(30):
+        n = int(rng.randint(1, 9000))
+        style = trial % 3
+        if style == 0:
+            s = rng.randint(-32768, 32768, n).astype(np.int64)
+        elif style == 1:
+            amp = int(rng.randint(1, 30000))
+            s = (amp * np.sin(np.arange(n) / max(1, rng.randint(1, 100)))).astype(np.int64)
+        else:
+            s = np.cumsum(rng.randint(-50, 51, n)).clip(-32768, 32767).astype(np.int64)
+        data = encode_flac(s, 8000)
+        _, got = decode_flac(data)
+        assert np.array_equal(got.astype(np.int64), s), (trial, n, style)
