@@ -146,6 +146,13 @@ def scd2_merge_step(
     all_closed = (
         prev_closed.unionByName(closed_new) if prev_closed is not None else closed_new
     )
+    # the two commits are not atomic: a crash between them leaves the
+    # closed log one batch ahead of opens, and the redelivered batch
+    # (opens watermark says "not applied") recomputes the SAME closed rows
+    # from the unchanged opens — (user_id, version) is a stable key with
+    # deterministic content, so deduplicating on it makes the torn-window
+    # re-apply converge instead of double-appending history
+    all_closed = all_closed.dropDuplicates(["user_id", "version"])
     closed_t.commit(all_closed, expected_latest=closed_t.latest_version())
     opens_t.commit(opens_new, expected_latest=opens_t.latest_version())
     return True

@@ -596,3 +596,38 @@ def test_scd2_merge_step_skips_redelivered_batches(spark, tmp_path):
     assert final == {(1, 3): "purchase"}
     closed = {(r["version"]): r["event_type"] for r in closed_t.read().collect()}
     assert closed == {1: "view", 2: "click"}
+
+
+def test_scd2_merge_step_survives_torn_commit_window(spark, tmp_path):
+    """Crash BETWEEN the closed-log commit and the opens commit, then
+    redeliver: the opens watermark says 'not applied', the batch re-runs,
+    and the recomputed closed rows (same key, same content) must converge
+    via (user_id, version) dedup instead of double-appending history."""
+    import datetime as dt
+
+    from realestatedeals_spark.io.maintenance import VersionedTable
+    from realestatedeals_spark.plans.streaming_scd2 import scd2_merge_step
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    closed_t = VersionedTable(spark, str(tmp_path / "closed"))
+    opens_t = VersionedTable(spark, str(tmp_path / "opens"))
+    schema = "user_id bigint, event_type string, ts timestamp, event_id bigint"
+    b0 = spark.createDataFrame(
+        [(1, "view", t(0), 1), (1, "click", t(2), 2), (1, "purchase", t(4), 3)], schema
+    )
+
+    # simulate the torn window: apply the batch, then roll the OPENS table
+    # back (as if the process died after the closed commit)
+    assert scd2_merge_step(spark, b0, 0, closed_t, opens_t) is True
+    import shutil as _sh
+
+    _sh.rmtree(str(tmp_path / "opens"))
+    opens_t2 = VersionedTable(spark, str(tmp_path / "opens"))
+    assert closed_t.latest_version() == 1 and opens_t2.latest_version() is None
+
+    # redelivery re-applies against the torn state and must converge
+    assert scd2_merge_step(spark, b0, 0, closed_t, opens_t2) is True
+    closed = [(r["user_id"], r["version"], r["event_type"]) for r in closed_t.read().collect()]
+    assert sorted(closed) == [(1, 1, "view"), (1, 2, "click")]  # no duplicates
+    o = {(r["user_id"], r["version"]): r["event_type"] for r in opens_t2.read().collect()}
+    assert o == {(1, 3): "purchase"}
