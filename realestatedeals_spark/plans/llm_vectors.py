@@ -403,3 +403,29 @@ def x3_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "rk", F.round("dot", 6).alias("dot"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X3 — deterministic PCA projection (round 7): dimensionality reduction /
+# whitening trained in-engine (operators/pca.py) — integer-micros Gram in
+# one Arrow pass, driver-side power iteration with a BLAS-free fixed-order
+# matvec, per-row projection folds. Iterative eigen-solving has no SQL
+# form, so rows-only; tests/test_pca.py pins exact == parity against an
+# independent pandas implementation plus partition invariance.
+# ---------------------------------------------------------------------------
+
+
+@register("x3_pca_project", tags=("X3", "vectors", "ml", "iterative"))
+def x3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 principal directions of the embedding corpus + micros-floored
+    per-vector projections — the decorrelation step before PQ/IVF."""
+    from realestatedeals_spark.operators.pca import (
+        exact_gram,
+        power_components,
+        project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    G, n = exact_gram(emb, dim=64)
+    comps, _eig = power_components(G, n, k=4, iters=60)
+    return project(emb, comps)
