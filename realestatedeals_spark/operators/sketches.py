@@ -187,7 +187,18 @@ def kmv_hash(col) -> F.Column:
 def kmv_sketch(df: DataFrame, tag_col, value_col: str, k: int = KMV_K) -> DataFrame:
     """Per-tag KMV sketch: sorted array of the k smallest DISTINCT value
     hashes plus the retained count. ``tag_col`` may be any Column
-    expression. One rank shuffle; retained state = k doubles per tag."""
+    expression.
+
+    Scale shape: a plain ``row_number over (partition by tag)`` would
+    funnel each tag's ENTIRE hash set through one task — the classic
+    single-reducer sort bottleneck at 100 TB. Instead the k smallest
+    reduce in two bounded stages: partition-local top-k per (tag,
+    partition) via the rank window (each group holds one partition's
+    share), then a final per-tag merge over the ≤ partitions·k
+    survivors. The k smallest of the union ARE the k smallest of the
+    per-partition k-smallest sets, so the result is identical — only the
+    shuffle shape changes (no task ever sees more than its own slice +
+    survivors)."""
     from pyspark.sql import Window as W
 
     h = (
@@ -195,9 +206,12 @@ def kmv_sketch(df: DataFrame, tag_col, value_col: str, k: int = KMV_K) -> DataFr
                   kmv_hash(F.col(value_col)).alias("u"))
         .distinct()
     )
+    local = h.withColumn("part", F.spark_partition_id())
+    rn_local = F.row_number().over(W.partitionBy("tag", "part").orderBy("u"))
+    survivors = local.withColumn("rn", rn_local).filter(F.col("rn") <= k).drop("rn", "part")
     rn = F.row_number().over(W.partitionBy("tag").orderBy("u"))
     return (
-        h.withColumn("rn", rn)
+        survivors.withColumn("rn", rn)
         .filter(F.col("rn") <= k)
         .groupBy("tag")
         .agg(F.array_sort(F.collect_list("u")).alias("mins"),

@@ -361,16 +361,28 @@ def x6_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = base.select(
         F.explode(F.filter(tag_arr, lambda x: x.isNotNull())).alias("tag"), "u"
     )
+    # two-stage k-smallest (see operators/sketches.kmv_sketch): partition-
+    # local top-k first so no task ever sorts a whole tag's hash set
+    local_rn = F.row_number().over(W.partitionBy("tag", "part").orderBy("u"))
+    survivors = (
+        tagged.withColumn("part", F.spark_partition_id())
+        .withColumn("lrn", local_rn)
+        .filter(F.col("lrn") <= k)
+        .drop("lrn", "part")
+    )
     rn = F.row_number().over(W.partitionBy("tag").orderBy("u"))
-    sk = (
-        tagged.withColumn("rn", rn)
+    sketches = (
+        survivors.withColumn("rn", rn)
         .groupBy("tag")
         .agg(
             F.array_sort(F.collect_list(F.when(F.col("rn") <= k, F.col("u")))).alias("mins"),
             F.sum(F.when(F.col("rn") <= k, 1).otherwise(0)).alias("cnt"),
-            F.count(F.lit(1)).alias("n_exact"),
         )
     )
+    # exact per-tag distinct counts come from the FULL tagged frame (a
+    # plain partial-aggregated count, no sort), joined to the 4 sketch rows
+    exacts = tagged.groupBy("tag").agg(F.count(F.lit(1)).alias("n_exact"))
+    sk = sketches.join(exacts, "tag")
 
     def pick(col, tag):
         return F.max(F.when(F.col("tag") == tag, F.col(col)))
