@@ -288,8 +288,13 @@ def g6_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.select(F.col("cu").alias("src"), F.col("su").alias("dst")).unionByName(
-        base.select(F.col("su").alias("src"), F.col("cu").alias("dst"))
+    # materialize once: every hop joins against edges, and recomputing the
+    # orders⋈lineitem derivation per hop would re-scan the fact tables
+    # max_hops times at 100 TB
+    edges = (
+        base.select(F.col("cu").alias("src"), F.col("su").alias("dst"))
+        .unionByName(base.select(F.col("su").alias("src"), F.col("cu").alias("dst")))
+        .localCheckpoint(eager=True)
     )
     dist = (
         cust.filter(F.col("c_custkey") % 100 == 1)
