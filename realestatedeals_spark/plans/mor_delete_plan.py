@@ -118,3 +118,69 @@ def io_corrupt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# io_warc_scan (round 7): the crawl-interchange format end-to-end. Every
+# 50 documents pack into one real WARC/1.0 file (Content-Length framing,
+# io/warc.py), the files land as binary rows, and the record parser
+# splits them back inside mapInPandas. The oracle recomputes per-document
+# byte length and md5 from the source text, so a hash match proves every
+# payload byte survives the framing — including payloads that contain
+# CRLF sequences, which is why framing must use Content-Length and never
+# delimiter splitting.
+# ---------------------------------------------------------------------------
+
+_WARC_ORACLE = """
+SELECT doc_id,
+       'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+@register("io_warc_scan", oracle=_WARC_ORACLE, tags=("io", "ingestion", "warc"))
+def io_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from realestatedeals_spark.io.warc import build_warc, parse_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def pack(batches):
+        for pdf in batches:
+            pdf = pdf.assign(grp=pdf["doc_id"] // 50)
+            for gid, g in pdf.groupby("grp"):
+                g = g.sort_values("doc_id")
+                recs = [
+                    (f"https://corpus.example/doc/{int(d)}", t.encode("utf-8"))
+                    for d, t in zip(g["doc_id"], g["text"])
+                ]
+                yield pd.DataFrame({"file_id": [int(gid)], "content": [bytearray(build_warc(recs))]})
+
+    warc_files = docs.repartition(8, "doc_id").mapInPandas(
+        pack, schema="file_id long, content binary"
+    )
+
+    def unpack(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for headers, payload in parse_warc(bytes(content)):
+                    uri = headers["WARC-Target-URI"]
+                    rows.append(
+                        (
+                            int(uri.rsplit("/", 1)[1]),
+                            uri,
+                            len(payload),
+                            hashlib.md5(payload).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "uri", "n_bytes", "payload_md5"])
+
+    return warc_files.mapInPandas(
+        unpack, schema="doc_id long, uri string, n_bytes long, payload_md5 string"
+    )
