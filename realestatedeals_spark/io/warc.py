@@ -66,3 +66,33 @@ def parse_warc(data: bytes) -> list[tuple[dict, bytes]]:
         records.append((headers, data[body_start : body_start + length]))
         pos = body_start + length
     return records
+
+
+def build_warc_gz(records: list[tuple[str, bytes]]) -> bytes:
+    """Common-Crawl-style .warc.gz: each record is its OWN gzip member
+    (concatenated members are a valid gzip stream), which is what makes
+    per-record random access possible given an offset index."""
+    import gzip
+
+    out = bytearray()
+    for uri, payload in records:
+        out += gzip.compress(build_warc([(uri, payload)]), mtime=0)
+    return bytes(out)
+
+
+def parse_warc_gz(data: bytes) -> list[tuple[dict, bytes]]:
+    """Parse a multi-member gzip WARC stream: decompress member-by-member
+    (zlib ``unused_data`` gives the next member's start), then frame each
+    member's records by Content-Length as usual."""
+    import zlib
+
+    records: list[tuple[dict, bytes]] = []
+    rest = data
+    while rest:
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        chunk = d.decompress(rest)
+        if not d.eof:
+            raise ValueError("truncated gzip member in .warc.gz")
+        records.extend(parse_warc(chunk))
+        rest = d.unused_data
+    return records
