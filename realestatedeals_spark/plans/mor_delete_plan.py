@@ -59,6 +59,61 @@ def io_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# io_cdf_scan (round 7): the change data feed over the same mutation
+# history io_mor_delete builds — commit, MoR DELETE, MERGE upsert, then
+# OPTIMIZE. ``table_changes`` derives a Delta-CDF-style row-level change
+# log after the fact; the oracle states every change row directly from
+# the mutation rules, so a hash match proves (a) the first version emits
+# exactly the corpus as inserts, (b) the DV delta recovers exactly the
+# deleted base rows, (c) the MERGE yields update pre/post pairs plus the
+# one true insert, and (d) the compaction rebase emits NOTHING — the
+# incremental-consumer contract (refresh an aggregate from changes, never
+# rescan the snapshot) that makes downstream maintenance O(changes) at
+# 100 TB. Reference parity: the reference diffs consecutive JSON
+# snapshots field-by-field to detect price changes (main.py:98-143);
+# this is that diff as a first-class versioned-table changelog.
+# ---------------------------------------------------------------------------
+
+_CDF_ORACLE = """
+SELECT doc_id, lang, text,
+       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM documents
+UNION ALL
+SELECT doc_id, lang, text, 'delete', CAST(2 AS BIGINT)
+FROM documents WHERE doc_id % 17 = 3
+UNION ALL
+SELECT doc_id, lang, text, 'update_preimage', CAST(3 AS BIGINT)
+FROM documents WHERE doc_id % 31 = 1 AND doc_id % 17 <> 3
+UNION ALL
+SELECT doc_id, lang, 'REDACTED', 'update_postimage', CAST(3 AS BIGINT)
+FROM documents WHERE doc_id % 31 = 1 AND doc_id % 17 <> 3
+UNION ALL
+SELECT -1, 'en', 'appended row', 'insert', CAST(3 AS BIGINT)
+"""
+
+
+@register("io_cdf_scan", oracle=_CDF_ORACLE, tags=("io", "lakehouse", "cdf"))
+def io_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    work = tempfile.mkdtemp(prefix="cdf_scan_")
+    try:
+        t = VersionedTable(spark, os.path.join(work, "docs"))
+        t.commit(docs)  # v1: creation -> all inserts
+        t.delete_where(F.col("doc_id") % 17 == 3)  # v2: MoR deletes
+        upd = t.read().filter(F.col("doc_id") % 31 == 1).select(
+            "doc_id", "lang", F.lit("REDACTED").alias("text")
+        )
+        extra = spark.createDataFrame(
+            [(-1, "en", "appended row")], "doc_id long, lang string, text string"
+        )
+        t.merge_into(upd.unionByName(extra), keys=["doc_id"])  # v3: updates + insert
+        t.optimize()  # v4: rebase; must emit no change rows
+        return t.table_changes(keys=["doc_id"]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # io_corrupt_scan (round 7): tolerant ingestion. Real crawled feeds carry
 # malformed records; a 100 TB load must quarantine them without failing
 # the job. Each document becomes one JSONL line, deterministically

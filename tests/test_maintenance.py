@@ -689,3 +689,103 @@ def test_optimize_folds_dvs_and_zorders(spark):
         # old versions expendable once the chain is broken
         removed = t.expire_versions(keep_last=1)
         assert set(removed) == {1, 2, 3}
+
+
+def _changes_set(df):
+    cols = [c for c in df.columns]
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_table_changes_full_history(spark):
+    # CDF across commit / delete / merge / compact: each step emits exactly
+    # its own row-level changes, and compaction (rebase, same content)
+    # emits nothing.
+    with tempfile.TemporaryDirectory() as root:
+        t = VersionedTable(spark, os.path.join(root, "vt"))
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+        )
+        t.commit(df)  # v1: 4 inserts
+        t.delete_where(F.col("k") == 2)  # v2: 1 delete (MoR fast path)
+        upd = spark.createDataFrame(
+            [(3, "C2"), (9, "new")], "k long, v string"
+        )
+        t.merge_into(upd, keys=["k"])  # v3: 1 update pair + 1 insert
+        t.optimize()  # v4: rebase, content unchanged -> no changes
+        cdf = t.table_changes(keys=["k"])
+        got = _changes_set(cdf.select("k", "v", "_change_type", "_commit_version"))
+        assert got == {
+            (1, "a", "insert", 1),
+            (2, "b", "insert", 1),
+            (3, "c", "insert", 1),
+            (4, "d", "insert", 1),
+            (2, "b", "delete", 2),
+            (3, "c", "update_preimage", 3),
+            (3, "C2", "update_postimage", 3),
+            (9, "new", "insert", 3),
+        }
+        # windowed reads: only the changes in (v_from, v_to]
+        got23 = _changes_set(
+            t.table_changes(keys=["k"], v_from=1, v_to=3).select(
+                "k", "v", "_change_type", "_commit_version"
+            )
+        )
+        assert got23 == {
+            (2, "b", "delete", 2),
+            (3, "c", "update_preimage", 3),
+            (3, "C2", "update_postimage", 3),
+            (9, "new", "insert", 3),
+        }
+        with pytest.raises(ValueError):
+            t.table_changes(keys=["k"], v_from=4)  # empty window
+        with pytest.raises(ValueError):
+            t.table_changes(keys=["k"], v_from=7)  # no such version
+
+
+def test_table_changes_mor_fast_path_touches_only_deltas(spark):
+    # The same-base step must read O(changes): its plan may scan the base
+    # lineage for the dv-delta semi-join but the classify side sees only
+    # changed rows. We assert semantics here (identical-value MERGE rows
+    # still emit their update pair, Delta CDF behavior) and that a second
+    # delete step diffs against the prior cumulative DV, not the base.
+    with tempfile.TemporaryDirectory() as root:
+        t = VersionedTable(spark, os.path.join(root, "vt"))
+        t.commit(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+        t.delete_where(F.col("k") == 1)  # v2
+        t.delete_where(F.col("k") == 3)  # v3: delta vs cumulative DV
+        got = _changes_set(
+            t.table_changes(keys=["k"], v_from=2).select("k", "v", "_change_type", "_commit_version")
+        )
+        assert got == {(3, "c", "delete", 3)}
+        # wholesale re-merge of an identical row: touched => update pair
+        t.merge_into(
+            spark.createDataFrame([(2, "b")], "k long, v string"), keys=["k"]
+        )  # v4
+        got4 = _changes_set(
+            t.table_changes(keys=["k"], v_from=3).select("k", "v", "_change_type", "_commit_version")
+        )
+        assert got4 == {
+            (2, "b", "update_preimage", 4),
+            (2, "b", "update_postimage", 4),
+        }
+
+
+def test_table_changes_schema_evolution_aligns_columns(spark):
+    # A widening MERGE adds a column mid-history; older change rows carry
+    # a typed null for it and the update pair reflects the new column.
+    with tempfile.TemporaryDirectory() as root:
+        t = VersionedTable(spark, os.path.join(root, "vt"))
+        t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+        t.merge_into(
+            spark.createDataFrame([(1, "a2", 7.5)], "k long, v string, w double"),
+            keys=["k"],
+            allow_schema_evolution=True,
+        )
+        cdf = t.table_changes(keys=["k"])
+        assert set(cdf.columns) == {"k", "v", "w", "_change_type", "_commit_version"}
+        got = _changes_set(cdf.select("k", "v", "w", "_change_type", "_commit_version"))
+        assert got == {
+            (1, "a", None, "insert", 1),
+            (1, "a", None, "update_preimage", 2),
+            (1, "a2", 7.5, "update_postimage", 2),
+        }
