@@ -15,6 +15,7 @@ from .registry import QUERIES, all_oracles, all_queries, bench_queries  # noqa: 
 # driver-checked. The previously-unsampled modules are therefore registered
 # first this round so the driver's sample covers new ground (VERDICT r3
 # item 7); the engine itself is order-independent (lookups are by name).
+from . import geo  # noqa: E402,F401
 from . import linkage  # noqa: E402,F401
 from . import llm_clean  # noqa: E402,F401
 from . import llm_dedup  # noqa: E402,F401
