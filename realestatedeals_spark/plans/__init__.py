@@ -24,6 +24,7 @@ from . import graph  # noqa: E402,F401
 from . import tpch_advanced  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import llm_sample  # noqa: E402,F401
+from . import streaming_cascade  # noqa: E402,F401
 from . import streaming_cdc  # noqa: E402,F401
 from . import streaming_dedup  # noqa: E402,F401
 from . import streaming_state  # noqa: E402,F401
