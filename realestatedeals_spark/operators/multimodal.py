@@ -135,15 +135,32 @@ def encode_png_gray(pixels: np.ndarray, interlace: bool = False) -> bytes:
     )
 
 
-def encode_png_rgb(pixels: np.ndarray) -> bytes:
+def _png_scanlines(px: np.ndarray, interlace: bool) -> bytes:
+    """Filter-0 scanline serialization for a (H, W) or (H, W, C) pixel
+    grid — plain sequential rows, or the seven Adam7 pass sub-images
+    (each pass restarts its filter context; empty passes contribute no
+    scanlines, PNG spec §8.2)."""
+    if not interlace:
+        return b"".join(b"\x00" + px[r].tobytes() for r in range(px.shape[0]))
+    parts = []
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        parts += [b"\x00" + sub[r].tobytes() for r in range(sub.shape[0])]
+    return b"".join(parts)
+
+
+def encode_png_rgb(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """REAL truecolor (color type 2) PNG encoder: (H, W, 3) uint8 → IHDR +
-    one zlib IDAT with filter-0 scanlines + IEND."""
+    one zlib IDAT with filter-0 scanlines + IEND (optionally Adam7
+    interlaced)."""
     h, w, c = pixels.shape
     if c != 3:
         raise ValueError("encode_png_rgb needs (H, W, 3)")
     px = pixels.astype(np.uint8)
-    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    raw = _png_scanlines(px, interlace)
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -152,10 +169,11 @@ def encode_png_rgb(pixels: np.ndarray) -> bytes:
     )
 
 
-def encode_png_palette(pixels: np.ndarray) -> bytes:
+def encode_png_palette(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """REAL indexed-color (color type 3) PNG encoder: (H, W, 3) uint8 with
     ≤256 distinct colors → IHDR + PLTE (palette sorted by RGB triple for
-    determinism) + one zlib IDAT of filter-0 index scanlines + IEND."""
+    determinism) + one zlib IDAT of filter-0 index scanlines + IEND
+    (optionally Adam7 interlaced)."""
     h, w, c = pixels.shape
     if c != 3:
         raise ValueError("encode_png_palette needs (H, W, 3)")
@@ -164,8 +182,8 @@ def encode_png_palette(pixels: np.ndarray) -> bytes:
     if len(palette) > 256:
         raise ValueError(f"{len(palette)} distinct colors: palette PNG holds 256")
     idx = inverse.astype(np.uint8).reshape(h, w)
-    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)  # 8-bit indexed
+    raw = _png_scanlines(idx, interlace)
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -176,14 +194,17 @@ def encode_png_palette(pixels: np.ndarray) -> bytes:
 
 
 def decode_png_rgb(data: bytes) -> np.ndarray:
-    """REAL color PNG decoder (8-bit, non-interlaced): truecolor (type 2,
-    bpp=3) and indexed-color (type 3, bpp=1 + PLTE lookup), with the same
-    chunk walk and five-filter unfilter as the grayscale path. Returns
+    """REAL color PNG decoder (8-bit, plain or Adam7 interlaced):
+    truecolor (type 2, bpp=3) and indexed-color (type 3, bpp=1 + PLTE
+    lookup), with the same chunk walk and five-filter unfilter as the
+    grayscale path; interlaced files unfilter each of the seven pass
+    sub-images independently and scatter them back onto the grid. Returns
     (H, W, 3) uint8. Grayscale files pass through as replicated channels
     so callers can dispatch on either."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, w, h, color = 8, None, None, None
+    interlace = 0
     idat, plte = b"", None
     while pos < len(data):
         (length,) = _struct.unpack(">I", data[pos : pos + 4])
@@ -194,10 +215,10 @@ def decode_png_rgb(data: bytes) -> np.ndarray:
             if color == 0:
                 g = decode_png_gray(data)
                 return np.dstack([g, g, g])
-            if depth != 8 or color not in (2, 3) or interlace != 0:
+            if depth != 8 or color not in (2, 3) or interlace not in (0, 1):
                 raise NotImplementedError(
                     f"PNG depth={depth} color={color} interlace={interlace}: "
-                    "color decode is 8-bit non-interlaced truecolor/indexed"
+                    "color decode is 8-bit truecolor/indexed (plain or Adam7)"
                 )
         elif tag == b"PLTE":
             if length % 3:
@@ -211,21 +232,42 @@ def decode_png_rgb(data: bytes) -> np.ndarray:
     if w is None or h is None:
         raise ValueError("PNG missing IHDR chunk")
     bpp = 3 if color == 2 else 1
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
-    stride = w * bpp + 1
-    if raw.size < h * stride:
-        raise ValueError("short PNG pixel data")
-    rows = raw[: h * stride].reshape(h, stride)
-    out = np.zeros((h, w * bpp), np.int32)
-    prev = np.zeros(w * bpp, np.int32)
-    for r in range(h):
-        prev = _unfilter_scanline(int(rows[r, 0]), rows[r, 1:], prev, bpp=bpp)
-        out[r] = prev
+    flat = np.frombuffer(zlib.decompress(idat), np.uint8)
+
+    def unfilter(raw: np.ndarray, pw: int, ph: int) -> np.ndarray:
+        rows = raw.reshape(ph, pw * bpp + 1)
+        sub = np.zeros((ph, pw * bpp), np.int32)
+        prev = np.zeros(pw * bpp, np.int32)
+        for r in range(ph):
+            prev = _unfilter_scanline(int(rows[r, 0]), rows[r, 1:], prev, bpp=bpp)
+            sub[r] = prev
+        return sub
+
+    img = np.zeros((h, w, bpp), np.int32)
+    if interlace == 0:
+        stride = w * bpp + 1
+        if flat.size < h * stride:
+            raise ValueError("short PNG pixel data")
+        img = unfilter(flat[: h * stride], w, h).reshape(h, w, bpp)
+    else:
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            if off + need > flat.size:
+                raise ValueError("short PNG pixel data")
+            img[y0::dy, x0::dx] = unfilter(flat[off : off + need], pw, ph).reshape(
+                ph, pw, bpp
+            )
+            off += need
     if color == 2:
-        return out.astype(np.uint8).reshape(h, w, 3)
+        return img.astype(np.uint8)
     if plte is None:
         raise ValueError("indexed PNG missing PLTE chunk")
-    idx = out.astype(np.uint8).reshape(h, w)
+    idx = img.astype(np.uint8).reshape(h, w)
     if int(idx.max(initial=0)) >= len(plte):
         raise ValueError("palette index out of range")
     return plte[idx]

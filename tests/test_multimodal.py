@@ -1363,3 +1363,27 @@ SELECT st.ssum, st.speak FROM st JOIN s USING (doc_id) WHERE st.i = s.n - 1
 """
         ssum, speak = con.sql(q).fetchone()
         assert (ssum, speak) == (int(dec.sum()), int(np.abs(dec).max()))
+
+
+def test_png_color_adam7_interlaced_roundtrip():
+    from realestatedeals_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_palette,
+        encode_png_rgb,
+    )
+
+    # Adam7 for BOTH color types: interlaced bytes differ from plain but
+    # decode to identical pixels, across shapes that exercise empty and
+    # ragged passes (1x1 has six empty passes; 9x5 has partial strides).
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (3, 2), (9, 5), (8, 8), (17, 13)]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        plain = encode_png_rgb(px)
+        inter = encode_png_rgb(px, interlace=True)
+        assert inter != plain
+        assert np.array_equal(decode_png_rgb(inter), px)
+        assert np.array_equal(decode_png_rgb(plain), decode_png_rgb(inter))
+        # indexed-color: quantize to <=256 colors via a coarse palette
+        pal_px = (px // 64 * 64).astype(np.uint8)
+        pinter = encode_png_palette(pal_px, interlace=True)
+        assert np.array_equal(decode_png_rgb(pinter), pal_px)
