@@ -531,3 +531,128 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(edge(*args))
     return out
+
+
+# ---------------------------------------------------------------------------
+# audit_expectations — a declarative data-quality expectation suite
+# (Great-Expectations style) evaluated in ONE aggregation pass per table:
+# every check folds into the same partial-aggregate scan, so an 8-check
+# suite over a 100 TB table costs exactly one read, not eight. The suite
+# deliberately includes a failing expectation (o_totalprice_le_100k) so
+# the report proves violation detection, not just green rows. Reference
+# parity: the reference validates records ad hoc while scraping (price
+# parse fallback listing.py:30-38, zip sanity hunter.py:63); this is
+# that validation as a first-class, single-scan audit report.
+# ---------------------------------------------------------------------------
+
+_EXPECT_ORACLE = """
+SELECT 'orders' AS tbl, 'o_orderkey_unique' AS expectation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+       CASE WHEN count(*) = count(DISTINCT o_orderkey) THEN 'pass' ELSE 'fail' END AS status
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_totalprice_positive', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CASE WHEN sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) = 0 THEN 'pass' ELSE 'fail' END
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_orderstatus_in_set', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT),
+       CASE WHEN sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) = 0 THEN 'pass' ELSE 'fail' END
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_totalprice_le_100k', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT),
+       CASE WHEN sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) = 0 THEN 'pass' ELSE 'fail' END
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'l_quantity_in_1_50', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+       CASE WHEN sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0 THEN 'pass' ELSE 'fail' END
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'l_discount_in_0_01', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+       CASE WHEN sum(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0 THEN 'pass' ELSE 'fail' END
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'l_linestatus_in_set', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_linestatus IN ('O','F') THEN 0 ELSE 1 END) AS BIGINT),
+       CASE WHEN sum(CASE WHEN l_linestatus IN ('O','F') THEN 0 ELSE 1 END) = 0 THEN 'pass' ELSE 'fail' END
+FROM lineitem
+"""
+
+
+@register("audit_expectations", oracle=_EXPECT_ORACLE, tags=("audit", "quality"))
+def audit_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def viol(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    o_ag = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
+        viol(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).alias("v_pos"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v_set"),
+        viol(F.col("o_totalprice") > 100000).alias("v_cap"),
+    )
+    l_ag = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+        ).alias("v_qty"),
+        viol(
+            F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.1)
+        ).alias("v_disc"),
+        viol(~F.col("l_linestatus").isin("O", "F")).alias("v_stat"),
+    )
+
+    def unpack(ag: DataFrame, tbl: str, checks: list[tuple[str, str]]) -> DataFrame:
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("expectation"),
+                    F.col(col).cast("long").alias("n_violations"),
+                )
+                for name, col in checks
+            ]
+        )
+        return ag.select(
+            F.lit(tbl).alias("tbl"), F.col("n").cast("long").alias("n_rows"),
+            F.explode(rows).alias("c"),
+        ).select(
+            "tbl",
+            F.col("c.expectation").alias("expectation"),
+            "n_rows",
+            F.col("c.n_violations").alias("n_violations"),
+            F.when(F.col("c.n_violations") == 0, "pass").otherwise("fail").alias("status"),
+        )
+
+    out = unpack(
+        o_ag,
+        "orders",
+        [
+            ("o_orderkey_unique", "v_uniq"),
+            ("o_totalprice_positive", "v_pos"),
+            ("o_orderstatus_in_set", "v_set"),
+            ("o_totalprice_le_100k", "v_cap"),
+        ],
+    ).unionByName(
+        unpack(
+            l_ag,
+            "lineitem",
+            [
+                ("l_quantity_in_1_50", "v_qty"),
+                ("l_discount_in_0_01", "v_disc"),
+                ("l_linestatus_in_set", "v_stat"),
+            ],
+        )
+    )
+    return out
