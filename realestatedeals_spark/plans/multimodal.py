@@ -860,3 +860,83 @@ def x5_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.element_at("features", 6).cast("long").alias("px_sum"),
     )
+
+
+# frame formula shared with the oracle: n_frames = doc_id % 4 + 2; frame f
+# is constant 8x8 blocks (hb=doc_id%3+2, wb=n_chars%3+2) with block value
+# (doc_id*37 + 13*f + 11*bi + 5*bj) % 256; sampled frames = every 2nd.
+_X5_AVI_ORACLE = """
+WITH f AS (
+  SELECT doc_id, n_chars, unnest(range(0, doc_id % 4 + 2)) AS frame_idx
+  FROM documents)
+SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(64 * list_reduce(list_transform(range(0, doc_id % 3 + 2), bi ->
+              list_reduce(list_transform(range(0, n_chars % 3 + 2), bj ->
+                (doc_id * 37 + 13 * frame_idx + 11 * bi + 5 * bj) % 256),
+                (a, x) -> a + x)),
+            (a, x) -> a + x) AS BIGINT) AS px_sum
+FROM f WHERE frame_idx % 2 = 0
+"""
+
+
+@register(
+    "x5_avi_frame_extract", oracle=_X5_AVI_ORACLE, tags=("X5", "multimodal", "codec", "video")
+)
+def x5_avi_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container ingestion: each document's 2-5 frames are
+    encoded as actual quality-100 baseline JPEGs and packed into a real
+    AVI (RIFF hdrl/movi/idx1) Motion-JPEG file; the engine walks the RIFF
+    tree back out of the binary column, samples every 2nd frame, and
+    Huffman+IDCT-decodes the sampled JPEGs for pixel statistics. Constant
+    8x8 blocks make the lossy codec exact (DC-only energy, flat quant
+    table), so the DuckDB oracle recomputes every sampled frame's pixel
+    sum arithmetically and the hash match proves container walk + frame
+    index + pixel decode end-to-end. Scale shape: one mapInPandas stage
+    per side, media bytes never leave the executor, Arrow-batched."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        decode_jpeg_gray,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                wb, hb = nch % 3 + 2, did % 3 + 2
+                jpegs = []
+                for f in range(did % 4 + 2):
+                    vals = (
+                        did * 37
+                        + 13 * f
+                        + 11 * np.arange(hb, dtype=np.int64)[:, None]
+                        + 5 * np.arange(wb, dtype=np.int64)[None, :]
+                    ) % 256
+                    px = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+                    jpegs.append(encode_jpeg_gray(px, quality=100))
+                avi = encode_avi_mjpeg(jpegs, wb * 8, hb * 8)
+                rows.append((did, bytearray(avi)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_avi_mjpeg(bytes(content))
+                for i in range(0, len(frames), 2):
+                    px = decode_jpeg_gray(frames[i])
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    sums.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "px_sum": sums})
+
+    return media.mapInPandas(sample, schema="media_id long, frame_idx int, px_sum long")

@@ -1387,3 +1387,45 @@ def test_png_color_adam7_interlaced_roundtrip():
         pal_px = (px // 64 * 64).astype(np.uint8)
         pinter = encode_png_palette(pal_px, interlace=True)
         assert np.array_equal(decode_png_rgb(pinter), pal_px)
+
+
+def test_avi_mjpeg_container_roundtrip_and_validation():
+    import pytest
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        decode_jpeg_gray,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+    )
+
+    # odd-length frames force RIFF even-byte padding on every chunk
+    frames_px, jpegs = [], []
+    for f in range(4):
+        vals = (37 + 13 * f + 11 * np.arange(3)[:, None] + 5 * np.arange(2)[None, :]) % 256
+        px = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+        frames_px.append(px)
+        jpegs.append(encode_jpeg_gray(px, quality=100))
+    avi = encode_avi_mjpeg(jpegs, 16, 24, fps=25)
+    out = decode_avi_mjpeg(avi)
+    assert [bytes(j) for j in out] == jpegs
+    for j, px in zip(out, frames_px):
+        assert np.array_equal(decode_jpeg_gray(j), px)
+
+    # corrupt containers raise typed errors, never return wrong frames
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFX" + avi[4:])
+    with pytest.raises(ValueError, match="declares"):
+        # patch avih dwTotalFrames (5th field, offset 16 into the payload)
+        import struct as _s
+        at = avi.find(b"avih") + 8 + 16
+        bad = avi[:at] + _s.pack("<I", 9) + avi[at + 4 :]
+        decode_avi_mjpeg(bad)
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        decode_avi_mjpeg(avi.replace(b"vidsMJPG", b"vidsH264"))
+    with pytest.raises(ValueError, match="overruns"):
+        # inflate a frame chunk's declared length past its parent list
+        first = avi.find(b"00dc")
+        import struct as _s
+        bad = avi[: first + 4] + _s.pack("<I", 1 << 30) + avi[first + 8 :]
+        decode_avi_mjpeg(bad)
