@@ -933,3 +933,78 @@ def x4_quality_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return score_frozen(docs)
+
+
+# ---------------------------------------------------------------------------
+# x4_bigram_surprisal — in-engine trained bigram language model scoring
+# every document (the LM-based quality filter of CCNet/RedPajama-style
+# pipelines, kept hash-exact). The model IS the corpus: bigram counts
+# c(w1,w2) and continuation totals c(w1,·) aggregate in one pass, and each
+# document's score is the mean inverse conditional probability
+# avg[ c(w1,·)/c(w1,w2) ] — low for template/repetitive text (every bigram
+# near-deterministic), high for incoherent token soup. Exactness recipe:
+# the per-bigram ratio is computed as integer micros with BIGINT division
+# (identical `div`/`//` semantics on both engines — no log/exp), and the
+# final mean is ONE double division of two exact integers. Third example
+# of the trained-operator pattern after x4_quality_classifier and
+# x3_pca_project. Scale shape: two hash aggregations on bigram/unigram
+# keys + two shuffle joins back to the (doc, bigram) stream; stop-bigram
+# skew is the canonical AQE skew-join case.
+# ---------------------------------------------------------------------------
+
+_X4_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+st AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+scored AS (
+  SELECT b.doc_id, (s.c1 * 1000000) // c.c2 AS micros
+  FROM big b
+  JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2
+  JOIN st s ON b.w1 = s.w1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(micros) AS BIGINT) AS inv_prob_micros_sum,
+       CAST(sum(micros) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS avg_inv_prob
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("x4_bigram_surprisal", oracle=_X4_BIGRAM_ORACLE, tags=("X4", "text", "lm"))
+def x4_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (w, i) -> struct(w AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    st = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        big.join(cnt, ["w1", "w2"])
+        .join(st, ["w1"])
+        .select("doc_id", F.expr("c1 * 1000000 div c2").alias("micros"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("micros").alias("inv_prob_micros_sum"),
+        (
+            F.sum("micros").cast("double")
+            / (F.count(F.lit(1)) * 1000000).cast("double")
+        ).alias("avg_inv_prob"),
+    )
