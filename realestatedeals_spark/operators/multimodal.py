@@ -2656,3 +2656,59 @@ def decode_avi_mjpeg(data: bytes) -> list[bytes]:
     if declared is not None and declared != len(frames):
         raise ValueError(f"AVI header declares {declared} frames, found {len(frames)}")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows bitmap): the uncompressed interchange format screenshots
+# and scanners still emit. 24-bit BI_RGB only — rows are BGR triples
+# padded to 4-byte boundaries and stored bottom-up, which is the entire
+# format; everything else is the two fixed headers.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp_rgb(pixels: np.ndarray) -> bytes:
+    """REAL 24-bit BMP encoder: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    bottom-up BGR rows padded to 4 bytes. Opens in any image viewer."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_bmp_rgb needs (H, W, 3)")
+    px = pixels.astype(np.uint8)
+    row_len = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up
+        line = px[r, :, ::-1].tobytes()  # RGB -> BGR
+        rows.append(line + b"\x00" * (row_len - len(line)))
+    body = b"".join(rows)
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = _struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return hdr + info + body
+
+
+def decode_bmp_rgb(data: bytes) -> np.ndarray:
+    """REAL BMP decoder for 24-bit BI_RGB (top-down or bottom-up):
+    validates both headers, honors the pixel-array offset and 4-byte row
+    padding, returns (H, W, 3) uint8 RGB. Compressed (RLE) or paletted
+    BMPs raise typed errors — the documented boundary."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (_, _, _, off) = _struct.unpack("<IHHI", data[2:14])
+    (hdr_size, w, h, planes, bpp, comp) = _struct.unpack("<IiiHHI", data[14:34])
+    if hdr_size < 40:
+        raise ValueError(f"BMP header size {hdr_size}: below BITMAPINFOHEADER")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp}: only 24-bit BI_RGB decoded"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    need = off + row_len * h
+    if len(data) < need:
+        raise ValueError("short BMP pixel data")
+    out = np.zeros((h, w, 3), np.uint8)
+    for i in range(h):
+        r = i if top_down else h - 1 - i
+        line = np.frombuffer(data[off + i * row_len : off + i * row_len + w * 3], np.uint8)
+        out[r] = line.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return out

@@ -940,3 +940,73 @@ def x5_avi_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "px_sum": sums})
 
     return media.mapInPandas(sample, schema="media_id long, frame_idx int, px_sum long")
+
+
+# pixel formula shared with the oracle: h=doc_id%13+4, w=n_chars%17+4,
+# px[r,c,ch] = (doc_id*23 + 5r + 7c + 11ch) % 256
+_X5_BMP_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(n_chars % 17 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 13 + 4 AS INTEGER) AS height,
+       CAST(list_reduce(list_transform(range(0, doc_id % 13 + 4), r ->
+              list_reduce(list_transform(range(0, n_chars % 17 + 4), c ->
+                (doc_id * 23 + 5 * r + 7 * c) % 256
+              + (doc_id * 23 + 5 * r + 7 * c + 11) % 256
+              + (doc_id * 23 + 5 * r + 7 * c + 22) % 256),
+                (a, x) -> a + x)),
+            (a, x) -> a + x) AS BIGINT) AS px_sum
+FROM documents
+"""
+
+
+@register("x5_bmp_roundtrip", oracle=_X5_BMP_ORACLE, tags=("X5", "multimodal", "codec"))
+def x5_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncompressed-interchange coverage: each document renders a
+    deterministic RGB image as a REAL 24-bit BMP (bottom-up BGR rows,
+    4-byte padding), and the engine decodes it back inside mapInPandas.
+    The arithmetic oracle recomputes dimensions and the all-channel pixel
+    sum, so a hash match proves the row flip, BGR swap, and pad stripping
+    are all exact."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rgb,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                h, w = did % 13 + 4, nch % 17 + 4
+                px = (
+                    did * 23
+                    + 5 * np.arange(h, dtype=np.int64)[:, None, None]
+                    + 7 * np.arange(w, dtype=np.int64)[None, :, None]
+                    + 11 * np.arange(3, dtype=np.int64)[None, None, :]
+                ) % 256
+                rows.append((did, bytearray(encode_bmp_rgb(px.astype(np.uint8)))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+
+    def decode(batches):
+        for pdf in batches:
+            ids, ws, hs, sums = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_bmp_rgb(bytes(content))
+                ids.append(int(mid))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "px_sum": sums}
+            )
+
+    return media.mapInPandas(
+        decode, schema="media_id long, width int, height int, px_sum long"
+    )

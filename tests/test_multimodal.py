@@ -1429,3 +1429,35 @@ def test_avi_mjpeg_container_roundtrip_and_validation():
         import struct as _s
         bad = avi[: first + 4] + _s.pack("<I", 1 << 30) + avi[first + 8 :]
         decode_avi_mjpeg(bad)
+
+
+def test_bmp_roundtrip_topdown_and_validation():
+    import struct as _s
+
+    import pytest
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rgb,
+    )
+
+    rng = np.random.RandomState(7)
+    # widths chosen to hit all four pad remainders (w*3 mod 4)
+    for h, w in [(1, 1), (2, 2), (3, 3), (5, 4), (6, 7)]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_bmp_rgb(encode_bmp_rgb(px)), px)
+
+    # top-down variant: negative biHeight with rows in natural order
+    px = rng.randint(0, 256, (4, 5, 3)).astype(np.uint8)
+    b = bytearray(encode_bmp_rgb(px[::-1]))  # encoder stores bottom-up
+    _s.pack_into("<i", b, 22, -4)  # biHeight = -4 -> reinterpret as top-down
+    assert np.array_equal(decode_bmp_rgb(bytes(b)), px[::-1][::-1])
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp_rgb(b"XX" + bytes(b)[2:])
+    with pytest.raises(NotImplementedError, match="only 24-bit"):
+        bad = bytearray(encode_bmp_rgb(px))
+        _s.pack_into("<H", bad, 28, 8)  # biBitCount = 8
+        decode_bmp_rgb(bytes(bad))
+    with pytest.raises(ValueError, match="short BMP"):
+        decode_bmp_rgb(bytes(encode_bmp_rgb(px))[:-8])
