@@ -239,3 +239,71 @@ def io_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_files.mapInPandas(
         unpack, schema="doc_id long, uri string, n_bytes long, payload_md5 string"
     )
+
+
+# ---------------------------------------------------------------------------
+# io_cdf_incremental_view (round 7): the CDF CONSUMER contract. An
+# aggregate view (per-language doc count + char sum) is maintained purely
+# from ``table_changes`` rows with signed aggregation — insert /
+# update_postimage contribute +1, delete / update_preimage contribute -1
+# — and the table itself is never rescanned for the answer. The oracle
+# states the final table's aggregate directly from the mutation rules, so
+# a hash match proves replaying the change log reproduces the snapshot
+# aggregate exactly: the O(changes) refresh loop an aggregate view runs
+# against a 100 TB fact table. (c6_incremental_agg_view refreshes from
+# appended batches; this is the general form that also survives deletes
+# and updates.)
+# ---------------------------------------------------------------------------
+
+_CDF_VIEW_ORACLE = """
+WITH final AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 31 = 1 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT -1 AS doc_id, 'xx' AS lang, 777 AS n_chars
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM final
+GROUP BY lang
+"""
+
+
+@register(
+    "io_cdf_incremental_view",
+    oracle=_CDF_VIEW_ORACLE,
+    tags=("io", "lakehouse", "cdf", "incremental"),
+)
+def io_cdf_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    work = tempfile.mkdtemp(prefix="cdf_view_")
+    try:
+        t = VersionedTable(spark, os.path.join(work, "docs"))
+        t.commit(docs)  # v1
+        t.delete_where(F.col("doc_id") % 17 == 3)  # v2
+        upd = t.read().filter(F.col("doc_id") % 31 == 1).select(
+            "doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars")
+        )
+        extra = spark.createDataFrame(
+            [(-1, "xx", 777)], "doc_id long, lang string, n_chars long"
+        )
+        t.merge_into(upd.unionByName(extra), keys=["doc_id"])  # v3
+        changes = t.table_changes(keys=["doc_id"])
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        view = (
+            changes.withColumn("sign", sign)
+            .groupBy("lang")
+            .agg(
+                F.sum("sign").alias("n_docs"),
+                F.sum(F.col("sign") * F.col("n_chars")).alias("chars_sum"),
+            )
+            .filter(F.col("n_docs") > 0)
+        )
+        return view.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
