@@ -307,3 +307,56 @@ def io_cdf_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return view.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# io_orc_scan (round 7): columnar-format breadth. Parquet is the repo
+# default; ORC is the other first-class columnar format Spark ships a
+# native vectorized reader for (Hive-lineage warehouses are full of it).
+# The pipeline writes lineitem to ORC partitioned by l_returnflag with
+# zstd compression, reads it back with a partition filter + column
+# projection, and aggregates — so partition pruning (only the 'R'
+# directory is listed) and ORC predicate pushdown both participate. The
+# oracle computes the same aggregate straight from the source table: a
+# hash match proves the ORC write→read cycle is lossless for every value
+# involved (dates included, which cross the writer's proleptic-calendar
+# rebase path).
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS price_micros,
+       min(strftime(l_shipdate, '%Y-%m-%d')) AS first_ship
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+"""
+
+
+@register("io_orc_scan", oracle=_ORC_ORACLE, tags=("io", "format", "orc"))
+def io_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    work = tempfile.mkdtemp(prefix="orc_scan_")
+    try:
+        path = os.path.join(work, "li_orc")
+        li.write.partitionBy("l_returnflag").option("compression", "zstd").orc(path)
+        back = spark.read.orc(path)
+        out = (
+            back.filter(F.col("l_returnflag") == "R")  # partition-pruned scan
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 1000000).cast("long")
+                ).alias("price_micros"),
+                F.min(F.date_format("l_shipdate", "yyyy-MM-dd")).alias("first_ship"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
