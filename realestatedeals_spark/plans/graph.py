@@ -318,3 +318,79 @@ def g6_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+# ---------------------------------------------------------------------------
+# g7 — weighted shortest paths (round 7): hop-capped Bellman-Ford over
+# the customer↔supplier graph with integer edge weights, the weighted
+# generalization of g6's BFS. Weights are coarse (min lineitem quantity
+# mod 3, +1 ∈ {1,2,3}) which is what keeps the ORACLE bounded: the
+# recursive CTE enumerates (node, cost) states and coarse weights make
+# path costs collide heavily, so the state space stays O(nodes × max_d)
+# instead of exploding with distinct sums. Semantically both sides
+# compute min path cost over all paths of ≤3 edges — a genuinely
+# weighted relaxation (a 2-edge path can beat a 1-edge path of weight
+# 3). Spark side is round-synchronous Bellman-Ford: each round joins the
+# CURRENT dist table to the edge list and folds with a groupBy-min —
+# three shuffle rounds total, lineage cut per round; at 100 TB this is
+# the standard Pregel-on-DataFrames formulation (state co-partitioned
+# with edges on the join key).
+# ---------------------------------------------------------------------------
+
+_G7_WEIGHTED_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS cu,
+         's:' || CAST(l.l_suppkey AS VARCHAR) AS su,
+         CAST(min(l.l_quantity) % 3 + 1 AS BIGINT) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2),
+e AS (SELECT cu AS src, su AS dst, w FROM base
+      UNION ALL SELECT su, cu, w FROM base),
+seeds AS (SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS node
+          FROM customer WHERE c_custkey % 100 = 1),
+walk(node, d, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+  UNION
+  SELECT e.dst, p.d + e.w, p.hops + 1
+  FROM walk p JOIN e ON e.src = p.node WHERE p.hops < 3)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+
+@register("g7_weighted_paths", oracle=_G7_WEIGHTED_ORACLE, tags=("graph", "iterative", "weighted"))
+def g7_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cu"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("su"),
+        )
+        .agg((F.min("l_quantity").cast("long") % 3 + 1).alias("w"))
+    )
+    edges = (
+        base.select(F.col("cu").alias("src"), F.col("su").alias("dst"), "w")
+        .unionByName(base.select(F.col("su").alias("src"), F.col("cu").alias("dst"), "w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        cust.filter(F.col("c_custkey") % 100 == 1)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+        .distinct()
+        .withColumn("d", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(3):  # ≤3-edge relaxation, matching the oracle's hop cap
+        cand = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("d").alias("dist"))
