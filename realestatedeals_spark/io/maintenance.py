@@ -35,6 +35,7 @@ only ever executed by the claim winner, so it is contention-free.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import shutil
@@ -54,6 +55,13 @@ class CommitConflict(Exception):
     that the table advanced past ``expected_latest`` — the caller must
     re-read the new latest version, re-derive its output, and retry
     (optimistic concurrency, as in a Delta/Iceberg commit conflict)."""
+
+
+class ConstraintViolation(Exception):
+    """A commit's rows violate a registered CHECK constraint.
+
+    Raised before any version is claimed, so a violating writer leaves
+    the table untouched (its stage directory is cleaned up)."""
 
 
 class ClaimStore:
@@ -272,6 +280,7 @@ class VersionedTable:
         caller re-reads and retries, so one of any set of concurrent
         read-modify-writers always succeeds and the rest converge.
         """
+        self._validate_constraints(df)
         stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
         df.write.mode("errorifexists").parquet(stage)
         return self._publish(stage, expected_latest, max_retries)
@@ -459,6 +468,9 @@ class VersionedTable:
                 f"source schema {sorted(source.columns)} != table schema "
                 f"{sorted(table_cols)}; pass allow_schema_evolution=True to widen"
             )
+        # constraint check covers the post-image rows this MERGE introduces
+        # (kept base/insert-store rows were validated by their own commits)
+        self._validate_constraints(source)
         src = source.localCheckpoint(eager=True)
         live = self._live_base(base, dv)
         matched_base = live.join(src.select(*keys), keys, "semi")
@@ -505,6 +517,70 @@ class VersionedTable:
         if not eligible:
             raise ValueError(f"no version committed at or before {ts!r}")
         return self.read(eligible[-1])
+
+    # -- CHECK constraints (Delta-style): named SQL boolean expressions
+    # persisted with the table and validated on every write that adds
+    # rows. Validation is ONE aggregation over the incoming rows (all
+    # constraints fold into the same scan) and happens before any version
+    # is claimed, so a violating writer cannot publish. SQL CHECK
+    # semantics: only rows where the expression is FALSE violate; NULL
+    # passes (use an explicit IS NOT NULL constraint for null bans).
+
+    def _constraints_path(self) -> str:
+        return os.path.join(self.root, "_constraints.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Registered CHECK constraints, name → SQL expression."""
+        p = self._constraints_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def set_constraint(self, name: str, expr: str) -> None:
+        """Register a CHECK constraint. Existing live rows must already
+        satisfy it (as in Delta's ADD CONSTRAINT), so readers can rely on
+        the invariant for every version from here on."""
+        if self.latest_version() is not None:
+            self._validate_constraints(self.read(), {name: expr})
+        cs = self.constraints()
+        cs[name] = expr
+        with open(self._constraints_path(), "w") as fh:
+            json.dump(cs, fh, indent=1)
+
+    def drop_constraint(self, name: str) -> bool:
+        cs = self.constraints()
+        found = name in cs
+        cs.pop(name, None)
+        with open(self._constraints_path(), "w") as fh:
+            json.dump(cs, fh, indent=1)
+        return found
+
+    def _validate_constraints(
+        self, df: DataFrame, checks: dict[str, str] | None = None
+    ) -> None:
+        checks = self.constraints() if checks is None else checks
+        if not checks:
+            return
+        names = list(checks)
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+                ).alias(f"__c{i}")
+                for i, e in enumerate(checks[n] for n in names)
+            ]
+        ).first()
+        bad = {
+            n: int(counts[f"__c{i}"] or 0)
+            for i, n in enumerate(names)
+            if (counts[f"__c{i}"] or 0) > 0
+        }
+        if bad:
+            detail = ", ".join(
+                f"{n} ({checks[n]!r}): {c} rows" for n, c in sorted(bad.items())
+            )
+            raise ConstraintViolation(f"CHECK constraint(s) violated: {detail}")
 
     # -- change data feed (Delta CDF / Iceberg changelog semantics): a
     # row-level change log across the commit history, derivable after the

@@ -789,3 +789,45 @@ def test_table_changes_schema_evolution_aligns_columns(spark):
             (1, "a", None, "update_preimage", 2),
             (1, "a2", 7.5, "update_postimage", 2),
         }
+
+
+def test_check_constraints_enforced_on_commit_and_merge(spark):
+    from realestatedeals_spark.io.maintenance import ConstraintViolation
+
+    with tempfile.TemporaryDirectory() as root:
+        t = VersionedTable(spark, os.path.join(root, "vt"))
+        t.set_constraint("price_positive", "price > 0")
+        t.commit(spark.createDataFrame([(1, 10.0), (2, 5.0)], "k long, price double"))
+        # violating commit: rejected BEFORE publish, table untouched
+        with pytest.raises(ConstraintViolation, match="price_positive.*1 rows"):
+            t.commit(spark.createDataFrame([(3, -1.0)], "k long, price double"))
+        assert t.latest_version() == 1
+        assert t.read().count() == 2
+        # violating MERGE post-image rejected too
+        with pytest.raises(ConstraintViolation):
+            t.merge_into(
+                spark.createDataFrame([(1, 0.0)], "k long, price double"), keys=["k"]
+            )
+        # NULL passes CHECK (SQL semantics); explicit NOT NULL bans it
+        t.commit(spark.createDataFrame([(1, None)], "k long, price double"))
+        with pytest.raises(ConstraintViolation, match="price_not_null"):
+            t.set_constraint("price_not_null", "price IS NOT NULL")
+        # constraints persist across handles; drop lifts enforcement
+        t2 = VersionedTable(spark, os.path.join(root, "vt"))
+        assert t2.constraints() == {"price_positive": "price > 0"}
+        with pytest.raises(ConstraintViolation):
+            t2.commit(spark.createDataFrame([(4, -2.0)], "k long, price double"))
+        assert t2.drop_constraint("price_positive") is True
+        t2.commit(spark.createDataFrame([(4, -2.0)], "k long, price double"))
+        assert t2.read().count() == 1
+
+
+def test_set_constraint_validates_existing_rows(spark):
+    from realestatedeals_spark.io.maintenance import ConstraintViolation
+
+    with tempfile.TemporaryDirectory() as root:
+        t = VersionedTable(spark, os.path.join(root, "vt"))
+        t.commit(spark.createDataFrame([(1, -5.0)], "k long, price double"))
+        with pytest.raises(ConstraintViolation, match="price_positive"):
+            t.set_constraint("price_positive", "price > 0")
+        assert t.constraints() == {}  # rejected registration leaves no trace
