@@ -1007,3 +1007,71 @@ def x7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", w.alias("w"), h48.alias("h48")).filter(
         F.col("h48") * 10000 < F.col("w") * 3 * F.lit(281474976710656)
     ).drop("h48")
+
+
+# ---------------------------------------------------------------------------
+# x7_temporal_split — leakage-safe walk-forward split for time-ordered
+# training data: first 70% of events (by event time, event_id tie-break)
+# train, next 5% EMBARGO (discarded so no label/feature window straddles
+# the boundary — the purged split of financial-ML practice), remainder
+# test. Cutoffs are integer ranks (n*70//100, n*75//100) so both engines
+# place every row identically with zero float thresholds. Scale shape:
+# the rank is one global sort — at 100 TB you'd swap the row_number for a
+# pre-computed time boundary; the registered form keeps the rank explicit
+# so the oracle can prove the boundary placement row-exactly, and the
+# output reports per-split boundary timestamps, which IS the artifact a
+# production pipeline persists (then splits by plain ts comparison).
+# ---------------------------------------------------------------------------
+
+_X7_TEMPORAL_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, ts, user_id,
+         row_number() OVER (ORDER BY ts, event_id) AS rk,
+         count(*) OVER () AS n
+  FROM events
+),
+labeled AS (
+  SELECT CASE WHEN rk <= n * 70 // 100 THEN 'train'
+              WHEN rk <= n * 75 // 100 THEN 'embargo'
+              ELSE 'test' END AS split,
+         event_type, ts, user_id
+  FROM ranked
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM labeled
+GROUP BY split
+"""
+
+
+@register("x7_temporal_split", oracle=_X7_TEMPORAL_ORACLE, tags=("X7", "sampling", "split"))
+def x7_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.io.sources import load_events
+    from realestatedeals_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.select(
+        "ts",
+        "user_id",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    labeled = ranked.select(
+        F.when(F.col("rk") <= F.expr("n * 70 div 100"), "train")
+        .when(F.col("rk") <= F.expr("n * 75 div 100"), "embargo")
+        .otherwise("test")
+        .alias("split"),
+        "ts",
+        "user_id",
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    )
