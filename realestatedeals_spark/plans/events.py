@@ -1246,3 +1246,84 @@ def e25_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin["tr"].alias("trend"),
         (fin["lev"] + fin["tr"]).alias("forecast_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e26 — classical additive seasonal decomposition (trend + day-of-hour
+# seasonal + remainder) over the hourly value series, kept hash-exact:
+# trend is a centered 25-point moving sum with integer-micros division
+# (both engines truncate BIGINT division toward zero, verified), defined
+# only where the full ±12-hour window exists; the seasonal component is
+# the per-hour-of-day mean deviation over trend-covered points; the
+# remainder closes the identity y = trend + seasonal + resid exactly.
+# Scale shape: one hourly pre-aggregation (map-side combine), one
+# range-partitioned window pass, and a 24-row broadcast join back.
+# ---------------------------------------------------------------------------
+
+_E26_ORACLE = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS hsec,
+         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT hsec, y,
+         sum(y) OVER w AS s25,
+         count(*) OVER w AS c25
+  FROM hourly
+  WINDOW w AS (ORDER BY hsec ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+tr AS (
+  SELECT hsec, y,
+         CASE WHEN c25 = 25 THEN s25 // 25 ELSE NULL END AS trend,
+         (hsec // 3600) % 24 AS hod
+  FROM t
+),
+seas AS (
+  SELECT hod, CAST(sum(y - trend) // count(*) AS BIGINT) AS seasonal
+  FROM tr WHERE trend IS NOT NULL GROUP BY hod
+)
+SELECT strftime(to_timestamp(tr.hsec) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(tr.y AS BIGINT) AS y_micros,
+       CAST(tr.trend AS BIGINT) AS trend_micros,
+       CAST(seas.seasonal AS BIGINT) AS seasonal_micros,
+       CAST(tr.y - tr.trend - seas.seasonal AS BIGINT) AS resid_micros
+FROM tr LEFT JOIN seas ON tr.hod = seas.hod
+"""
+
+
+@register("e26_seasonal_decompose", oracle=_E26_ORACLE, tags=("window", "timeseries"))
+def e26_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select("ts", "value")
+    hourly = ev.groupBy(
+        (F.floor(F.unix_micros("ts") / 3600000000) * 3600).cast("long").alias("hsec")
+    ).agg(F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("y"))
+    w = W.orderBy("hsec").rowsBetween(-12, 12)
+    t = hourly.select(
+        "hsec",
+        "y",
+        F.sum("y").over(w).alias("s25"),
+        F.count(F.lit(1)).over(w).alias("c25"),
+    )
+    tr = t.select(
+        "hsec",
+        "y",
+        F.when(F.col("c25") == 25, F.expr("s25 div 25")).alias("trend"),
+        F.expr("(hsec div 3600) % 24").alias("hod"),
+    )
+    seas = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("hod")
+        .agg(F.expr("sum(y - trend) div count(1)").cast("long").alias("seasonal"))
+    )
+    out = tr.join(F.broadcast(seas), "hod", "left").select(
+        F.date_format(F.to_timestamp(F.col("hsec")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        F.col("y").alias("y_micros"),
+        F.col("trend").alias("trend_micros"),
+        F.col("seasonal").alias("seasonal_micros"),
+        (F.col("y") - F.col("trend") - F.col("seasonal")).alias("resid_micros"),
+    )
+    return out
