@@ -250,3 +250,169 @@ def x9_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank_fused", F.row_number().over(w_f).cast("long"))
         .filter(F.col("rank_fused") <= _HYB_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# x9_rerank_mmr — Maximal Marginal Relevance re-ranking, hash-exact. The
+# last stage of the retrieval stack after x9_rag/x9_hybrid: from each
+# query's top-8 cosine candidates, greedily pick 3 results balancing
+# relevance against redundancy, score = 7·rel − 3·max_sim_to_selected
+# (λ=0.7 kept as integers by scaling by 10 and flooring every cosine to
+# micros first, so the greedy argmax — including tie-breaks — is pure
+# BIGINT arithmetic on both engines). The greedy loop has a FIXED depth
+# (3 picks), so the oracle states it as three chained argmax CTEs rather
+# than recursion, and the Spark side builds the same three steps into one
+# lazy plan. Scale shape: candidate generation is the ANN problem solved
+# elsewhere; the rerank itself touches 8 rows + a ≤8×8 similarity matrix
+# per query — embarrassingly parallel over queries, no shuffle growth
+# with corpus size.
+# ---------------------------------------------------------------------------
+
+_COS = """list_reduce(list_transform(range(1, 65),
+             i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+             (acc, x) -> acc + x)
+        / (sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)),
+                  (acc, x) -> acc + x))
+         * sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+                  (acc, x) -> acc + x)))"""
+
+_X9_MMR_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv
+  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 10000
+),
+scored AS (
+  SELECT qid, e.vec_id AS did, e.embedding AS ev,
+         CAST(floor(1000000 * ({_COS.format(a="qv", b="e.embedding")})) AS BIGINT) AS rel
+  FROM q, embeddings e WHERE e.vec_id <> qid
+),
+cand AS (
+  SELECT qid, did, ev, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, did) AS rk
+    FROM scored) WHERE rk <= 8
+),
+sim AS (
+  SELECT a.qid, a.did AS a_id, b.did AS b_id,
+         CAST(floor(1000000 * ({_COS.format(a="a.ev", b="b.ev")})) AS BIGINT) AS s
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.did <> b.did
+),
+p1 AS (
+  SELECT qid, did, 7 * rel AS score FROM (
+    SELECT qid, did, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, did) AS rk
+    FROM cand) WHERE rk = 1
+),
+c2 AS (
+  SELECT c.qid, c.did, 7 * c.rel - 3 * s.s AS score
+  FROM cand c
+  JOIN p1 ON c.qid = p1.qid AND c.did <> p1.did
+  JOIN sim s ON s.qid = c.qid AND s.a_id = c.did AND s.b_id = p1.did
+),
+p2 AS (
+  SELECT qid, did, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rk
+    FROM c2) WHERE rk = 1
+),
+c3 AS (
+  SELECT c.qid, c.did, 7 * any_value(c.rel) - 3 * max(s.s) AS score
+  FROM cand c
+  JOIN p1 ON c.qid = p1.qid
+  JOIN p2 ON c.qid = p2.qid
+  JOIN sim s ON s.qid = c.qid AND s.a_id = c.did
+            AND (s.b_id = p1.did OR s.b_id = p2.did)
+  WHERE c.did <> p1.did AND c.did <> p2.did
+  GROUP BY c.qid, c.did
+),
+p3 AS (
+  SELECT qid, did, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rk
+    FROM c3) WHERE rk = 1
+)
+SELECT qid AS query_id, CAST(1 AS INTEGER) AS pick, did AS doc_id, CAST(score AS BIGINT) AS score FROM p1
+UNION ALL
+SELECT qid, CAST(2 AS INTEGER), did, CAST(score AS BIGINT) FROM p2
+UNION ALL
+SELECT qid, CAST(3 AS INTEGER), did, CAST(score AS BIGINT) FROM p3
+"""
+
+
+@register("x9_rerank_mmr", oracle=_X9_MMR_ORACLE, tags=("X9", "retrieval", "rerank"))
+def x9_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.plans.llm_vectors import dot, l2norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    rel = F.floor(
+        1000000 * (dot(F.col("qv"), F.col("embedding")) / (l2norm(F.col("qv")) * l2norm(F.col("embedding"))))
+    ).cast("long")
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("did"), F.col("embedding").alias("ev"), rel.alias("rel")
+    )
+    wq = W.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("did"))
+    cand = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 8)
+        .drop("rk")
+        .localCheckpoint(eager=True)  # candidates feed three downstream steps
+    )
+    a = cand.select("qid", F.col("did").alias("a_id"), F.col("ev").alias("av"))
+    b = cand.select(F.col("qid").alias("qid_b"), F.col("did").alias("b_id"), F.col("ev").alias("bv"))
+    sim = (
+        a.join(b, (F.col("qid") == F.col("qid_b")) & (F.col("a_id") != F.col("b_id")))
+        .select(
+            "qid", "a_id", "b_id",
+            F.floor(1000000 * (dot(F.col("av"), F.col("bv")) / (l2norm(F.col("av")) * l2norm(F.col("bv"))))).cast("long").alias("s"),
+        )
+    )
+    sim = sim.select(
+        F.col("qid").alias("s_qid"), "a_id", "b_id", "s"
+    ).localCheckpoint(eager=True)  # similarity matrix feeds steps 2 and 3
+    ws = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("did"))
+    p1 = (
+        cand.select("qid", "did", (7 * F.col("rel")).alias("score"))
+        .withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    c2 = (
+        cand.join(
+            p1.select(F.col("qid").alias("p_qid"), F.col("did").alias("p1_did")),
+            F.col("qid") == F.col("p_qid"),
+        )
+        .filter(F.col("did") != F.col("p1_did"))
+        .join(
+            sim,
+            (F.col("s_qid") == F.col("qid"))
+            & (F.col("a_id") == F.col("did"))
+            & (F.col("b_id") == F.col("p1_did")),
+        )
+        .select("qid", "did", (7 * F.col("rel") - 3 * F.col("s")).alias("score"))
+    )
+    p2 = c2.withColumn("rk", F.row_number().over(ws)).filter(F.col("rk") == 1).drop("rk")
+    picks = p1.select("qid", "did").unionByName(p2.select("qid", "did"))
+    sel = picks.groupBy(F.col("qid").alias("g_qid")).agg(
+        F.collect_set("did").alias("sel")
+    )
+    c3 = (
+        cand.join(sel, F.col("qid") == F.col("g_qid"))
+        .filter(~F.array_contains(F.col("sel"), F.col("did")))
+        .join(sim, (F.col("s_qid") == F.col("qid")) & (F.col("a_id") == F.col("did")))
+        .filter(F.array_contains(F.col("sel"), F.col("b_id")))
+        .groupBy("qid", "did")
+        .agg((7 * F.first("rel") - 3 * F.max("s")).alias("score"))
+    )
+    p3 = c3.withColumn("rk", F.row_number().over(ws)).filter(F.col("rk") == 1).drop("rk")
+    out = (
+        p1.select("qid", F.lit(1).alias("pick"), "did", "score")
+        .unionByName(p2.select("qid", F.lit(2).alias("pick"), "did", "score"))
+        .unionByName(p3.select("qid", F.lit(3).alias("pick"), "did", "score"))
+    )
+    return out.select(
+        F.col("qid").alias("query_id"),
+        F.col("pick").cast("int").alias("pick"),
+        F.col("did").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+    )
