@@ -11,6 +11,7 @@ bit-identical regardless of partitioning, and cheap (decimal add is JVM-side).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from realestatedeals_spark.io.sources import load_table
@@ -620,3 +621,44 @@ def setop_intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.intersectAll(o)
+
+
+_SKYLINE_ORACLE = """
+SELECT p1.p_partkey, p1.p_retailprice, p1.p_size
+FROM part p1
+WHERE NOT EXISTS (
+  SELECT 1 FROM part p2
+  WHERE p2.p_retailprice <= p1.p_retailprice
+    AND p2.p_size >= p1.p_size
+    AND (p2.p_retailprice < p1.p_retailprice OR p2.p_size > p1.p_size)
+)
+"""
+
+
+@register("olap_skyline_2d", oracle=_SKYLINE_ORACLE, tags=("skyline", "pareto"))
+def olap_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize p_retailprice, maximize p_size).
+
+    The oracle is the textbook O(N^2) NOT EXISTS; the engine computes the
+    same set in O(N log N): collapse to one row per distinct price
+    (group-by max size), take the running max of size over strictly
+    smaller prices (a window over the tiny distinct-price frame), then
+    join back and keep rows beaten by neither a cheaper-or-equal larger
+    part nor an equal-price strictly-larger one. Ties on both axes are
+    mutually non-dominating, so exact duplicates all survive — matching
+    the NOT EXISTS semantics bit-for-bit. Scale shape: one groupBy
+    shuffle on price plus a broadcast join of the distinct-price frame;
+    no cross product at any size.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    grp = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    grp = grp.withColumn("prevmax", F.max("gmax").over(w))
+    out = part.join(F.broadcast(grp), "p_retailprice")
+    dominated = (F.col("prevmax").isNotNull() & (F.col("prevmax") >= F.col("p_size"))) | (
+        F.col("gmax") > F.col("p_size")
+    )
+    return out.filter(~dominated).select("p_partkey", "p_retailprice", "p_size")
