@@ -429,3 +429,136 @@ def x3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     G, n = exact_gram(emb, dim=64)
     comps, _eig = power_components(G, n, k=4, iters=60)
     return project(emb, comps)
+
+
+# ---------------------------------------------------------------------------
+# X3 — deterministic in-engine k-means (third trained-op example after the
+# LR classifier and PCA). All arithmetic is integer: vectors are floored to
+# micros, distances are exact BIGINT sums of squares, and the centroid
+# update is floor-division — so Lloyd's algorithm itself becomes
+# hash-exactly oracle-able as a chain of plain SQL CTEs (assign -> update
+# -> assign ...), no tolerance anywhere. Ties break toward the lower
+# cluster id on both engines; an empty cluster keeps its previous centroid.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3  # total assignment passes; _KM_ITERS - 1 centroid updates
+_KM_DIM = 64
+
+
+def _km_dist(v: str, c: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {_KM_DIM + 1}), i -> "
+        f"({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (a, x) -> a + x)"
+    )
+
+
+def _km_oracle() -> str:
+    parts = [
+        f"""v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {_KM_K})"""
+    ]
+    for t in range(1, _KM_ITERS + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, v, cluster, dist_sq FROM (
+    SELECT vec_id, v, cluster, dist_sq,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq, cluster) AS rk
+    FROM (SELECT x.vec_id, x.v, c.cid AS cluster,
+                 {_km_dist('x.v', 'c.cv')} AS dist_sq
+          FROM v x, c{t - 1} c))
+  WHERE rk = 1)"""
+        )
+        if t < _KM_ITERS:
+            parts.append(
+                f"""s{t} AS (
+  SELECT cluster AS cid, i, sum(v[i]) AS s, count(*) AS n
+  FROM a{t}, range(1, {_KM_DIM + 1}) t(i)
+  GROUP BY cluster, i),
+c{t} AS (
+  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+  FROM c{t - 1} p LEFT JOIN (
+    SELECT cid,
+           list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY i) AS cv
+    FROM s{t} GROUP BY cid) u ON p.cid = u.cid)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist_sq FROM a{_KM_ITERS}"
+    )
+
+
+_KM_ORACLE = _km_oracle()
+
+
+@register("x3_kmeans_assign", oracle=_KM_ORACLE, tags=("X3", "vectors", "ml", "clustering"))
+def x3_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=8, 3 assignment passes) over the
+    embedding corpus, hash-exact against a pure-SQL replay of the same
+    iterations.
+
+    Integer discipline makes an iterative ML trainer exactly oracle-able:
+    micros-floored vectors, BIGINT squared distances, floor-div centroid
+    means (pmod formula in SQL == Python ``//``), lower-cluster-id ties.
+    Init = the first k vectors by vec_id.
+
+    Scale shape: each assignment is a narrow map over the corpus — the
+    k*dim centroid table rides along as plan literals (broadcast-sized by
+    construction), so there is NO join and NO shuffle in the assign step;
+    the update is one groupBy((cluster, dim)) with map-side partial
+    aggregation producing exactly k*dim rows to the driver (bounded state,
+    like the PCA power iteration). Iterations are fixed, so the whole
+    query is a constant number of passes over the data at any corpus size;
+    for large k the literal centroids would become a broadcast-joined
+    frame at the same seam.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+        ).alias("v"),
+    )
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    ]
+
+    def assign(df: DataFrame, cents: list[list[int]]) -> DataFrame:
+        structs = []
+        for cid, cv in enumerate(cents):
+            carr = F.array(*[F.lit(int(c)).cast("long") for c in cv])
+            d = F.aggregate(
+                F.zip_with(F.col("v"), carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d.alias("d"), F.lit(cid).cast("int").alias("c")))
+        return (
+            df.withColumn("best", F.array_min(F.array(*structs)))
+            .withColumn("dist_sq", F.col("best.d"))
+            .withColumn("cluster", F.col("best.c"))
+            .drop("best")
+        )
+
+    assigned = assign(emb, cents)
+    for _ in range(_KM_ITERS - 1):
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("i", "val"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc = {(r["cluster"], r["i"]): (r["s"], r["n"]) for r in sums}
+        cents = [
+            [acc[(cid, i)][0] // acc[(cid, i)][1] for i in range(_KM_DIM)]
+            if (cid, 0) in acc
+            else list(cents[cid])
+            for cid in range(_KM_K)
+        ]
+        assigned = assign(emb, cents)
+    return assigned.select("vec_id", "cluster", "dist_sq")
