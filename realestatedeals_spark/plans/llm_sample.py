@@ -1075,3 +1075,58 @@ def x7_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
     )
+
+
+_X7_CLUSTER_BAL_FINAL = """ranked AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM a3)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 16
+"""
+
+
+def _x7_cluster_bal_oracle() -> str:
+    from realestatedeals_spark.plans.llm_vectors import _km_oracle
+
+    sql = _km_oracle(final="SELECT 1")  # reuse the k-means CTE chain
+    return sql[: sql.rfind("SELECT 1")].rstrip().rstrip(",") + ",\n" + _X7_CLUSTER_BAL_FINAL
+
+
+@register(
+    "x7_cluster_balanced_sample",
+    oracle=_x7_cluster_bal_oracle(),
+    tags=("X7", "sampling", "clustering"),
+)
+def x7_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling: up to 16 vectors per k-means
+    cluster, picked in deterministic md5(vec_id) order — the curation move
+    that keeps rare modes of the corpus represented instead of letting a
+    uniform sample mirror the majority clusters.
+
+    Scale shape: per-cluster top-m with k=8 clusters would put the whole
+    corpus into 8 window partitions, so the engine runs the standard
+    two-phase top-k — a partition-local rank (no shuffle, prunes each
+    executor partition to <= m rows per cluster, a superset of the global
+    winners) and a global rank over only the pruned candidates. The
+    shuffled survivor set is <= m * num_partitions regardless of corpus
+    size.
+    """
+    from realestatedeals_spark.plans.llm_vectors import x3_kmeans_assign
+
+    assigned = x3_kmeans_assign(spark, sf_dir).withColumn(
+        "h", F.md5(F.col("vec_id").cast("string"))
+    )
+    local = Window.partitionBy("cluster", F.spark_partition_id()).orderBy("h", "vec_id")
+    pruned = (
+        assigned.withColumn("lrk", F.row_number().over(local))
+        .filter(F.col("lrk") <= 16)
+        .drop("lrk")
+    )
+    final = Window.partitionBy("cluster").orderBy("h", "vec_id")
+    return (
+        pruned.withColumn("rk", F.row_number().over(final).cast("int"))
+        .filter(F.col("rk") <= 16)
+        .select("vec_id", "cluster", "rk")
+    )

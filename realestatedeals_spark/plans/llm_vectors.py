@@ -453,7 +453,7 @@ def _km_dist(v: str, c: str) -> str:
     )
 
 
-def _km_oracle() -> str:
+def _km_oracle(final: str | None = None) -> str:
     parts = [
         f"""v AS (
   SELECT vec_id,
@@ -486,11 +486,12 @@ c{t} AS (
            list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY i) AS cv
     FROM s{t} GROUP BY cid) u ON p.cid = u.cid)"""
             )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist_sq FROM a{_KM_ITERS}"
-    )
+    if final is None:
+        final = (
+            f"SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist_sq"
+            f" FROM a{_KM_ITERS}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 _KM_ORACLE = _km_oracle()
