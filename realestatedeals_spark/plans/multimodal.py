@@ -1076,3 +1076,74 @@ def x5_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         extract, schema="media_id long, make string, orientation long, shot_at string"
     )
+
+
+# pixel formula shared with the oracle: h=doc_id%11+6, w=n_chars%19+8,
+# g = (doc_id*31 + 7r) % 256; R=(g+r%3)%256, G=g, B=(g+(c//4)%2)%256
+# — each row is a 2-color 4-pixel-plateau alternation, so RUN fires inside
+# plateaus, DIFF on the first X->Y flip, INDEX on every later flip (both
+# colors sit in the 64-slot table), LUMA on row steps, RGB on mod-256 wraps.
+_X5_QOI_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(n_chars % 19 + 8 AS INTEGER) AS width,
+       CAST(doc_id % 11 + 6 AS INTEGER) AS height,
+       CAST(list_reduce(list_transform(range(0, doc_id % 11 + 6), r ->
+              list_reduce(list_transform(range(0, n_chars % 19 + 8), c ->
+                ((doc_id * 31 + 7 * r) % 256 + (r % 3)) % 256
+              + (doc_id * 31 + 7 * r) % 256
+              + ((doc_id * 31 + 7 * r) % 256 + (c // 4) % 2) % 256),
+                (a, x) -> a + x)),
+            (a, x) -> a + x) AS BIGINT) AS px_sum
+FROM documents
+"""
+
+
+@register("x5_qoi_roundtrip", oracle=_X5_QOI_ORACLE, tags=("X5", "multimodal", "codec"))
+def x5_qoi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern lossless-interchange coverage: each document renders a
+    deterministic RGB image as a REAL QOI stream (qoiformat.org spec v1.0
+    — RUN/INDEX/DIFF/LUMA/RGB chunks, 64-slot color index, wraparound
+    diffs) and the engine decodes it back inside mapInPandas. The pixel
+    pattern has flat plateaus, +-1 channel offsets, and row jumps so every
+    chunk type fires; the arithmetic oracle recomputes dimensions and the
+    all-channel pixel sum, proving the full chunk state machine is exact.
+    Scale shape: one Arrow-batched mapInPandas stage per side, media bytes
+    never leave the executor."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.qoi import decode_qoi, encode_qoi
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                h, w = did % 11 + 6, nch % 19 + 8
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                g = (did * 31 + 7 * r) % 256 + 0 * c
+                px = np.stack([(g + r % 3) % 256, g, (g + (c // 4) % 2) % 256], axis=2)
+                rows.append((did, bytearray(encode_qoi(px.astype(np.uint8)))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+
+    def decode(batches):
+        for pdf in batches:
+            ids, ws, hs, sums = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_qoi(bytes(content))
+                ids.append(int(mid))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "px_sum": sums}
+            )
+
+    return media.mapInPandas(
+        decode, schema="media_id long, width int, height int, px_sum long"
+    )
