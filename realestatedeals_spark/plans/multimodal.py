@@ -1147,3 +1147,71 @@ def x5_qoi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         decode, schema="media_id long, width int, height int, px_sum long"
     )
+
+
+# stereo signal shared with the oracle: n = n_chars % 300 + 40,
+# L[i] = (doc_id*11 + i*17) % 4001 - 2000, R[i] = (doc_id*5 + i*29) % 3001 - 1500
+_X5_AIFF_ORACLE = """
+WITH s AS (
+  SELECT doc_id, CAST(n_chars % 300 + 40 AS BIGINT) AS n FROM documents)
+SELECT doc_id AS media_id,
+       CAST(22050 AS INT) AS sample_rate,
+       n AS n_frames,
+       CAST(list_sum(list_transform(range(0, n), i -> (doc_id * 11 + i * 17) % 4001 - 2000)) AS BIGINT) AS l_sum,
+       CAST(list_sum(list_transform(range(0, n), i -> (doc_id * 5 + i * 29) % 3001 - 1500)) AS BIGINT) AS r_sum
+FROM s
+"""
+
+
+@register("x5_aiff_roundtrip", oracle=_X5_AIFF_ORACLE, tags=("X5", "multimodal", "codec"))
+def x5_aiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-endian audio interchange: per document, synthesize a
+    deterministic STEREO 16-bit signal, pack it as a real AIFF file
+    (FORM/COMM/SSND, 80-bit extended sample rate, interleaved big-endian
+    PCM — the byte-order mirror of the WAV path), and decode it back
+    inside mapInPandas. The oracle recomputes per-channel sums, so a hash
+    match proves the IFF chunk walk, extended-float rate decode, and
+    stereo de-interleave are exact."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.aiff import (
+        decode_aiff_pcm16,
+        encode_aiff_pcm16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, n = int(did), int(nch) % 300 + 40
+                i = np.arange(n, dtype=np.int64)
+                left = (did * 11 + i * 17) % 4001 - 2000
+                right = (did * 5 + i * 29) % 3001 - 1500
+                s = np.stack([left, right], axis=1)
+                rows.append((did, bytearray(encode_aiff_pcm16(s, 22050))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+
+    def decode(batches):
+        for pdf in batches:
+            ids, rates, ns, ls, rs = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, pcm = decode_aiff_pcm16(bytes(content))
+                ids.append(int(mid))
+                rates.append(rate)
+                ns.append(pcm.shape[0])
+                ls.append(int(pcm[:, 0].astype(np.int64).sum()))
+                rs.append(int(pcm[:, 1].astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "sample_rate": rates, "n_frames": ns,
+                 "l_sum": ls, "r_sum": rs}
+            )
+
+    return media.mapInPandas(
+        decode,
+        schema="media_id long, sample_rate int, n_frames long, l_sum long, r_sum long",
+    )
