@@ -1008,3 +1008,83 @@ def x4_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * 1000000).cast("double")
         ).alias("avg_inv_prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — co-occurrence lift (association mining without logs): for frequent
+# term pairs, lift = N * P(x,y) / (P(x) P(y)) kept as the exact integer
+# rational floor(N * c_xy * 1e6 / (c_x * c_y)) — PMI's monotone argument
+# without the ln() that would break hash-exactness.
+# ---------------------------------------------------------------------------
+
+_X4_LIFT_ORACLE = """
+WITH tk AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tk2 AS (SELECT * FROM tk WHERE term <> ''),
+freq AS (
+  SELECT term, count(*) AS cx FROM tk2 GROUP BY term HAVING count(*) >= 20),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS pair_docs
+  FROM tk2 a
+  JOIN tk2 b ON a.doc_id = b.doc_id AND a.term < b.term
+  JOIN freq fa ON fa.term = a.term
+  JOIN freq fb ON fb.term = b.term
+  GROUP BY 1, 2 HAVING count(*) >= 10),
+n AS (SELECT count(*) AS nd FROM documents)
+SELECT term_a, term_b,
+       CAST(pair_docs AS BIGINT) AS pair_docs,
+       CAST((nd * pair_docs * 1000000) // (fa.cx * fb.cx) AS BIGINT) AS lift_micros
+FROM pairs
+JOIN freq fa ON fa.term = pairs.term_a
+JOIN freq fb ON fb.term = pairs.term_b, n
+"""
+
+
+@register("x4_token_lift", oracle=_X4_LIFT_ORACLE, tags=("X4", "text", "association"))
+def x4_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair co-occurrence lift over the corpus (min doc-freq 20,
+    min pair support 10).
+
+    Scale shape: the a-priori prune happens BEFORE the pair join — the
+    frequent-term dimension (bounded by the support threshold, tiny
+    relative to the corpus) broadcasts onto the token table, so the
+    self-join on doc_id only ever sees per-doc frequent tokens; pair
+    counts then aggregate with map-side combine. Lift stays an exact
+    integer rational (floor micros), so the oracle is hash-exact — the
+    PMI ranking this feeds is monotone in it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tokens = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    freq = (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cx"))
+        .filter(F.col("cx") >= 20)
+    )
+    tok_f = tokens.join(F.broadcast(freq), "term").select("doc_id", "term", "cx")
+    a = tok_f.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("cx").alias("cx_a")
+    )
+    b = tok_f.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("cx").alias("cx_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "cx_a", "cx_b")
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+        .filter(F.col("pair_docs") >= 10)
+    )
+    return pairs.select(
+        "term_a",
+        "term_b",
+        "pair_docs",
+        F.expr(
+            f"CAST(({n_docs}L * pair_docs * 1000000L) div (cx_a * cx_b) AS BIGINT)"
+        ).alias("lift_micros"),
+    )
