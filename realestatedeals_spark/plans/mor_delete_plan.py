@@ -360,3 +360,106 @@ def io_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# io_cdf_join_view: incremental maintenance of a JOIN view from the
+# change feeds of BOTH base tables. The view orders JOIN lineitem GROUP BY
+# o_custkey is rebuilt purely from signed change rows using the Z-set
+# bilinearity identity (DBSP / differential-dataflow):
+#
+#     A_final x B_final = (sum of signed dA) x (sum of signed dB)
+#                       = sum over all pairs  sign_a * sign_b * (a x b)
+#
+# so joining the two FULL change logs and aggregating sign_a*sign_b
+# reproduces the final join aggregate exactly — deletes retract, updates
+# move rows between groups (including o_custkey re-routing, which plain
+# aggregate IVM cannot express), and neither snapshot is ever rescanned.
+# At 100 TB the same algebra runs per epoch (dA x B + A x dB), joining
+# each delta against the opposite side on the join key; this query is
+# that contract stated over the whole history so the oracle can check it
+# hash-exactly against the final snapshots.
+# ---------------------------------------------------------------------------
+
+_CDF_JOIN_VIEW_ORACLE = """
+WITH l_base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS rev_micros
+  FROM lineitem GROUP BY 1, 2),
+l_final AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 7 = 1 THEN 2 * rev_micros ELSE rev_micros END AS rev_micros
+  FROM l_base WHERE l_linenumber < 5),
+o_final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 2 THEN o_custkey + 1000 ELSE o_custkey END AS o_custkey
+  FROM orders WHERE o_orderkey % 13 <> 5)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(rev_micros) AS BIGINT) AS rev_micros
+FROM o_final JOIN l_final ON o_orderkey = l_orderkey
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "io_cdf_join_view",
+    oracle=_CDF_JOIN_VIEW_ORACLE,
+    tags=("io", "lakehouse", "cdf", "incremental", "join"),
+)
+def io_cdf_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+                ).cast("long")
+            ).alias("rev_micros")
+        )
+    )
+    work = tempfile.mkdtemp(prefix="cdf_join_view_")
+    try:
+        ta = VersionedTable(spark, os.path.join(work, "orders"))
+        ta.commit(orders)  # v1
+        tb = VersionedTable(spark, os.path.join(work, "lineitem"))
+        tb.commit(li)  # v1
+        # orders mutations: delete a slice, then re-route custkeys (the
+        # group-move case aggregate-only IVM cannot handle)
+        ta.delete_where(F.col("o_orderkey") % 13 == 5)
+        upd_a = ta.read().filter(F.col("o_orderkey") % 11 == 2).select(
+            "o_orderkey", (F.col("o_custkey") + 1000).alias("o_custkey")
+        )
+        ta.merge_into(upd_a, keys=["o_orderkey"])
+        # lineitem mutations: delete high line numbers, double a revenue slice
+        tb.delete_where(F.col("l_linenumber") >= 5)
+        upd_b = tb.read().filter(F.col("l_orderkey") % 7 == 1).select(
+            "l_orderkey", "l_linenumber", (2 * F.col("rev_micros")).alias("rev_micros")
+        )
+        tb.merge_into(upd_b, keys=["l_orderkey", "l_linenumber"])
+
+        sign = lambda: F.when(  # noqa: E731
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1)).cast("long")
+        ca = ta.table_changes(keys=["o_orderkey"]).select(
+            "o_orderkey", "o_custkey", sign().alias("sa")
+        )
+        cb = tb.table_changes(keys=["l_orderkey", "l_linenumber"]).select(
+            "l_orderkey", "rev_micros", sign().alias("sb")
+        )
+        view = (
+            ca.join(cb, ca["o_orderkey"] == cb["l_orderkey"])
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("sa") * F.col("sb")).alias("n_items"),
+                F.sum(F.col("sa") * F.col("sb") * F.col("rev_micros")).alias(
+                    "rev_micros"
+                ),
+            )
+            .filter(F.col("n_items") > 0)
+        )
+        return view.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
