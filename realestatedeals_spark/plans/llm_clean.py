@@ -459,3 +459,73 @@ def x4_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn(
         "n_same_person", F.count(F.lit(1)).over(W.partitionBy("token")).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — Unicode NFC normalization (the canonicalization step that runs
+# before any exact/near dedup: visually-identical strings must hash
+# identically). Each doc gets a deterministic suffix — decomposed
+# e+U+0301 A+U+030A for doc_id % 3 != 0, precomposed e-acute/A-ring
+# otherwise — and the engine normalizes with Python's unicodedata inside
+# an Arrow-batched mapInPandas stage. The oracle normalizes with DuckDB's
+# independent nfc_normalize implementation: a hash match means two
+# unrelated NFC implementations agree byte-for-byte on every document.
+# ---------------------------------------------------------------------------
+
+_X4_NFC_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         substr(text, 1, 40)
+         || CASE WHEN doc_id % 3 = 0 THEN chr(233) || chr(197)
+                 ELSE chr(101) || chr(769) || chr(65) || chr(778) END AS raw
+  FROM documents)
+SELECT doc_id,
+       md5(nfc_normalize(raw)) AS norm_md5,
+       nfc_normalize(raw) <> raw AS changed,
+       CAST(length(raw) AS BIGINT) AS cp_before,
+       CAST(length(nfc_normalize(raw)) AS BIGINT) AS cp_after
+FROM s
+"""
+
+
+@register("x4_nfc_normalize", oracle=_X4_NFC_ORACLE, tags=("X4", "text", "unicode"))
+def x4_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-normalize every document and report md5/length before-after.
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle; the
+    normalized hash feeds straight into the exact-dedup group-by."""
+    import unicodedata
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\u00e9\u00c5")  # precomposed
+            ).otherwise(
+                F.lit("e\u0301A\u030a")  # decomposed NFD sequences
+            ),
+        ).alias("raw"),
+    )
+
+    def normalize(batches):
+        for pdf in batches:
+            norm = pdf["raw"].map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "norm_md5": norm.map(
+                        lambda s: __import__("hashlib").md5(s.encode()).hexdigest()
+                    ),
+                    "changed": norm.ne(pdf["raw"]),
+                    "cp_before": pdf["raw"].str.len().astype("int64"),
+                    "cp_after": norm.str.len().astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        normalize,
+        schema="doc_id long, norm_md5 string, changed boolean, cp_before long, cp_after long",
+    )
