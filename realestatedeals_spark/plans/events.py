@@ -1327,3 +1327,64 @@ def e26_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y") - F.col("trend") - F.col("seasonal")).alias("resid_micros"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# e27 — CUSUM changepoint detection on the hourly event-count series.
+# Deviations from the global mean are kept exact by scaling with the hour
+# count: S_t = sum_{i<=t} (c_i * n_hours - total) is the classic CUSUM
+# curve times n_hours, all BIGINT — so the peak (the changepoint estimate,
+# argmax |S_t|, earliest hour on ties) is hash-exact with no float mean.
+# ---------------------------------------------------------------------------
+
+_E27_ORACLE = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS hsec,
+         count(*) AS c
+  FROM events GROUP BY 1),
+t AS (
+  SELECT hsec, c, sum(c) OVER () AS total, count(*) OVER () AS nh FROM hourly),
+s AS (
+  SELECT hsec, c, sum(c * nh - total) OVER (ORDER BY hsec) AS s_scaled FROM t)
+SELECT strftime(to_timestamp(hsec) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(c AS BIGINT) AS n_events,
+       CAST(s_scaled AS BIGINT) AS s_scaled,
+       row_number() OVER (ORDER BY abs(s_scaled) DESC, hsec) = 1 AS is_peak
+FROM s
+"""
+
+
+@register("e27_cusum_changepoint", oracle=_E27_ORACLE, tags=("window", "timeseries"))
+def e27_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM curve + changepoint flag over hourly event counts.
+
+    Scale shape: the raw stream collapses to one row per hour in the
+    first groupBy (map-side combined); every window after that runs on
+    the tiny hourly frame, so the unpartitioned ordering is bounded by
+    the calendar, not the data volume.
+    """
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select("ts")
+    hourly = ev.groupBy(
+        (F.floor(F.unix_micros("ts") / 3600000000) * 3600).cast("long").alias("hsec")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = hourly.select(
+        "hsec",
+        "c",
+        F.sum("c").over(W.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nh"),
+    )
+    s = t.select(
+        "hsec",
+        "c",
+        F.sum(F.col("c") * F.col("nh") - F.col("total"))
+        .over(W.orderBy("hsec"))
+        .alias("s_scaled"),
+    )
+    rk = F.row_number().over(W.orderBy(F.abs("s_scaled").desc(), "hsec"))
+    return s.select(
+        F.date_format(F.to_timestamp("hsec"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("c").alias("n_events"),
+        "s_scaled",
+        (rk == 1).alias("is_peak"),
+    )
