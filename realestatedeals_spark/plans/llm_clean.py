@@ -384,14 +384,10 @@ FROM x7
 """
 
 
-@register("x4_html_extract", oracle=_X4_HTML_ORACLE, tags=("X4", "clean", "web"))
-def x4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wrap each document in a deterministic page skeleton, run the generic
-    boilerplate stripper, and assert exact recovery of the main content."""
-    from realestatedeals_spark.functions.web import extract_main_text
-
-    d = F.col("doc_id")
-    html = F.concat(
+def wrap_html(d: F.Column) -> F.Column:
+    """The deterministic page skeleton shared by the HTML-extraction query
+    and the crawl-pipeline capstone (same construction as _HTML_WRAP_SQL)."""
+    return F.concat(
         F.lit("<html><head><title>Doc "), d.cast("string"),
         F.lit("</title><style>.ad{display:block}</style>"),
         F.lit('<script>var trk="'), (d % 97).cast("string"), F.lit('";</script></head>'),
@@ -402,6 +398,16 @@ def x4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p></main><footer>© example "), (2000 + d % 25).cast("string"),
         F.lit("</footer></body></html>"),
     )
+
+
+@register("x4_html_extract", oracle=_X4_HTML_ORACLE, tags=("X4", "clean", "web"))
+def x4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each document in a deterministic page skeleton, run the generic
+    boilerplate stripper, and assert exact recovery of the main content."""
+    from realestatedeals_spark.functions.web import extract_main_text
+
+    d = F.col("doc_id")
+    html = wrap_html(d)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", html.alias("html"))
     out = docs.select(
         "doc_id", "text", extract_main_text(F.col("html")).alias("extracted")

@@ -463,3 +463,86 @@ def io_cdf_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return view.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# x8_crawl_pipeline: the crawl-ingestion capstone — one lazy plan from
+# interchange bytes to a deduplicated clean corpus. Documents are wrapped
+# in the deterministic page skeleton (plans/llm_clean.wrap_html), packed
+# into real WARC/1.0 files, parsed back out of the binary column, run
+# through the generic boilerplate stripper, length-gated, and
+# exact-deduplicated on the md5 of the extracted text. Because the
+# extractor provably recovers text + planted tail (x4_html_extract), the
+# oracle states the final corpus directly from the source table — a hash
+# match proves the WHOLE chain (pack -> Content-Length parse -> extract
+# -> gate -> dedup) is lossless. Scale shape: two mapInPandas stages and
+# one md5 group-by; WARC bytes never leave the executor, and the dedup
+# shuffle carries hashes + scalars, not page bodies.
+# ---------------------------------------------------------------------------
+
+_CRAWL_ORACLE = """
+WITH ext AS (
+  SELECT doc_id,
+         text || E'\\ntail & id ' || CAST(doc_id % 7 AS VARCHAR) AS x
+  FROM documents),
+filt AS (SELECT * FROM ext WHERE length(x) >= 100)
+SELECT md5(x) AS clean_md5,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(min(length(x)) AS BIGINT) AS n_chars,
+       CAST(min(len(string_split(x, ' '))) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM filt GROUP BY 1
+"""
+
+
+@register(
+    "x8_crawl_pipeline",
+    oracle=_CRAWL_ORACLE,
+    tags=("X8", "ingestion", "warc", "pipeline"),
+)
+def x8_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from realestatedeals_spark.functions.web import extract_main_text
+    from realestatedeals_spark.io.warc import build_warc, parse_warc
+    from realestatedeals_spark.plans.llm_clean import wrap_html
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", wrap_html(F.col("doc_id")).alias("html")
+    )
+
+    def pack(batches):
+        for pdf in batches:
+            pdf = pdf.assign(grp=pdf["doc_id"] // 50)
+            for gid, g in pdf.groupby("grp"):
+                g = g.sort_values("doc_id")
+                recs = [
+                    (f"https://corpus.example/doc/{int(d)}", h.encode("utf-8"))
+                    for d, h in zip(g["doc_id"], g["html"])
+                ]
+                yield pd.DataFrame(
+                    {"file_id": [int(gid)], "content": [bytearray(build_warc(recs))]}
+                )
+
+    warc_files = docs.select("doc_id", "html").repartition(8, "doc_id").mapInPandas(
+        pack, schema="file_id long, content binary"
+    )
+
+    def unpack(batches):
+        for pdf in batches:
+            ids, pages = [], []
+            for content in pdf["content"]:
+                for headers, payload in parse_warc(bytes(content)):
+                    ids.append(int(headers["WARC-Target-URI"].rsplit("/", 1)[1]))
+                    pages.append(payload.decode("utf-8"))
+            yield pd.DataFrame({"doc_id": ids, "html": pages})
+
+    pages = warc_files.mapInPandas(unpack, schema="doc_id long, html string")
+    ext = pages.select("doc_id", extract_main_text(F.col("html")).alias("x"))
+    filt = ext.filter(F.length("x") >= 100)
+    return filt.groupBy(F.md5("x").alias("clean_md5")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min(F.length("x")).cast("long").alias("n_chars"),
+        F.min(F.size(F.split("x", " "))).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
