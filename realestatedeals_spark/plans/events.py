@@ -1388,3 +1388,60 @@ def e27_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_scaled",
         (rk == 1).alias("is_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x6 — EXACT distinct counting via mergeable bitmaps. count(DISTINCT) at
+# scale either expands rows (one shuffle record per (group, value)) or
+# falls back to approx_count_distinct; Spark's bitmap aggregates give a
+# third way — partial per-bucket bitmaps built map-side, OR-merged, then
+# popcounted — exact like the expand, mergeable like the sketch. The
+# oracle is plain COUNT(DISTINCT), so the hash match proves the bitmap
+# path is exactly lossless.
+# ---------------------------------------------------------------------------
+
+_X6_BITMAP_ORACLE = """
+SELECT strftime(to_timestamp(CAST(floor(epoch_us(ts) / 86400000000) * 86400 AS BIGINT)) AT TIME ZONE 'UTC', '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+@register("x6_bitmap_distinct", oracle=_X6_BITMAP_ORACLE, tags=("X6", "profiling", "bitmap"))
+def x6_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exact distinct users via two-level bitmap aggregation.
+
+    Scale shape: stage 1 groups on (day, bitmap bucket) and builds each
+    bucket's bitmap with map-side partial aggregation — the shuffle
+    carries one bitmap per (day, bucket), never one record per user;
+    stage 2 popcounts and sums. Both stages are plain hash aggregates, no
+    expand, no sketch error.
+    """
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select("ts", "user_id")
+    day = (F.floor(F.unix_micros("ts") / 86400000000) * 86400).cast("long")
+    lvl1 = (
+        ev.select(
+            day.alias("dsec"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("dsec", "bucket")
+        .agg(
+            F.bitmap_construct_agg("pos").alias("bm"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return (
+        lvl1.groupBy("dsec")
+        .agg(
+            F.sum(F.bitmap_count("bm")).alias("n_users"),
+            F.sum("cnt").alias("n_events"),
+        )
+        .select(
+            F.date_format(F.to_timestamp("dsec"), "yyyy-MM-dd").alias("day"),
+            "n_users",
+            "n_events",
+        )
+    )
