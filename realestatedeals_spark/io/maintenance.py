@@ -759,6 +759,68 @@ class VersionedTable:
             writer.parquet(stage)
         return self._publish(stage, expected_latest=cur, max_retries=max_retries)
 
+    def build_manifest(
+        self, columns: list[str], version: int | None = None
+    ) -> DataFrame:
+        """Per-data-file min/max/count stats for a FULL-SNAPSHOT version —
+        the Iceberg/Delta data-skipping manifest. One aggregate over the
+        snapshot grouped by ``_metadata.file_path`` (map-side combined, one
+        output row per file); persisted under ``_manifest/v=N`` so readers
+        prune from file-count-sized metadata instead of rescanning. The
+        manifest is derived state: rebuildable at any time, not part of the
+        commit protocol. Tight stats need clustered layout — run
+        ``optimize(zorder_cols=...)`` first; merge-on-read versions must be
+        compacted before stats can describe their files."""
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self.versions():
+            raise ValueError(f"no such version {version!r} in {self.root}")
+        base, dv, ins = self._resolve(v)
+        if dv is not None or ins is not None:
+            raise ValueError(
+                "build_manifest needs a full snapshot; run optimize() first"
+            )
+        df = self.spark.read.parquet(os.path.join(self.root, f"v={base}"))
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in columns:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        man = (
+            df.select(F.col("_metadata.file_path").alias("file_path"), *columns)
+            .groupBy("file_path")
+            .agg(*aggs)
+        )
+        out = os.path.join(self.root, "_manifest", f"v={v}")
+        man.write.mode("overwrite").parquet(out)
+        return self.spark.read.parquet(out)
+
+    def read_pruned(
+        self, column: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Read only the data files whose [min, max] envelope intersects
+        [lo, hi], per the persisted manifest, then apply the predicate.
+        The planner-side file listing is manifest-sized (one row per data
+        file) — at 100 TB this is the catalog lookup that turns a
+        full-table scan into a handful of files; the residual filter still
+        reaches the parquet reader as a pushed predicate."""
+        v = self.latest_version() if version is None else version
+        man_path = os.path.join(self.root, "_manifest", f"v={v}")
+        if not os.path.exists(man_path):
+            raise ValueError(
+                f"no manifest for v={v}; call build_manifest(['{column}'])"
+            )
+        man = self.spark.read.parquet(man_path)
+        if f"min_{column}" not in man.columns:
+            raise ValueError(f"manifest has no stats for column {column!r}")
+        files = [
+            r["file_path"]
+            for r in man.filter(
+                (F.col(f"max_{column}") >= lo) & (F.col(f"min_{column}") <= hi)
+            ).collect()
+        ]
+        pred = F.col(column).between(lo, hi)
+        if not files:
+            return self.read(v).filter(pred).limit(0)
+        return self.spark.read.parquet(*files).filter(pred)
+
     def referenced_bases(self) -> set[int]:
         """Full-snapshot versions some merge-on-read version points at."""
         out = set()

@@ -546,3 +546,49 @@ def x8_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.size(F.split("x", " "))).cast("long").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# io_skipping_scan: manifest-based data skipping. After OPTIMIZE ZORDER BY
+# l_orderkey, a one-row-per-file min/max manifest is built and a narrow
+# key-range read consults the manifest FIRST — only files whose envelope
+# intersects the range are opened (the Iceberg/Delta planning step that
+# turns a 100 TB scan into a handful of files). The oracle computes the
+# same aggregate from the raw table; the file-count reduction itself is
+# pinned in tests/test_maintenance.py (pruned scan must touch a strict
+# minority of files on the clustered layout).
+# ---------------------------------------------------------------------------
+
+_SKIP_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS price_micros
+FROM lineitem
+WHERE l_orderkey BETWEEN 1000 AND 2000
+GROUP BY l_returnflag
+"""
+
+
+@register("io_skipping_scan", oracle=_SKIP_ORACLE, tags=("io", "lakehouse", "skipping"))
+def io_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    work = tempfile.mkdtemp(prefix="skipping_scan_")
+    try:
+        t = VersionedTable(spark, os.path.join(work, "li"))
+        t.commit(li)
+        t.optimize(zorder_cols=["l_orderkey"], max_records_per_file=4096)
+        t.build_manifest(["l_orderkey"])
+        pruned = t.read_pruned("l_orderkey", 1000, 2000)
+        out = pruned.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+            F.sum(F.floor(F.col("l_extendedprice") * 1000000).cast("long")).alias(
+                "price_micros"
+            ),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -831,3 +831,51 @@ def test_set_constraint_validates_existing_rows(spark):
         with pytest.raises(ConstraintViolation, match="price_positive"):
             t.set_constraint("price_positive", "price > 0")
         assert t.constraints() == {}  # rejected registration leaves no trace
+
+
+def test_manifest_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """Z-ordered layout + manifest: a narrow key-range read must open a
+    strict minority of data files and still return exactly the rows a
+    full-scan filter returns; empty ranges return an empty frame with the
+    table schema; unclustered MoR versions refuse manifest builds."""
+    from realestatedeals_spark.io.maintenance import VersionedTable
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df)
+    t.optimize(zorder_cols=["k"], max_records_per_file=1000)
+    man = t.build_manifest(["k"])
+    total_files = man.count()
+    assert total_files >= 10
+
+    picked = man.filter((F.col("max_k") >= 3000) & (F.col("min_k") <= 3999)).count()
+    assert picked < total_files / 2, (picked, total_files)
+
+    got = sorted(
+        (r["k"], r["v"]) for r in t.read_pruned("k", 3000, 3999).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in t.read().filter(F.col("k").between(3000, 3999)).collect()
+    )
+    assert got == want and len(got) == 1000
+
+    empty = t.read_pruned("k", -500, -1)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v"}
+
+    with pytest.raises(ValueError, match="no stats for column"):
+        t.read_pruned("v", 0, 1)
+
+    # merge-on-read version: manifest must refuse until compaction
+    t.delete_where(F.col("k") % 1000 == 7)
+    with pytest.raises(ValueError, match="full snapshot"):
+        t.build_manifest(["k"])
+    with pytest.raises(ValueError, match="no manifest"):
+        t.read_pruned("k", 0, 10)  # latest version has no manifest yet
+    t.optimize(zorder_cols=["k"])
+    t.build_manifest(["k"])
+    after = t.read_pruned("k", 0, 2000).filter(F.col("k") % 1000 == 7).count()
+    assert after == 0  # deletes folded before stats were rebuilt
