@@ -662,3 +662,65 @@ def olap_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gmax") > F.col("p_size")
     )
     return out.filter(~dominated).select("p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H refresh functions (RF1 insert / RF2 delete, TPC-H spec §2.27-2.28)
+# against the lakehouse layer: the benchmark's maintenance half that pure
+# query suites skip. Lineitem is committed to a VersionedTable, RF2
+# deletes one order-key slice, RF1 inserts a re-keyed slice (orderkey +
+# 10M — guaranteed-new keys, same measures), and Q1's pricing summary
+# runs over the refreshed snapshot. The oracle states the refreshed
+# multiset directly, so a hash match proves the DML path feeds the query
+# path with zero drift — inserts through the insert store, deletes
+# through deletion vectors, no base-file rewrite.
+# ---------------------------------------------------------------------------
+
+_RF_ORACLE = """
+WITH refreshed AS (
+  SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+  WHERE l_orderkey % 10 <> 3
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+  WHERE l_orderkey % 10 = 7
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM refreshed
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_rf_refresh", oracle=_RF_ORACLE, tags=("tpch", "dml", "lakehouse"))
+def tpch_rf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from realestatedeals_spark.io.maintenance import VersionedTable
+
+    apply_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    work = tempfile.mkdtemp(prefix="tpch_rf_")
+    try:
+        t = VersionedTable(spark, os.path.join(work, "lineitem"))
+        t.commit(li)
+        t.delete_where(F.col("l_orderkey") % 10 == 3)  # RF2
+        rf1 = li.filter(F.col("l_orderkey") % 10 == 7).withColumn(
+            "l_orderkey", F.col("l_orderkey") + 10_000_000
+        )
+        t.commit(t.read().unionByName(rf1), expected_latest=t.latest_version())
+        out = (
+            t.read()
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
