@@ -1215,3 +1215,83 @@ def x5_aiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         schema="media_id long, sample_rate int, n_frames long, l_sum long, r_sum long",
     )
+
+
+# frame formula shared with the oracle: n_frames = doc_id%3+2, h=doc_id%7+4,
+# w=n_chars%9+4, plane sums over YUV where
+# px[f,r,c,p] = (doc_id*19 + 29*f + 3*r + 5*c + 7*p) % 256; every 2nd frame
+_X5_Y4M_ORACLE = """
+WITH f AS (
+  SELECT doc_id, n_chars, unnest(range(0, doc_id % 3 + 2)) AS fidx
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(fidx AS INTEGER) AS frame_idx,
+       CAST(n_chars % 9 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 7 + 4 AS INTEGER) AS height,
+       CAST(list_reduce(list_transform(range(0, 3), p ->
+              list_reduce(list_transform(range(0, doc_id % 7 + 4), r ->
+                list_reduce(list_transform(range(0, n_chars % 9 + 4), c ->
+                  (doc_id * 19 + 29 * fidx + 3 * r + 5 * c + 7 * p) % 256),
+                  (a, x) -> a + x)),
+                (a, x) -> a + x)),
+            (a, x) -> a + x) AS BIGINT) AS px_sum
+FROM f WHERE fidx % 2 = 0
+"""
+
+
+@register(
+    "x5_y4m_frame_extract", oracle=_X5_Y4M_ORACLE, tags=("X5", "multimodal", "codec", "video")
+)
+def x5_y4m_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-video interchange: each document renders 2-4 deterministic
+    planar-YUV frames into a REAL YUV4MPEG2 stream (text header + FRAME
+    markers, C444 planar layout) and the engine walks the stream back out
+    of the binary column, sampling every 2nd frame for plane statistics —
+    the uncompressed sibling of the AVI/MJPEG path (x5_avi_frame_extract),
+    proving the container seam is codec-agnostic. One mapInPandas stage
+    per side; media bytes never leave the executor."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.y4m import decode_y4m, encode_y4m
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                h, w = did % 7 + 4, nch % 9 + 4
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                p = np.arange(3, dtype=np.int64)[None, None, :]
+                frames = [
+                    ((did * 19 + 29 * f + 3 * r + 5 * c + 7 * p) % 256).astype(np.uint8)
+                    for f in range(did % 3 + 2)
+                ]
+                rows.append((did, bytearray(encode_y4m(frames, 25, 1))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, ws, hs, sums = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, _fps, frames = decode_y4m(bytes(content))
+                for i in range(0, len(frames), 2):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(int(frames[i].astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "width": ws, "height": hs,
+                 "px_sum": sums}
+            )
+
+    return media.mapInPandas(
+        sample,
+        schema="media_id long, frame_idx int, width int, height int, px_sum long",
+    )
