@@ -10,6 +10,7 @@ can express them (recursive CTE for connected components).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from realestatedeals_spark.io.sources import load_table
@@ -552,4 +553,82 @@ def x2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return duplicate_clusters_star(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — content-defined chunking (CDC). Fixed-size chunking breaks dedup
+# the moment one word is inserted (every later chunk shifts); CDC draws
+# boundaries from the CONTENT — here, after token i when
+# md5(tok[i-1] || '|' || tok[i]) starts below '10' (P = 1/16, expected
+# ~16-token chunks) — so an edit only redraws boundaries in its
+# neighbourhood and every untouched chunk keeps its hash, which is what
+# makes chunk-level dedup/delta-storage work on mutating corpora.
+# md5-derived boundaries make the whole operator exactly replayable in
+# SQL (the KMV trick); insertion-locality is pinned in
+# tests/test_cdc_chunks.py.
+# ---------------------------------------------------------------------------
+
+_X2_CDC_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+toks AS (
+  SELECT doc_id, u.i AS i, u.tok AS tok, u.boundary AS boundary
+  FROM d, unnest(list_transform(range(1, len(ts) + 1), i -> struct_pack(
+         i := i,
+         tok := ts[i],
+         boundary := CASE WHEN i > 1
+                          AND substr(md5(ts[i-1] || '|' || ts[i]), 1, 2) < '10'
+                          THEN 1 ELSE 0 END))) AS t(u)),
+marked AS (
+  SELECT doc_id, i, tok,
+         sum(boundary) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx
+  FROM toks)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+FROM marked GROUP BY doc_id, chunk_idx
+"""
+
+
+@register("x2_cdc_chunks", oracle=_X2_CDC_ORACLE, tags=("X2", "dedup", "chunking"))
+def x2_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunks per document: boundary positions, sizes, and
+    chunk hashes.
+
+    Scale shape: one doc-keyed exchange feeds everything positional (the
+    winnowing trick) — lag, running boundary sum, and the chunk group-by
+    all share the (doc_id, i) sort; the shuffle carries tokens once. The
+    expected chunk size is set by the boundary probability alone, so the
+    operator has no corpus-size-dependent parameter to retune at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    w = W.partitionBy("doc_id").orderBy("i")
+    marked = toks.withColumn("prev", F.lag("tok").over(w)).withColumn(
+        "boundary",
+        F.when(
+            F.col("prev").isNotNull()
+            & (F.substring(F.md5(F.concat_ws("|", "prev", "tok")), 1, 2) < "10"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    chunked = marked.withColumn("chunk_idx", F.sum("boundary").over(w))
+    return (
+        chunked.groupBy("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("i"), F.col("tok")))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
     )
