@@ -1445,3 +1445,112 @@ def x6_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e28 — sequence-pattern matching (MATCH_RECOGNIZE's core): find "V"
+# patterns per user — a strictly-decreasing run of >= 3 values followed
+# immediately by a strictly-increasing run of >= 3 — via sign-of-diff +
+# gaps-and-islands. Pure window algebra: no NFA, no per-row Python, and
+# the same (user, ts) sort feeds every stage. Depth is reported in floor
+# micros so the oracle is hash-exact.
+# ---------------------------------------------------------------------------
+
+_E28_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         sign(value - lag(value) OVER w) AS sgn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+flagged AS (
+  SELECT user_id, ts, event_id, value, sgn,
+         CASE WHEN lag(sgn) OVER w2 IS NULL OR sgn <> lag(sgn) OVER w2
+              THEN 1 ELSE 0 END AS new_run
+  FROM e WHERE sgn IS NOT NULL AND sgn <> 0
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, ts, event_id, value, sgn,
+         sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+  FROM flagged),
+agg AS (
+  SELECT user_id, run_id, min(sgn) AS sgn, count(*) AS len,
+         min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS v_first,
+         max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS v_last,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_first,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_last
+  FROM runs GROUP BY user_id, run_id),
+paired AS (
+  SELECT user_id, sgn, len, t_first, t_last, v_first, v_last,
+         lead(sgn) OVER w3 AS nsgn, lead(len) OVER w3 AS nlen,
+         lead(t_last) OVER w3 AS nt_last, lead(v_last) OVER w3 AS nv_last
+  FROM agg
+  WINDOW w3 AS (PARTITION BY user_id ORDER BY run_id))
+SELECT user_id,
+       t_first AS v_start, t_last AS v_bottom, nt_last AS v_end,
+       CAST(len AS BIGINT) AS down_steps, CAST(nlen AS BIGINT) AS up_steps,
+       CAST(floor(v_first * 1000000) - floor(v_last * 1000000) AS BIGINT) AS depth_micros
+FROM paired
+WHERE sgn = -1 AND nsgn = 1 AND len >= 3 AND nlen >= 3
+"""
+
+
+@register("e28_vshape_patterns", oracle=_E28_ORACLE, tags=("window", "pattern"))
+def e28_vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user V-shaped value patterns (>=3 strict drops then >=3 strict
+    rises) — the row-pattern-matching workload, done as window algebra.
+
+    Scale shape: one exchange on user_id; every window (diff sign, run
+    islands, run aggregate, adjacent-run pairing) reuses that partitioning
+    and the (ts, event_id) sort, so pattern matching costs one shuffle
+    regardless of pattern length.
+    """
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.withColumn("sgn", F.signum(F.col("value") - F.lag("value").over(w)))
+    runs = (
+        e.filter(F.col("sgn").isNotNull() & (F.col("sgn") != 0))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.lag("sgn").over(w).isNull() | (F.col("sgn") != F.lag("sgn").over(w)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("run_id", F.sum("new_run").over(w))
+    )
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = runs.groupBy("user_id", "run_id").agg(
+        F.min("sgn").alias("sgn"),
+        F.count(F.lit(1)).alias("len"),
+        F.min_by("value", key).alias("v_first"),
+        F.max_by("value", key).alias("v_last"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t_first"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t_last"),
+    )
+    w3 = W.partitionBy("user_id").orderBy("run_id")
+    paired = agg.select(
+        "user_id", "sgn", "len", "t_first", "t_last", "v_first", "v_last",
+        F.lead("sgn").over(w3).alias("nsgn"),
+        F.lead("len").over(w3).alias("nlen"),
+        F.lead("t_last").over(w3).alias("nt_last"),
+        F.lead("v_last").over(w3).alias("nv_last"),
+    )
+    return paired.filter(
+        (F.col("sgn") == -1) & (F.col("nsgn") == 1) & (F.col("len") >= 3) & (F.col("nlen") >= 3)
+    ).select(
+        "user_id",
+        F.col("t_first").alias("v_start"),
+        F.col("t_last").alias("v_bottom"),
+        F.col("nt_last").alias("v_end"),
+        F.col("len").alias("down_steps"),
+        F.col("nlen").alias("up_steps"),
+        (
+            F.floor(F.col("v_first") * 1000000) - F.floor(F.col("v_last") * 1000000)
+        ).cast("long").alias("depth_micros"),
+    )
