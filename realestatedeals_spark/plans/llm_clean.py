@@ -535,3 +535,80 @@ def x4_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize,
         schema="doc_id long, norm_md5 string, changed boolean, cp_before long, cp_after long",
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — Unicode script-mix profiling: per-document counts of Latin /
+# Cyrillic / Han / digit characters plus the dominant script — the signal
+# a multilingual pipeline routes on (and the mixed-script heuristic that
+# flags spam/mojibake). Counts via the length-difference trick on script
+# property classes, which the Java regex engine (\\p{IsCyrillic}) and RE2
+# (\\p{Cyrillic}) both implement from the same Unicode tables — verified
+# equal, so the oracle is hash-exact. Docs get deterministic Cyrillic/Han
+# suffixes since the fixture corpus is ASCII.
+# ---------------------------------------------------------------------------
+
+_CYR = "привет"  # privet
+_HAN = "漢字"  # han zi
+_CYR_SQL = "chr(1087)||chr(1088)||chr(1080)||chr(1074)||chr(1077)||chr(1090)"
+_HAN_SQL = "chr(28450)||chr(23383)"
+
+_X4_SCRIPT_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         substr(text, 1, 30)
+         || repeat({_CYR_SQL}, CAST(doc_id % 3 AS INTEGER))
+         || repeat({_HAN_SQL}, CAST(doc_id % 2 AS INTEGER)) AS t
+  FROM documents),
+counted AS (
+  SELECT doc_id,
+         CAST(length(t) - length(regexp_replace(t, '\\p{{Latin}}', '', 'g')) AS BIGINT) AS n_latin,
+         CAST(length(t) - length(regexp_replace(t, '\\p{{Cyrillic}}', '', 'g')) AS BIGINT) AS n_cyrillic,
+         CAST(length(t) - length(regexp_replace(t, '\\p{{Han}}', '', 'g')) AS BIGINT) AS n_han,
+         CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+  FROM s)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_digit,
+       list_sort([
+         struct_pack(neg := -n_latin, name := 'latin'),
+         struct_pack(neg := -n_cyrillic, name := 'cyrillic'),
+         struct_pack(neg := -n_han, name := 'han')
+       ])[1].name AS dominant
+FROM counted
+"""
+
+
+@register("x4_script_mix", oracle=_X4_SCRIPT_ORACLE, tags=("X4", "text", "unicode"))
+def x4_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc script histogram + dominant script (count desc, name asc).
+
+    Scale shape: pure column expressions in the scan — zero shuffle."""
+    d = F.col("doc_id")
+    t = F.concat(
+        F.substring("text", 1, 30),
+        F.repeat(F.lit(_CYR), (d % 3).cast("int")),
+        F.repeat(F.lit(_HAN), (d % 2).cast("int")),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", t.alias("t"))
+
+    def cnt(cls: str) -> F.Column:
+        return (
+            F.length("t") - F.length(F.regexp_replace("t", cls, ""))
+        ).cast("long")
+
+    counted = docs.select(
+        "doc_id",
+        cnt(r"\p{IsLatin}").alias("n_latin"),
+        cnt(r"\p{IsCyrillic}").alias("n_cyrillic"),
+        cnt(r"\p{IsHan}").alias("n_han"),
+        cnt(r"[0-9]").alias("n_digit"),
+    )
+    dom = F.array_min(
+        F.array(
+            F.struct((-F.col("n_latin")).alias("neg"), F.lit("latin").alias("name")),
+            F.struct(
+                (-F.col("n_cyrillic")).alias("neg"), F.lit("cyrillic").alias("name")
+            ),
+            F.struct((-F.col("n_han")).alias("neg"), F.lit("han").alias("name")),
+        )
+    )["name"]
+    return counted.withColumn("dominant", dom)
