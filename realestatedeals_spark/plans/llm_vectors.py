@@ -563,3 +563,135 @@ def x3_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         assigned = assign(emb, cents)
     return assigned.select("vec_id", "cluster", "dist_sq")
+
+
+# ---------------------------------------------------------------------------
+# X9 — quantization-impact evaluation: how much retrieval quality does
+# int8 storage cost? For every benchmark query, rank neighbors by exact
+# float cosine AND by int8-quantized cosine (scales cancel:
+# qdot / (sqrt(ql2_a) * sqrt(ql2_b)) — integer dot products + one sqrt,
+# engine-identical), then report recall@5 and the reciprocal rank of the
+# true top-1 inside the quantized ranking. The evaluation harness itself
+# is a query — integer counts and micro-rationals, hash-exact.
+# ---------------------------------------------------------------------------
+
+_X9_QIMPACT_ORACLE = """
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           x -> CAST(round(x / (list_max(list_transform(embedding,
+                  y -> abs(CAST(y AS DOUBLE)))) / 127.0), 0) AS BIGINT)) AS qv
+  FROM embeddings),
+qn AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS ql2 FROM q8),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, 65),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+             (a, x) -> a + x)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+               (a, x) -> a + x))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+               (a, x) -> a + x))) AS fcos,
+         CAST(list_reduce(list_transform(range(1, 65),
+             i -> qq.qv[i] * qe.qv[i]), (a, x) -> a + x) AS DOUBLE)
+         / (sqrt(CAST(qq.ql2 AS DOUBLE)) * sqrt(CAST(qe.ql2 AS DOUBLE))) AS qcos
+  FROM embeddings q
+  JOIN embeddings e ON e.vec_id <> q.vec_id
+  JOIN qn qq ON qq.vec_id = q.vec_id
+  JOIN qn qe ON qe.vec_id = e.vec_id
+  WHERE q.vec_id % 100 = 0),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY fcos DESC, neighbor_id) AS frk,
+         row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS qrk
+  FROM pairs),
+recall AS (
+  SELECT query_id,
+         CAST(count(*) FILTER (frk <= 5 AND qrk <= 5) AS BIGINT) AS recall_at5
+  FROM ranked GROUP BY query_id),
+rr AS (
+  SELECT query_id,
+         CAST(CASE WHEN min(CASE WHEN frk = 1 THEN qrk END) <= 20
+              THEN 1000000 // min(CASE WHEN frk = 1 THEN qrk END) ELSE 0 END AS BIGINT) AS rr_micros
+  FROM ranked GROUP BY query_id)
+SELECT recall.query_id, recall_at5, rr_micros
+FROM recall JOIN rr ON recall.query_id = rr.query_id
+"""
+
+
+@register(
+    "x9_quantization_impact",
+    oracle=_X9_QIMPACT_ORACLE,
+    tags=("X9", "vectors", "quantize", "evaluation"),
+)
+def x9_quantization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 + reciprocal-rank (micros) of int8 retrieval vs exact.
+
+    Scale shape: same broadcast-queries linear scan as the brute-force
+    anchor, evaluated once per ranking; the quantized side's dot product
+    is pure integer arithmetic (the production fast path this query is
+    costing out). Both rankings share one pair frame, so the audit adds
+    one window, not a second scan.
+    """
+    from realestatedeals_spark.plans.llm_vectors import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qn = quantize_embeddings(emb).select(
+        "vec_id",
+        F.transform("qv", lambda x: x.cast("long")).alias("qv"),
+    )
+    qn = qn.withColumn(
+        "ql2",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ),
+    )
+    base = emb.join(qn, "vec_id").select("vec_id", "embedding", "qv", "ql2")
+    queries = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("qv").alias("q_qv"),
+        F.col("ql2").alias("q_ql2"),
+    )
+    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (l2norm(F.col("q_emb")) * l2norm(F.col("embedding")))
+        ).alias("fcos"),
+        (
+            F.aggregate(
+                F.zip_with(F.col("q_qv"), F.col("qv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / (
+                F.sqrt(F.col("q_ql2").cast("double"))
+                * F.sqrt(F.col("ql2").cast("double"))
+            )
+        ).alias("qcos"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("fcos").desc(), "neighbor_id")
+    wq = W.partitionBy("query_id").orderBy(F.col("qcos").desc(), "neighbor_id")
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("frk"),
+        F.row_number().over(wq).alias("qrk"),
+    )
+    recall = ranked.groupBy("query_id").agg(
+        F.count(F.when((F.col("frk") <= 5) & (F.col("qrk") <= 5), 1)).alias(
+            "recall_at5"
+        )
+    )
+    top1_qrk = F.min(F.when(F.col("frk") == 1, F.col("qrk")))
+    rr = ranked.groupBy("query_id").agg(
+        F.when(top1_qrk <= 20, (F.lit(1000000) / top1_qrk).cast("long"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rr_micros")
+    )
+    return recall.join(rr, "query_id")
