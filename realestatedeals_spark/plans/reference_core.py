@@ -656,3 +656,61 @@ def audit_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# audit_benford — first-digit (Benford) screening of the money column, the
+# classic anomaly/fabrication tripwire on financial facts. Expected shares
+# are module-level integer-micros literals (log10 evaluated ONCE in Python
+# — neither engine computes a log at query time), observed shares are
+# integer rationals, so the whole audit is hash-exact.
+# ---------------------------------------------------------------------------
+
+_BENFORD_MICROS = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+_BENFORD_SQL_CASE = "CASE d " + " ".join(
+    f"WHEN {i + 1} THEN {m}" for i, m in enumerate(_BENFORD_MICROS)
+) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1),
+counted AS (
+  SELECT d, count(*) AS n, sum(count(*)) OVER () AS total
+  FROM digits GROUP BY d)
+SELECT CAST(d AS INTEGER) AS first_digit,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST((n * 1000000) // total AS BIGINT) AS observed_micros,
+       CAST({_BENFORD_SQL_CASE} AS BIGINT) AS benford_micros,
+       CAST((n * 1000000) // total - {_BENFORD_SQL_CASE} AS BIGINT) AS deviation_micros
+FROM counted
+"""
+
+
+@register("audit_benford", oracle=_BENFORD_ORACLE, tags=("audit", "quality"))
+def audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of o_totalprice vs Benford's law.
+
+    Scale shape: one 9-group aggregate with map-side combine; the window
+    total runs over 9 rows."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("long").alias("d")
+    )
+    counted = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    counted = counted.withColumn("total", F.sum("n").over(W.partitionBy()))
+    benford = F.element_at(
+        F.array(*[F.lit(m).cast("long") for m in _BENFORD_MICROS]), F.col("d").cast("int")
+    )
+    obs = F.expr("(n * 1000000) div total")
+    return counted.select(
+        F.col("d").cast("int").alias("first_digit"),
+        F.col("n").alias("n_orders"),
+        obs.cast("long").alias("observed_micros"),
+        benford.alias("benford_micros"),
+        (obs - benford).cast("long").alias("deviation_micros"),
+    )
