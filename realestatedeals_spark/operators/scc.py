@@ -1,0 +1,103 @@
+"""Strongly connected components via parallel Forward-Backward (FW-BW)
+decomposition (Fleischer/Hendrickson/Pinar 2000; the standard distributed
+SCC algorithm — Tarjan's stack DFS does not parallelize).
+
+Each round picks the min-id pivot of every active partition, BFS-reaches
+forward and backward from all pivots simultaneously (one frontier frame
+covers every partition), takes SCC = fwd ∩ bwd, and splits each
+partition's remainder into fwd-only / bwd-only / neither — three
+subproblems that can never share an SCC. Expected O(log n) rounds; every
+step is a keyed equi-join on (partition, node), so the whole thing is
+shuffle-on-key at any scale. Deterministic: pivots are min ids, so the
+output is a pure function of the edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _reach(
+    state: DataFrame, edges: DataFrame, pivots: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """(pid, node) reachable from each partition's pivot, pivot included,
+    travelling src->dst over edges restricted to the partition's nodes."""
+    # edges usable inside a partition: both endpoints still active in it
+    e = (
+        edges.join(
+            state.select(F.col("node").alias(src), F.col("pid").alias("pid_src")), src
+        )
+        .join(
+            state.select(F.col("node").alias(dst), F.col("pid").alias("pid_dst")), dst
+        )
+        .filter(F.col("pid_src") == F.col("pid_dst"))
+        .select(
+            F.col("pid_src").alias("pid"),
+            F.col(src).alias("from_n"),
+            F.col(dst).alias("to_n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    reach = pivots.select("pid", F.col("pivot").alias("node"))
+    frontier = reach
+    while True:
+        step = (
+            frontier.select("pid", F.col("node").alias("from_n"))
+            .join(e, ["pid", "from_n"])
+            .select("pid", F.col("to_n").alias("node"))
+            .distinct()
+            .join(reach, ["pid", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if step.isEmpty():
+            return reach
+        reach = reach.unionByName(step).localCheckpoint(eager=True)
+        frontier = step
+
+
+def scc_fwbw(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """SCC ids (min member id) for every node of a directed edge frame
+    (columns u, v). Isolated-from-edges nodes don't exist here by
+    construction; callers union singletons if their node set is wider."""
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    state = nodes.withColumn("pid", F.lit("r")).localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for _ in range(max_rounds):
+        if state.isEmpty():
+            break
+        pivots = state.groupBy("pid").agg(F.min("node").alias("pivot"))
+        fwd = _reach(state, edges, pivots, "u", "v")
+        bwd = _reach(state, edges, pivots, "v", "u")
+        scc = fwd.join(bwd, ["pid", "node"])  # mutual reach incl. the pivot
+        found = (
+            scc.join(pivots, "pid")
+            .select("node", F.col("pivot").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        out = found if out is None else out.unionByName(found)
+        remaining = state.join(scc, ["pid", "node"], "left_anti")
+        remaining = (
+            remaining.join(fwd.withColumn("inf", F.lit(1)), ["pid", "node"], "left")
+            .join(bwd.withColumn("inb", F.lit(1)), ["pid", "node"], "left")
+            .select(
+                "node",
+                F.concat(
+                    "pid",
+                    F.when(F.col("inf").isNotNull(), F.lit("f"))
+                    .when(F.col("inb").isNotNull(), F.lit("b"))
+                    .otherwise(F.lit("n")),
+                ).alias("pid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        state = remaining
+    else:
+        raise RuntimeError(f"scc_fwbw did not converge in {max_rounds} rounds")
+    assert out is not None
+    return out

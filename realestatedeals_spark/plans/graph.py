@@ -394,3 +394,72 @@ def g7_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("d").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# g8 — strongly connected components of the nation-level trade digraph
+# (edge u -> v when customers of nation u bought from suppliers of nation
+# v at least total/400 times — a data-relative threshold, so the graph
+# keeps its shape as the corpus scales). Engine: parallel FW-BW
+# decomposition (operators/scc.py) — min-id pivots, simultaneous
+# forward/backward BFS per partition, three-way split, O(log n) expected
+# rounds of keyed equi-joins. Oracle: recursive-CTE transitive closure +
+# mutual-reach min (fine at oracle scale, O(V·E) at any scale — which is
+# exactly why the engine runs FW-BW instead).
+# ---------------------------------------------------------------------------
+
+_G8_ORACLE = """
+WITH RECURSIVE pair AS (
+  SELECT c.c_nationkey AS u, s.s_nationkey AS v, count(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS total FROM pair),
+edges AS (SELECT u, v FROM pair, tot WHERE n >= total // 400),
+fwd(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT f.a, e.v FROM fwd f JOIN edges e ON f.b = e.u),
+mutual AS (SELECT f.a, f.b FROM fwd f JOIN fwd g ON g.a = f.b AND g.b = f.a),
+nodes AS (SELECT DISTINCT u AS node FROM edges UNION SELECT DISTINCT v FROM edges),
+scc AS (
+  SELECT n.node,
+         least(n.node, coalesce(min(m.b), n.node)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.a = n.node
+  GROUP BY n.node)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(scc_id AS BIGINT) AS scc_id,
+       CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+FROM scc
+"""
+
+
+@register("g8_scc_trade", oracle=_G8_ORACLE, tags=("graph", "scc"))
+def g8_scc_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realestatedeals_spark.operators.scc import scc_fwbw
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pair = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("u"),
+            F.col("s_nationkey").cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    pair = pair.withColumn("total", F.sum("n").over(W.partitionBy()))
+    edges = pair.filter(F.col("n") >= F.expr("total div 400")).select("u", "v")
+    scc = scc_fwbw(edges)
+    return scc.withColumn(
+        "scc_size", F.count(F.lit(1)).over(W.partitionBy("scc_id")).cast("long")
+    )
