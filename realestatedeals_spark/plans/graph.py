@@ -463,3 +463,49 @@ def g8_scc_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc.withColumn(
         "scc_size", F.count(F.lit(1)).over(W.partitionBy("scc_id")).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# G9 — native recursive CTE (round 7): Spark 4 ships WITH RECURSIVE
+# (SPARK-24497), so hierarchy walks that every prior query expressed as
+# driver-coordinated iteration (g6 BFS, g7 Bellman-Ford) can now run as ONE
+# declarative statement the engine iterates internally. This query
+# demonstrates that path on a bill-of-materials-style forest synthesized
+# from the part table: part k is a component of assembly floor(k/10), so
+# parts 1-9 are root assemblies and the tree is ~log10(max key) deep —
+# bounded recursion at any corpus scale (7 levels at 100 TB key ranges,
+# far under spark.sql.cteRecursionLevelLimit's default 100). Each
+# recursion step is a keyed shuffle join of the (pruned) part scan against
+# the frontier — the same per-level cost shape as the hand-rolled BFS, but
+# planned and re-optimized by Catalyst.
+#
+# The oracle is the IDENTICAL statement run by DuckDB: the SQL stays inside
+# the ANSI subset both engines parse, so the check is engine-vs-engine on
+# the same declarative spec — hash-exact.
+# ---------------------------------------------------------------------------
+
+_G9_RECURSIVE_SQL = """
+WITH RECURSIVE bom AS (
+  SELECT p_partkey AS part_key, p_partkey AS root_key, 0 AS depth,
+         p_retailprice AS price
+  FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT c.p_partkey, bom.root_key, bom.depth + 1, c.p_retailprice
+  FROM part c JOIN bom ON CAST(FLOOR(c.p_partkey / 10) AS BIGINT) = bom.part_key
+  WHERE c.p_partkey >= 10
+)
+SELECT root_key, depth,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS subtree_cents
+FROM bom
+GROUP BY root_key, depth
+"""
+
+
+@register("g9_bom_recursive", oracle=_G9_RECURSIVE_SQL, tags=("graph", "recursive", "sql"))
+def g9_bom_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials rollup via a NATIVE recursive CTE — per root
+    assembly and depth, the component count and integer-cents price sum
+    (exact under distributed aggregation). Same SQL text as the oracle."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_G9_RECURSIVE_SQL)

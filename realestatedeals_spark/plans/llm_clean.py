@@ -612,3 +612,49 @@ def x4_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )["name"]
     return counted.withColumn("dominant", dom)
+
+
+# ---------------------------------------------------------------------------
+# X4 — unigram-LM tokenizer (Kudo 2018; the SentencePiece unigram
+# algorithm), round 7: the second standard subword tokenizer, alongside
+# BPE. Same scale contract (corpus read once; EM iterations run on the
+# vocab-bounded word table; expected counts aggregate as exact int64
+# micros so training is bit-deterministic under any partitioning). No SQL
+# oracle: EM + pruning is not SQL-expressible; tests/test_unigram.py pins
+# the trained vocab against an enumeration-based pure-Python reference
+# (forward-backward vs explicit segmentation enumeration) and brute-force
+# verifies Viterbi encode optimality.
+# ---------------------------------------------------------------------------
+
+
+@register("x4_unigram_train", tags=("X4", "text", "iterative"))
+def x4_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM vocabulary (chars + top 32 multi-char pieces) trained by
+    EM + pruning over the documents corpus; logprob rounded for display."""
+    from realestatedeals_spark.operators.unigram import train_unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = train_unigram(
+        docs, vocab_multi=32, max_seed=192, em_rounds=1, shrink=0.5
+    )
+    return spark.createDataFrame(
+        [(p, round(lp, 9)) for p, lp in vocab], "piece string, logprob double"
+    )
+
+
+@register("x4_unigram_encode", tags=("X4", "text", "iterative"))
+def x4_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a small unigram vocab, then Viterbi-tokenize every document
+    with it (train → encode, the BPE-encode contract: id, token count,
+    token-stream hash). Rows-only; tests pin Viterbi optimality and exact
+    agreement with the reference segmenter."""
+    from realestatedeals_spark.operators.unigram import (
+        encode_unigram,
+        train_unigram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = train_unigram(
+        docs, vocab_multi=24, max_seed=128, em_rounds=1, shrink=0.5
+    )
+    return encode_unigram(docs, vocab)
