@@ -384,15 +384,16 @@ def decode_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         w, h = _struct.unpack("<HH", b[6:10])
         return "gif", w, h
-    if b[:4] == b"II*\x00" and len(b) >= 8:  # little-endian TIFF: IFD walk
+    if b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:  # TIFF: IFD walk
+        bo = "<" if b[:2] == b"II" else ">"
         try:
-            (ifd,) = _struct.unpack("<I", b[4:8])
-            (n,) = _struct.unpack("<H", b[ifd : ifd + 2])
+            (ifd,) = _struct.unpack(bo + "I", b[4:8])
+            (n,) = _struct.unpack(bo + "H", b[ifd : ifd + 2])
             w = h = None
             for i in range(n):
                 e = ifd + 2 + i * 12
-                tid, typ = _struct.unpack("<HH", b[e : e + 4])
-                v = _struct.unpack("<H" if typ == 3 else "<I", b[e + 8 : e + 10 if typ == 3 else e + 12])[0]
+                tid, typ = _struct.unpack(bo + "HH", b[e : e + 4])
+                v = _struct.unpack(bo + ("H" if typ == 3 else "I"), b[e + 8 : e + 10 if typ == 3 else e + 12])[0]
                 if tid == 256:
                     w = v
                 elif tid == 257:
@@ -2440,10 +2441,19 @@ def _packbits_decompress(data: bytes, expected: int) -> bytes:
 
 
 def encode_tiff_gray(
-    pixels: np.ndarray, compression: str = "packbits", rows_per_strip: int = 16
+    pixels: np.ndarray,
+    compression: str = "packbits",
+    rows_per_strip: int = 16,
+    byteorder: str = "<",
 ) -> bytes:
-    """REAL multi-strip grayscale TIFF encoder (little-endian, baseline
-    tags: dims, bits, compression, photometric, strip offsets/counts)."""
+    """REAL multi-strip grayscale TIFF encoder (baseline tags: dims, bits,
+    compression, photometric, strip offsets/counts). ``byteorder`` "<"
+    emits classic little-endian (II) files, ">" big-endian (MM) — the two
+    legal TIFF 6.0 byte orders; SHORT values stay left-justified in the
+    4-byte IFD value field in both, per the spec."""
+    e = byteorder
+    if e not in ("<", ">"):
+        raise ValueError("byteorder must be '<' (II) or '>' (MM)")
     h, w = pixels.shape
     px = pixels.astype(np.uint8)
     comp_code = {"none": 1, "packbits": 32773}[compression]
@@ -2462,54 +2472,59 @@ def encode_tiff_gray(
     # LONG arrays for offsets/counts live after the IFD when count > 1
     def arr_or_inline(values: list[int], at: int) -> tuple[bytes, bytes, int]:
         if len(values) == 1:
-            return _struct.pack("<I", values[0]), b"", at
-        blob = b"".join(_struct.pack("<I", v) for v in values)
-        return _struct.pack("<I", at), blob, at + len(blob)
+            return _struct.pack(e + "I", values[0]), b"", at
+        blob = b"".join(_struct.pack(e + "I", v) for v in values)
+        return _struct.pack(e + "I", at), blob, at + len(blob)
     off_val, off_blob, nxt = arr_or_inline(offsets, ifd_end)
     cnt_val, cnt_blob, _ = arr_or_inline([len(s) for s in strips], nxt)
 
     def tag(tid: int, typ: int, count: int, value: bytes) -> bytes:
-        return _struct.pack("<HHI", tid, typ, count) + value
+        return _struct.pack(e + "HHI", tid, typ, count) + value
 
-    ifd = _struct.pack("<H", n_tags)
-    ifd += tag(256, 4, 1, _struct.pack("<I", w))          # ImageWidth
-    ifd += tag(257, 4, 1, _struct.pack("<I", h))          # ImageLength
-    ifd += tag(258, 3, 1, _struct.pack("<HH", 8, 0))      # BitsPerSample
-    ifd += tag(259, 3, 1, _struct.pack("<HH", comp_code, 0))
-    ifd += tag(262, 3, 1, _struct.pack("<HH", 1, 0))      # BlackIsZero
+    ifd = _struct.pack(e + "H", n_tags)
+    ifd += tag(256, 4, 1, _struct.pack(e + "I", w))          # ImageWidth
+    ifd += tag(257, 4, 1, _struct.pack(e + "I", h))          # ImageLength
+    ifd += tag(258, 3, 1, _struct.pack(e + "HH", 8, 0))      # BitsPerSample
+    ifd += tag(259, 3, 1, _struct.pack(e + "HH", comp_code, 0))
+    ifd += tag(262, 3, 1, _struct.pack(e + "HH", 1, 0))      # BlackIsZero
     ifd += tag(273, 4, len(strips), off_val)              # StripOffsets
-    ifd += tag(278, 4, 1, _struct.pack("<I", rows_per_strip))
+    ifd += tag(278, 4, 1, _struct.pack(e + "I", rows_per_strip))
     ifd += tag(279, 4, len(strips), cnt_val)              # StripByteCounts
-    ifd += _struct.pack("<I", 0)  # next-IFD pointer
-    header = b"II*\x00" + _struct.pack("<I", ifd_off)
+    ifd += _struct.pack(e + "I", 0)  # next-IFD pointer
+    magic = b"II*\x00" if e == "<" else b"MM\x00*"
+    header = magic + _struct.pack(e + "I", ifd_off)
     return header + b"".join(strips) + ifd + off_blob + cnt_blob
 
 
 def decode_tiff_gray(data: bytes) -> np.ndarray:
     """REAL TIFF decoder for the baseline grayscale subset: walks the IFD
-    pointer directory, reads multi-strip payloads, PackBits or raw. Typed
-    errors for big-endian files and unsupported photometric/compression."""
+    pointer directory, reads multi-strip payloads, PackBits or raw, in
+    BOTH legal byte orders (II little-endian and MM big-endian — round 7
+    closed the MM boundary). Typed errors for unsupported photometric/
+    compression combinations."""
     if data[:4] == b"MM\x00*":
-        raise NotImplementedError("big-endian TIFF: little-endian decoded here")
-    if data[:4] != b"II*\x00":
+        e = ">"
+    elif data[:4] == b"II*\x00":
+        e = "<"
+    else:
         raise ValueError("not a TIFF")
-    (ifd_off,) = _struct.unpack("<I", data[4:8])
-    (n_tags,) = _struct.unpack("<H", data[ifd_off : ifd_off + 2])
+    (ifd_off,) = _struct.unpack(e + "I", data[4:8])
+    (n_tags,) = _struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
     tags = {}
     for i in range(n_tags):
-        e = ifd_off + 2 + i * 12
-        tid, typ, count = _struct.unpack("<HHI", data[e : e + 8])
-        tags[tid] = (typ, count, data[e + 8 : e + 12])
+        ent = ifd_off + 2 + i * 12
+        tid, typ, count = _struct.unpack(e + "HHI", data[ent : ent + 8])
+        tags[tid] = (typ, count, data[ent + 8 : ent + 12])
 
     def longs(tid: int) -> list[int]:
         typ, count, val = tags[tid]
         size = 2 if typ == 3 else 4
         if count * size <= 4:
             if typ == 3:
-                return list(_struct.unpack(f"<{count}H", val[: 2 * count]))
-            return list(_struct.unpack(f"<{count}I", val[: 4 * count]))
-        (off,) = _struct.unpack("<I", val)
-        fmt = f"<{count}H" if typ == 3 else f"<{count}I"
+                return list(_struct.unpack(f"{e}{count}H", val[: 2 * count]))
+            return list(_struct.unpack(f"{e}{count}I", val[: 4 * count]))
+        (off,) = _struct.unpack(e + "I", val)
+        fmt = f"{e}{count}H" if typ == 3 else f"{e}{count}I"
         return list(_struct.unpack(fmt, data[off : off + count * size]))
 
     w, h = longs(256)[0], longs(257)[0]
@@ -2725,12 +2740,16 @@ _EXIF_ASCII, _EXIF_SHORT, _EXIF_LONG = 2, 3, 4
 
 
 def build_exif_app1(
-    make: str, orientation: int, datetime_str: str
+    make: str, orientation: int, datetime_str: str, byteorder: str = "<"
 ) -> bytes:
-    """REAL APP1 Exif segment: 'Exif\\0\\0' + little-endian TIFF header +
-    one IFD0 carrying Make (0x010F, ASCII), Orientation (0x0112, SHORT)
-    and DateTime (0x0132, ASCII 'YYYY:MM:DD HH:MM:SS'). Values longer
-    than 4 bytes live in the data area after the IFD, per TIFF spec."""
+    """REAL APP1 Exif segment: 'Exif\\0\\0' + TIFF header (II or MM per
+    ``byteorder``; round 7 closed the MM boundary) + one IFD0 carrying
+    Make (0x010F, ASCII), Orientation (0x0112, SHORT) and DateTime
+    (0x0132, ASCII 'YYYY:MM:DD HH:MM:SS'). Values longer than 4 bytes
+    live in the data area after the IFD, per TIFF spec."""
+    bo = byteorder
+    if bo not in ("<", ">"):
+        raise ValueError("byteorder must be '<' (II) or '>' (MM)")
     make_b = make.encode("ascii") + b"\x00"
     dt_b = datetime_str.encode("ascii") + b"\x00"
     if len(dt_b) != 20:
@@ -2742,26 +2761,29 @@ def build_exif_app1(
     data = b""
 
     def entry(tag: int, typ: int, count: int, value_or_off: bytes) -> bytes:
-        return _struct.pack("<HHI", tag, typ, count) + value_or_off
+        return _struct.pack(bo + "HHI", tag, typ, count) + value_or_off
 
     # Make: ASCII, offset into data area
-    entries += entry(0x010F, _EXIF_ASCII, len(make_b), _struct.pack("<I", data_start + len(data)))
+    entries += entry(0x010F, _EXIF_ASCII, len(make_b), _struct.pack(bo + "I", data_start + len(data)))
     data += make_b
     # Orientation: SHORT fits inline (left-justified in the 4-byte slot)
-    entries += entry(0x0112, _EXIF_SHORT, 1, _struct.pack("<HH", orientation, 0))
+    entries += entry(0x0112, _EXIF_SHORT, 1, _struct.pack(bo + "HH", orientation, 0))
     # DateTime: 20-byte ASCII, offset
-    entries += entry(0x0132, _EXIF_ASCII, len(dt_b), _struct.pack("<I", data_start + len(data)))
+    entries += entry(0x0132, _EXIF_ASCII, len(dt_b), _struct.pack(bo + "I", data_start + len(data)))
     data += dt_b
-    tiff = b"II*\x00" + _struct.pack("<I", ifd_start) + _struct.pack("<H", n) + entries + _struct.pack("<I", 0) + data
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    tiff = magic + _struct.pack(bo + "I", ifd_start) + _struct.pack(bo + "H", n) + entries + _struct.pack(bo + "I", 0) + data
     payload = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + _struct.pack(">H", len(payload) + 2) + payload
 
 
-def add_exif(jpeg: bytes, make: str, orientation: int, datetime_str: str) -> bytes:
+def add_exif(
+    jpeg: bytes, make: str, orientation: int, datetime_str: str, byteorder: str = "<"
+) -> bytes:
     """Insert an APP1 Exif segment right after SOI of an existing JPEG."""
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
-    return jpeg[:2] + build_exif_app1(make, orientation, datetime_str) + jpeg[2:]
+    return jpeg[:2] + build_exif_app1(make, orientation, datetime_str, byteorder) + jpeg[2:]
 
 
 def parse_exif(jpeg: bytes) -> dict:
@@ -2791,27 +2813,29 @@ def parse_exif(jpeg: bytes) -> dict:
     if tiff is None:
         raise ValueError("JPEG carries no APP1 Exif segment")
     if tiff[:4] == b"MM\x00*":
-        raise NotImplementedError("big-endian (MM) EXIF not decoded")
-    if tiff[:4] != b"II*\x00":
+        bo = ">"  # big-endian EXIF (round 7: MM boundary closed, both orders)
+    elif tiff[:4] == b"II*\x00":
+        bo = "<"
+    else:
         raise ValueError("bad TIFF header in EXIF block")
-    (ifd_off,) = _struct.unpack("<I", tiff[4:8])
+    (ifd_off,) = _struct.unpack(bo + "I", tiff[4:8])
     out: dict = {}
-    (n,) = _struct.unpack("<H", tiff[ifd_off : ifd_off + 2])
+    (n,) = _struct.unpack(bo + "H", tiff[ifd_off : ifd_off + 2])
     for k in range(n):
         e = ifd_off + 2 + k * 12
-        tag, typ, count = _struct.unpack("<HHI", tiff[e : e + 8])
+        tag, typ, count = _struct.unpack(bo + "HHI", tiff[e : e + 8])
         slot = tiff[e + 8 : e + 12]
         if typ == _EXIF_ASCII:
             if count <= 4:
                 raw = slot[:count]
             else:
-                (off,) = _struct.unpack("<I", slot)
+                (off,) = _struct.unpack(bo + "I", slot)
                 raw = tiff[off : off + count]
             val = raw.rstrip(b"\x00").decode("ascii", "replace")
         elif typ == _EXIF_SHORT and count == 1:
-            (val,) = _struct.unpack("<H", slot[:2])
+            (val,) = _struct.unpack(bo + "H", slot[:2])
         elif typ == _EXIF_LONG and count == 1:
-            (val,) = _struct.unpack("<I", slot)
+            (val,) = _struct.unpack(bo + "I", slot)
         else:
             continue  # rational/undefined tags: skip, never misparse
         if tag == 0x010F:

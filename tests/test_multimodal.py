@@ -1274,9 +1274,17 @@ def test_tiff_roundtrip_multistrip_and_packbits_fuzz():
     for shape in [(1, 9), (16, 16), (37, 53), (100, 11)]:
         px = rng.integers(0, 256, size=shape).astype(np.uint8)
         for comp in ("none", "packbits"):
+            for bo in ("<", ">"):  # II and MM byte orders both roundtrip
+                data = encode_tiff_gray(px, comp, rows_per_strip=16, byteorder=bo)
+                assert (decode_tiff_gray(data) == px).all(), (shape, comp, bo)
             data = encode_tiff_gray(px, comp, rows_per_strip=16)
             assert decode_image_header(data) == ("tiff", shape[1], shape[0])
-            assert (decode_tiff_gray(data) == px).all(), (shape, comp)
+    # an MM file and its II twin differ ONLY in metadata encoding
+    px = rng.integers(0, 256, size=(24, 17)).astype(np.uint8)
+    assert (
+        decode_tiff_gray(encode_tiff_gray(px, "packbits", byteorder=">"))
+        == decode_tiff_gray(encode_tiff_gray(px, "packbits", byteorder="<"))
+    ).all()
     # runs compress: a flat image must shrink well below raw size
     flat = np.full((64, 64), 9, np.uint8)
     assert len(encode_tiff_gray(flat, "packbits")) < 64 * 64 // 8
@@ -1288,7 +1296,9 @@ def test_tiff_roundtrip_multistrip_and_packbits_fuzz():
     # typed boundaries
     px = rng.integers(0, 256, size=(8, 8)).astype(np.uint8)
     data = bytearray(encode_tiff_gray(px, "none"))
-    with pytest.raises(NotImplementedError, match="big-endian"):
+    # a swapped magic over little-endian fields is CORRUPT, not big-endian:
+    # the MM IFD offset reads as garbage and must fail loudly, not decode
+    with pytest.raises((ValueError, struct.error, IndexError)):
         decode_tiff_gray(b"MM\x00*" + bytes(data[4:]))
     # flip compression tag to LZW (5): find tag 259 in the IFD
     (ifd,) = struct.unpack("<I", data[4:8])
@@ -1486,7 +1496,10 @@ def test_exif_roundtrip_and_boundaries():
     assert np.array_equal(decode_jpeg_gray(j2), decode_jpeg_gray(j))
     with pytest.raises(ValueError, match="no APP1"):
         parse_exif(j)
-    with pytest.raises(NotImplementedError, match="big-endian"):
-        parse_exif(j2.replace(b"II*\x00", b"MM\x00*"))
+    # big-endian (MM) EXIF roundtrips too (round 7 closed that boundary);
+    # a true MM segment has ALL fields byte-swapped, not just the magic
+    j3 = add_exif(j, "acme", 8, "1999:12:31 23:59:59", byteorder=">")
+    assert parse_exif(j3) == parse_exif(j2)
+    assert b"MM\x00*" in j3 and j3 != j2
     with pytest.raises(ValueError, match="DateTime"):
         add_exif(j, "acme", 1, "bad-format")
