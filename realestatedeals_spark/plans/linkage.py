@@ -144,3 +144,141 @@ def j5_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("blk1").alias("p_size"), "name_a", "name_b", "dist", "n_pairs"
     )
+
+
+# ---------------------------------------------------------------------------
+# ER — entity-resolution capstone (round 7): dirty-record synthesis →
+# blocking → match rules → TRANSITIVE clustering → survivorship golden
+# records. j5 stops at matched pairs; real master-data pipelines must close
+# the pairs transitively (A↔B on phone+name-typo, A↔C on exact name, so
+# B↔C only via the cluster) and then pick one surviving record per entity.
+#
+# The customer fixture has no duplicates, so the query synthesizes them
+# deterministically on BOTH sides (the PII-injection pattern): every
+# customer yields an original record; every 3rd also a name-typo variant
+# (same phone, last char dropped); every 6th also a phone-typo variant
+# (same name, perturbed prefix). Match rules require phone-digit equality
+# with name edit-distance ≤ 2, OR exact name equality — both engines run
+# the IDENTICAL synthesis + match SQL text, so what's checked end-to-end
+# is blocking recall, the transitive closure, and survivorship.
+#
+# Scale: candidates come from an equi-join on (nation, last-4 phone
+# digits) — Σ block² work, never n²; clustering is the O(log n) large/
+# small-star operator; survivorship is one keyed aggregate. Blocking is
+# deliberately imperfect (records whose phone digits are shorter than 4
+# can miss their phone-typo twin — recall < 1, like every real blocking
+# scheme); the oracle mirrors the same misses, so the check stays exact.
+# At 100 TB the blocking key would add a q-gram pass; the plan shape holds.
+# ---------------------------------------------------------------------------
+
+_ER_NAME_EXPR = """
+CASE c_custkey % 8 WHEN 0 THEN 'large' WHEN 1 THEN 'hot' WHEN 2 THEN 'small'
+  WHEN 3 THEN 'cold' WHEN 4 THEN 'dim' WHEN 5 THEN 'bright' WHEN 6 THEN 'new'
+  ELSE 'old' END || ' ' ||
+CASE CAST(FLOOR(c_custkey / 8) AS BIGINT) % 8 WHEN 0 THEN 'ring'
+  WHEN 1 THEN 'bolt' WHEN 2 THEN 'nut' WHEN 3 THEN 'gear' WHEN 4 THEN 'plate'
+  WHEN 5 THEN 'rod' WHEN 6 THEN 'cap' ELSE 'pin' END || ' ' || c_custkey
+"""
+
+_ER_NAMED_CTE = f"""
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+         {_ER_NAME_EXPR} AS base
+  FROM customer
+"""
+
+_ER_RECS_BODY = """
+SELECT c_custkey * 3 AS rec_id, c_nationkey AS nation, base AS name,
+       '555-' || c_custkey AS phone, cents
+FROM named
+UNION ALL
+SELECT c_custkey * 3 + 1, c_nationkey, SUBSTR(base, 1, LENGTH(base) - 1),
+       '555-' || c_custkey, cents - 100
+FROM named WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT c_custkey * 3 + 2, c_nationkey, base,
+       '556-' || c_custkey, cents + 250
+FROM named WHERE c_custkey % 6 = 0
+"""
+
+# same fragments on both engines; DuckDB's recursive-CTE parser rejects a
+# nested WITH inside a CTE body, so the oracle hoists `named` to the top
+_ER_RECORDS_SQL = f"WITH named AS ({_ER_NAMED_CTE}) {_ER_RECS_BODY}"
+
+_ER_MATCH_SQL = """
+(a.digits = b.digits AND LEVENSHTEIN(a.name, b.name) <= 2)
+OR (a.name = b.name AND LEVENSHTEIN(a.digits, b.digits) <= 3)
+"""
+
+_ER_ORACLE = f"""
+WITH RECURSIVE named AS ({_ER_NAMED_CTE}),
+recs AS ({_ER_RECS_BODY}),
+d AS (
+  SELECT rec_id, nation, name, phone, cents,
+         REGEXP_REPLACE(phone, '[^0-9]', '') AS digits
+  FROM recs
+),
+e0 AS (
+  SELECT a.rec_id AS ra, b.rec_id AS rb
+  FROM d a JOIN d b
+    ON a.nation = b.nation AND RIGHT(a.digits, 4) = RIGHT(b.digits, 4)
+   AND a.rec_id < b.rec_id AND ({_ER_MATCH_SQL})
+),
+edges AS (SELECT ra AS a, rb AS b FROM e0 UNION SELECT rb, ra FROM e0),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clus AS (
+  SELECT d.rec_id,
+         LEAST(d.rec_id, COALESCE(MIN(reach.b), d.rec_id)) AS cluster_id
+  FROM d LEFT JOIN reach ON reach.a = d.rec_id
+  GROUP BY d.rec_id
+)
+SELECT clus.cluster_id,
+       COUNT(*) AS n_records,
+       MAX(d.name) AS name,
+       MAX(d.cents) AS max_cents,
+       COUNT(DISTINCT d.phone) AS n_phones
+FROM clus JOIN d ON d.rec_id = clus.rec_id
+GROUP BY clus.cluster_id
+"""
+
+
+@register("er_golden_records", oracle=_ER_ORACLE, tags=("J5", "linkage", "dedup", "graph"))
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden customer records: one survivor per transitively-closed match
+    cluster, with member count, canonical (longest — a truncation always
+    sorts before its original, so MAX is the untyped name) name, best
+    balance, and distinct-phone count. Engine side: shared-synthesis SQL →
+    DataFrame blocking join with codegen Levenshtein verify → large/small-
+    star connected components → one keyed aggregate."""
+    from realestatedeals_spark.operators.dedup import duplicate_clusters_star
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    recs = spark.sql(_ER_RECORDS_SQL)
+    d = recs.withColumn(
+        "digits", F.regexp_replace("phone", "[^0-9]", "")
+    ).withColumn("blk", F.expr("right(digits, 4)"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.nation") == F.col("b.nation"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.rec_id") < F.col("b.rec_id"))
+            & F.expr(_ER_MATCH_SQL),
+        )
+        .select(F.col("a.rec_id").alias("doc_a"), F.col("b.rec_id").alias("doc_b"))
+    )
+    clusters = duplicate_clusters_star(pairs)
+    labeled = d.join(
+        clusters, d.rec_id == clusters.doc_id, "left"
+    ).withColumn("cid", F.coalesce(F.col("cluster_id"), F.col("rec_id")))
+    return labeled.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.max("name").alias("name"),
+        F.max("cents").alias("max_cents"),
+        F.count_distinct("phone").alias("n_phones"),
+    )
