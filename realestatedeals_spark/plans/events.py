@@ -1554,3 +1554,72 @@ def e28_vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("v_first") * 1000000) - F.floor(F.col("v_last") * 1000000)
         ).cast("long").alias("depth_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E29 — VARIANT shredding (round 7): Spark 4's open-encoded semi-structured
+# type (parse_json → VARIANT → typed variant_get paths) replacing
+# string-JSON re-parsing per access. The fixture's props is a flat one-key
+# object, so the query synthesizes a deterministically NESTED envelope
+# (object → object → array) around it on BOTH engines and shreds typed
+# leaves back out — path navigation, array indexing, try_-missing-path
+# semantics, and typed casts are what's checked. At scale VARIANT binary
+# beats per-access string JSON parsing (parse once per row, navigate
+# cheaply), and the shredded leaves land in ordinary columnar aggregates.
+# The oracle side uses DuckDB's JSON navigation over the identical
+# synthesized document.
+# ---------------------------------------------------------------------------
+
+_E29_VARIANT_ORACLE = """
+WITH j AS (
+  SELECT event_type,
+         '{"meta":{"src":"' || event_type || '","flags":['
+           || (user_id % 2) || ',' || (user_id % 5) || ']},"payload":{"k":'
+           || COALESCE(json_extract_string(props, '$.k'), 'null') || '}}' AS js
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(js, '$.payload.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(json_extract(js, '$.meta.flags[0]') AS BIGINT)) AS BIGINT) AS sum_flag0,
+       CAST(SUM(CAST(json_extract(js, '$.meta.flags[1]') AS BIGINT)) AS BIGINT) AS sum_flag1,
+       CAST(SUM(CAST(json_extract(js, '$.meta.missing') AS BIGINT)) AS BIGINT) AS sum_missing,
+       MIN(json_extract_string(js, '$.meta.src')) AS src_min
+FROM j
+GROUP BY event_type
+"""
+
+
+@register("e29_variant_shred", oracle=_E29_VARIANT_ORACLE, tags=("json", "semi-structured", "variant"))
+def e29_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed aggregates over VARIANT paths: parse the synthesized nested
+    document ONCE per row into Spark 4's VARIANT, then navigate
+    object/array paths with variant_get (try_variant_get for the
+    deliberately missing path — NULL, never an error)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.expr(f"parse_json({_e29_js_sql()})").alias("v"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("variant_get(v, '$.payload.k', 'long')")).alias("sum_k"),
+            F.sum(F.expr("variant_get(v, '$.meta.flags[0]', 'long')")).alias("sum_flag0"),
+            F.sum(F.expr("variant_get(v, '$.meta.flags[1]', 'long')")).alias("sum_flag1"),
+            F.sum(F.expr("try_variant_get(v, '$.meta.missing', 'long')")).alias("sum_missing"),
+            F.min(F.expr("variant_get(v, '$.meta.src', 'string')")).alias("src_min"),
+        )
+    )
+
+
+def _e29_js_sql() -> str:
+    """The synthesized document as a SQL expression (same text shape as the
+    oracle's || chain, Spark function names)."""
+    return (
+        "'{\"meta\":{\"src\":\"' || event_type || '\",\"flags\":[' || "
+        "CAST(user_id % 2 AS STRING) || ',' || CAST(user_id % 5 AS STRING) || "
+        "']},\"payload\":{\"k\":' || "
+        "COALESCE(get_json_object(props, '$.k'), 'null') || '}}'"
+    )

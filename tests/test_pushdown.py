@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from realestatedeals_spark.plans import QUERIES
 
@@ -88,3 +89,58 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark, tmp_path):
     }
     got = {(r["ship_month"], r["n_items"]) for r in q.collect()}
     assert got == want and want
+
+
+def test_runtime_bloom_filter_injects_and_preserves_results(spark, sf_dir):
+    """Spark's runtime bloom-filter join (InjectRuntimeFilter) is the
+    shuffle-join analogue of DPP: the selective dimension side builds a
+    bloom filter that pre-prunes the fact scan before the shuffle. At
+    production scale it fires on its size thresholds; here we lower the
+    application-side threshold to prove (a) the rewrite injects into this
+    engine's join shape and (b) it is semantics-preserving (identical
+    aggregate with the rewrite on and off)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_orderpriority = '1-URGENT' AND o_totalprice > 100000")
+    )
+
+    def run():
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        agg = j.groupBy().agg(
+            # decimal accumulate → exact, order-independent comparison
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return agg
+
+    conf = spark.conf
+    old = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # shuffle join
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        with_filter = run()
+        plan = with_filter._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "runtime bloom filter did not inject"
+        rows_on = with_filter.collect()
+
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = run()
+        plan_off = without._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" not in plan_off
+        rows_off = without.collect()
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)
+    assert rows_on == rows_off and rows_on[0]["n"] > 0
