@@ -1115,7 +1115,7 @@ def decode_gray_auto(data: bytes) -> np.ndarray:
         return decode_gif_gray(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg_gray(data)
-    if data[:4] == b"II*\x00":
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff_gray(data)
     raise ValueError("no stdlib pixel codec for this format")
 
@@ -2496,12 +2496,69 @@ def encode_tiff_gray(
     return header + b"".join(strips) + ifd + off_blob + cnt_blob
 
 
-def decode_tiff_gray(data: bytes) -> np.ndarray:
-    """REAL TIFF decoder for the baseline grayscale subset: walks the IFD
-    pointer directory, reads multi-strip payloads, PackBits or raw, in
-    BOTH legal byte orders (II little-endian and MM big-endian — round 7
-    closed the MM boundary). Typed errors for unsupported photometric/
-    compression combinations."""
+def encode_tiff_rgb(
+    pixels: np.ndarray,
+    compression: str = "packbits",
+    rows_per_strip: int = 16,
+    byteorder: str = "<",
+) -> bytes:
+    """REAL multi-strip chunky 8-bit RGB TIFF encoder (photometric=2,
+    SamplesPerPixel=3; the 3-entry BitsPerSample array lives in the data
+    area after the IFD, per spec, since it exceeds the 4-byte value slot).
+    Either byte order, like the gray encoder."""
+    e = byteorder
+    if e not in ("<", ">"):
+        raise ValueError("byteorder must be '<' (II) or '>' (MM)")
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_tiff_rgb wants (h, w, 3)")
+    px = pixels.astype(np.uint8)
+    comp_code = {"none": 1, "packbits": 32773}[compression]
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = px[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(_packbits_compress(raw) if comp_code == 32773 else raw)
+    offsets, pos = [], 8
+    for st in strips:
+        offsets.append(pos)
+        pos += len(st)
+    ifd_off = pos
+    n_tags = 10
+    ifd_end = ifd_off + 2 + n_tags * 12 + 4
+
+    def arr_or_inline(values: list[int], at: int) -> tuple[bytes, bytes, int]:
+        if len(values) == 1:
+            return _struct.pack(e + "I", values[0]), b"", at
+        blob = b"".join(_struct.pack(e + "I", v) for v in values)
+        return _struct.pack(e + "I", at), blob, at + len(blob)
+
+    off_val, off_blob, nxt = arr_or_inline(offsets, ifd_end)
+    cnt_val, cnt_blob, nxt = arr_or_inline([len(st) for st in strips], nxt)
+    bits_blob = _struct.pack(e + "HHH", 8, 8, 8)
+    bits_val = _struct.pack(e + "I", nxt)
+
+    def tag(tid: int, typ: int, count: int, value: bytes) -> bytes:
+        return _struct.pack(e + "HHI", tid, typ, count) + value
+
+    ifd = _struct.pack(e + "H", n_tags)
+    ifd += tag(256, 4, 1, _struct.pack(e + "I", w))
+    ifd += tag(257, 4, 1, _struct.pack(e + "I", h))
+    ifd += tag(258, 3, 3, bits_val)                        # BitsPerSample[3]
+    ifd += tag(259, 3, 1, _struct.pack(e + "HH", comp_code, 0))
+    ifd += tag(262, 3, 1, _struct.pack(e + "HH", 2, 0))    # RGB
+    ifd += tag(273, 4, len(strips), off_val)
+    ifd += tag(277, 3, 1, _struct.pack(e + "HH", 3, 0))    # SamplesPerPixel
+    ifd += tag(278, 4, 1, _struct.pack(e + "I", rows_per_strip))
+    ifd += tag(279, 4, len(strips), cnt_val)
+    ifd += tag(284, 3, 1, _struct.pack(e + "HH", 1, 0))    # chunky
+    ifd += _struct.pack(e + "I", 0)
+    magic = b"II*\x00" if e == "<" else b"MM\x00*"
+    return magic + _struct.pack(e + "I", ifd_off) + b"".join(strips) + ifd + off_blob + cnt_blob + bits_blob
+
+
+def _tiff_ifd(data: bytes):
+    """Shared IFD walk: returns (tags present, accessor for SHORT/LONG tag
+    values) after dispatching on the II/MM byte order."""
     if data[:4] == b"MM\x00*":
         e = ">"
     elif data[:4] == b"II*\x00":
@@ -2527,26 +2584,60 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
         fmt = f"{e}{count}H" if typ == 3 else f"{e}{count}I"
         return list(_struct.unpack(fmt, data[off : off + count * size]))
 
-    w, h = longs(256)[0], longs(257)[0]
+    return tags, longs
+
+
+def _tiff_strips(data: bytes, tags, longs, h: int, row_bytes: int) -> bytes:
     comp = longs(259)[0] if 259 in tags else 1
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression={comp}: none/PackBits decoded here")
+    rps = longs(278)[0] if 278 in tags else h
+    out = bytearray()
+    for k, (o, c) in enumerate(zip(longs(273), longs(279))):
+        nrows = min(rps, h - k * rps)
+        raw = data[o : o + c]
+        if comp == 32773:
+            raw = _packbits_decompress(raw, nrows * row_bytes)
+        if len(raw) != nrows * row_bytes:
+            raise ValueError("TIFF strip size mismatch")
+        out += raw
+    return bytes(out)
+
+
+def decode_tiff_gray(data: bytes) -> np.ndarray:
+    """REAL TIFF decoder for the baseline grayscale subset: walks the IFD
+    pointer directory, reads multi-strip payloads, PackBits or raw, in
+    BOTH legal byte orders (II little-endian and MM big-endian — round 7
+    closed the MM boundary). Typed errors for unsupported photometric/
+    compression combinations."""
+    tags, longs = _tiff_ifd(data)
+    w, h = longs(256)[0], longs(257)[0]
     photo = longs(262)[0] if 262 in tags else 1
     bits = longs(258)[0] if 258 in tags else 8
     if photo != 1 or bits != 8:
         raise NotImplementedError(f"TIFF photometric={photo} bits={bits}: gray-8 decoded here")
-    if comp not in (1, 32773):
-        raise NotImplementedError(f"TIFF compression={comp}: none/PackBits decoded here")
-    rps = longs(278)[0] if 278 in tags else h
-    offs, cnts = longs(273), longs(279)
-    rows = []
-    for k, (o, c) in enumerate(zip(offs, cnts)):
-        nrows = min(rps, h - k * rps)
-        raw = data[o : o + c]
-        if comp == 32773:
-            raw = _packbits_decompress(raw, nrows * w)
-        if len(raw) != nrows * w:
-            raise ValueError("TIFF strip size mismatch")
-        rows.append(np.frombuffer(raw, np.uint8).reshape(nrows, w))
-    return np.vstack(rows)
+    raw = _tiff_strips(data, tags, longs, h, w)
+    return np.frombuffer(raw, np.uint8).reshape(h, w)
+
+
+def decode_tiff_rgb(data: bytes) -> np.ndarray:
+    """Chunky (PlanarConfiguration=1) 8-bit RGB TIFF decode — round 7,
+    closing the photometric=2 boundary. Same strip machinery as gray;
+    row stride is 3·width."""
+    tags, longs = _tiff_ifd(data)
+    w, h = longs(256)[0], longs(257)[0]
+    photo = longs(262)[0] if 262 in tags else 1
+    spp = longs(277)[0] if 277 in tags else 1
+    bits = longs(258) if 258 in tags else [8]
+    planar = longs(284)[0] if 284 in tags else 1
+    if photo != 2 or spp != 3 or bits != [8, 8, 8]:
+        raise NotImplementedError(
+            f"TIFF photometric={photo} spp={spp} bits={bits}: 8-bit RGB decoded here"
+        )
+    if planar != 1:
+        raise NotImplementedError("planar (PlanarConfiguration=2) TIFF RGB not decoded")
+    raw = _tiff_strips(data, tags, longs, h, w * 3)
+    return np.frombuffer(raw, np.uint8).reshape(h, w, 3)
 
 
 # ---------------------------------------------------------------------------

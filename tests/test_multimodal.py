@@ -1503,3 +1503,28 @@ def test_exif_roundtrip_and_boundaries():
     assert b"MM\x00*" in j3 and j3 != j2
     with pytest.raises(ValueError, match="DateTime"):
         add_exif(j, "acme", 1, "bad-format")
+
+
+def test_tiff_rgb_roundtrip_both_byte_orders():
+    import pytest
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_tiff_gray,
+        decode_tiff_rgb,
+        encode_tiff_gray,
+        encode_tiff_rgb,
+    )
+
+    rng = np.random.default_rng(29)
+    for shape in [(1, 5, 3), (16, 16, 3), (33, 47, 3)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        for comp in ("none", "packbits"):
+            for bo in ("<", ">"):
+                data = encode_tiff_rgb(px, comp, rows_per_strip=16, byteorder=bo)
+                assert (decode_tiff_rgb(data) == px).all(), (shape, comp, bo)
+    # cross-photometric typed errors, both directions
+    with pytest.raises(NotImplementedError, match="photometric=2"):
+        decode_tiff_gray(encode_tiff_rgb(px))
+    gray = rng.integers(0, 256, size=(8, 8)).astype(np.uint8)
+    with pytest.raises(NotImplementedError, match="photometric=1"):
+        decode_tiff_rgb(encode_tiff_gray(gray))
