@@ -1470,6 +1470,7 @@ def encode_jpeg_ycbcr(
     quality: int = 100,
     sampling: tuple[int, int] = (2, 2),
     restart_interval: int | None = None,
+    interleaved: bool = True,
 ) -> bytes:
     """REAL baseline color JPEG encoder: interleaved YCbCr MCUs with
     configurable luma sampling factors ((2,2) = 4:2:0, (1,1) = 4:4:4),
@@ -1480,7 +1481,12 @@ def encode_jpeg_ycbcr(
     ``y``: (H, W) with H, W multiples of 8·sv, 8·sh; ``cb``/``cr``:
     (H/sv, W/sh) — caller supplies chroma already subsampled (exactness
     stays in the caller's hands; constant-tile inputs roundtrip exactly at
-    quality 100)."""
+    quality 100).
+
+    ``interleaved=False`` (round 7) emits the OTHER legal baseline layout:
+    three single-component scans (T.81 A.2.2), each a raster of 8×8 blocks
+    over that component's own grid — no MCU interleave, one SOS per
+    component. Restart intervals are interleaved-only here."""
     sh, sv = sampling
     h, w = y.shape
     if h % (8 * sv) or w % (8 * sh):
@@ -1494,6 +1500,44 @@ def encode_jpeg_ycbcr(
     ys = y.astype(np.float64) - 128.0
     cbs = cb.astype(np.float64) - 128.0
     crs = cr.astype(np.float64) - 128.0
+
+    if not interleaved:
+        if restart_interval:
+            raise ValueError("restart intervals supported on interleaved scans only")
+        scans = []
+        for plane, q, dc, ac, tid in (
+            (ys, ql, dc_l, ac_l, bytes([1, 0x00])),
+            (cbs, qc, dc_c, ac_c, bytes([2, 0x11])),
+            (crs, qc, dc_c, ac_c, bytes([3, 0x11])),
+        ):
+            sbw = _BitWriter()
+            pred = 0
+            ph, pw = plane.shape
+            for r0 in range(0, ph, 8):
+                for c0 in range(0, pw, 8):
+                    pred = _encode_block(
+                        sbw, plane[r0 : r0 + 8, c0 : c0 + 8], q, dc, ac, pred
+                    )
+            scans.append(_jpeg_seg(0xDA, bytes([1]) + tid + bytes([0, 63, 0])) + sbw.flush())
+        dqt = _jpeg_seg(
+            0xDB,
+            b"\x00" + bytes(int(ql.reshape(64)[_JPEG_ZIGZAG][i]) for i in range(64))
+            + b"\x01" + bytes(int(qc.reshape(64)[_JPEG_ZIGZAG][i]) for i in range(64)),
+        )
+        sof = _jpeg_seg(
+            0xC0,
+            _struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, (sh << 4) | sv, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        dht = _jpeg_seg(
+            0xC4,
+            b"\x00" + bytes(_JPEG_DC_LUM[0]) + bytes(_JPEG_DC_LUM[1])
+            + b"\x10" + bytes(_JPEG_AC_LUM[0]) + bytes(_JPEG_AC_LUM[1])
+            + b"\x01" + bytes(_JPEG_DC_CHROM[0]) + bytes(_JPEG_DC_CHROM[1])
+            + b"\x11" + bytes(_JPEG_AC_CHROM[0]) + bytes(_JPEG_AC_CHROM[1]),
+        )
+        out = b"\xff\xd8" + _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        return out + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
 
     bw = _BitWriter()
     preds = {"y": 0, "cb": 0, "cr": 0}
@@ -1858,6 +1902,34 @@ def encode_jpeg_progressive(
     return b"\xff\xd8" + app0 + dqt + sof + dht + dri + bytes(body) + b"\xff\xd9"
 
 
+def _jpeg_parse_dqt(payload: bytes, qtables: dict) -> None:
+    p = 0
+    while p < len(payload):
+        pq, tq = payload[p] >> 4, payload[p] & 0x0F
+        if pq == 0:  # 8-bit entries
+            vals = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
+            p += 65
+        elif pq == 1:  # 16-bit big-endian entries (T.81 B.2.4.1)
+            vals = np.frombuffer(payload[p + 1 : p + 129], ">u2")
+            p += 129
+        else:
+            raise ValueError(f"bad JPEG quant precision {pq}")
+        tbl = np.zeros(64, np.int64)
+        tbl[_JPEG_ZIGZAG] = vals.astype(np.int64)
+        qtables[tq] = tbl.reshape(8, 8)
+
+
+def _jpeg_parse_dht(payload: bytes, huff: dict) -> None:
+    p = 0
+    while p < len(payload):
+        tc, th = payload[p] >> 4, payload[p] & 0x0F
+        bits = list(payload[p + 1 : p + 17])
+        nvals = sum(bits)
+        values = list(payload[p + 17 : p + 17 + nvals])
+        huff[(tc, th)] = _huff_decode_map(bits, values)
+        p += 17 + nvals
+
+
 def _decode_jpeg_planes(data: bytes):
     """Full baseline (SOF0) JPEG decode: single-component or interleaved
     multi-component scans, arbitrary sampling factors, restart intervals.
@@ -1885,20 +1957,7 @@ def _decode_jpeg_planes(data: bytes):
         (seglen,) = _struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
-            p = 0
-            while p < len(payload):
-                pq, tq = payload[p] >> 4, payload[p] & 0x0F
-                if pq == 0:  # 8-bit entries
-                    vals = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
-                    p += 65
-                elif pq == 1:  # 16-bit big-endian entries (T.81 B.2.4.1)
-                    vals = np.frombuffer(payload[p + 1 : p + 129], ">u2")
-                    p += 129
-                else:
-                    raise ValueError(f"bad JPEG quant precision {pq}")
-                tbl = np.zeros(64, np.int64)
-                tbl[_JPEG_ZIGZAG] = vals.astype(np.int64)
-                qtables[tq] = tbl.reshape(8, 8)
+            _jpeg_parse_dqt(payload, qtables)
         elif marker == 0xC2:
             return _decode_jpeg_progressive(data)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1911,22 +1970,13 @@ def _decode_jpeg_planes(data: bytes):
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif marker == 0xC4:
-            p = 0
-            while p < len(payload):
-                tc, th = payload[p] >> 4, payload[p] & 0x0F
-                bits = list(payload[p + 1 : p + 17])
-                nvals = sum(bits)
-                values = list(payload[p + 17 : p + 17 + nvals])
-                huff[(tc, th)] = _huff_decode_map(bits, values)
-                p += 17 + nvals
+            _jpeg_parse_dht(payload, huff)
         elif marker == 0xDD:
             (dri,) = _struct.unpack(">H", payload[:2])
         elif marker == 0xDA:
             ns = payload[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan baseline JPEG"
-                )
+            if ns not in (1, len(comps)):
+                raise NotImplementedError("partially interleaved baseline JPEG scan")
             for c in range(ns):
                 cid, tt = payload[1 + 2 * c : 3 + 2 * c]
                 scan_spec.append((cid, tt >> 4, tt & 0x0F))
@@ -1935,10 +1985,6 @@ def _decode_jpeg_planes(data: bytes):
         pos += 2 + seglen
     if scan_start is None or w is None or h is None or not comps:
         raise ValueError("JPEG missing SOF/SOS")
-
-    # de-stuff into restart segments: FF00 unstuffs, RST0-7 split, any other
-    # marker ends the scan
-    segments, _ = _jpeg_destuff(data, scan_start)
 
     def read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
         code, lng = 0, 0
@@ -1949,21 +1995,13 @@ def _decode_jpeg_planes(data: bytes):
                 return table[(lng, code)]
         raise ValueError("invalid JPEG Huffman code")
 
-    # Validate table references BEFORE decode: a corrupt stream whose SOS/SOF
-    # points at a DHT/DQT id that was never defined must surface as the typed
-    # ValueError the error-row catch tuples understand, not a KeyError that
-    # crashes the whole job (ADVICE round 5).
-    for cid, td, ta in scan_spec:
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("JPEG scan references undefined Huffman table")
+    # Quant-table references are scan-independent; validate once (ADVICE
+    # round 5: typed ValueError, never KeyError).
     for _cid, _ch, _cv, tq in comps:
         if tq not in qtables:
             raise ValueError("JPEG component references undefined quant table")
 
-    tables = {cid: (huff[(0, td)], huff[(1, ta)]) for cid, td, ta in scan_spec}
-
-    def decode_block(br: _BitReader, cid: int, q: np.ndarray, pred: int):
-        dc_map, ac_map = tables[cid]
+    def decode_block(br, dc_map, ac_map, q: np.ndarray, pred: int):
         zz = np.zeros(64, np.int64)
         size = read_symbol(br, dc_map)
         diff = _jpeg_extend(br.bits(size), size) if size else 0
@@ -1995,45 +2033,113 @@ def _decode_jpeg_planes(data: bytes):
         cid: np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
         for cid, ch, cv, _ in comps
     }
-    preds = {cid: 0 for cid, *_ in comps}
-    seg_i = 0
-    br = _BitReader(segments[0])
+    comp_by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    decoded: set[int] = set()
+
+    # Scan loop (round 7): a baseline file is one fully-interleaved scan OR
+    # a sequence of single-component (non-interleaved, T.81 A.2.2) scans —
+    # each scan de-stuffs its own entropy section, then marker parsing
+    # resumes for the next SOS (DQT/DHT/DRI may be redefined between scans).
+    while True:
+        for cid, td, ta in scan_spec:
+            if (0, td) not in huff or (1, ta) not in huff:
+                raise ValueError("JPEG scan references undefined Huffman table")
+        segments, scan_end = _jpeg_destuff(data, scan_start)
+        tables = {cid: (huff[(0, td)], huff[(1, ta)]) for cid, td, ta in scan_spec}
+        seg_i = 0
+        br = _BitReader(segments[0])
+        if len(scan_spec) == 1:
+            # non-interleaved: one 8×8 block per "MCU" in raster order over
+            # the COMPONENT's own grid; full-res grid when ncomp == 1
+            # (sampling factors ignored per T.81 A.2.2)
+            cid = scan_spec[0][0]
+            ch, cv, tq = comp_by_id[cid]
+            dc_map, ac_map = tables[cid]
+            q = qtables[tq]
+            if len(comps) == 1:
+                cw, chh = w, h
+            else:
+                cw = (w * ch + hmax - 1) // hmax
+                chh = (h * cv + vmax - 1) // vmax
+            nbx, nby = (cw + 7) // 8, (chh + 7) // 8
+            plane = planes[cid]
+            if plane.shape[0] < nby * 8 or plane.shape[1] < nbx * 8:
+                grown = np.zeros((nby * 8, nbx * 8), np.float64)
+                grown[: plane.shape[0], : plane.shape[1]] = plane
+                planes[cid] = plane = grown
+            pred = 0
+            done = 0
+            for byi in range(nby):
+                for bxi in range(nbx):
+                    if dri and done and done % dri == 0:
+                        seg_i += 1
+                        br = _BitReader(segments[seg_i])
+                        pred = 0
+                    blk, pred = decode_block(br, dc_map, ac_map, q, pred)
+                    plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = blk
+                    done += 1
+            decoded.add(cid)
+        else:
+            preds = {cid: 0 for cid, *_ in comps}
+            done = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and done and done % dri == 0:
+                        seg_i += 1
+                        br = _BitReader(segments[seg_i])
+                        preds = {cid: 0 for cid, *_ in comps}
+                    for cid, ch, cv, tq in comps:
+                        q = qtables[tq]
+                        dc_map, ac_map = tables[cid]
+                        for v in range(cv):
+                            for hh in range(ch):
+                                blk, preds[cid] = decode_block(
+                                    br, dc_map, ac_map, q, preds[cid]
+                                )
+                                r0 = (my * cv + v) * 8
+                                c0 = (mx * ch + hh) * 8
+                                planes[cid][r0 : r0 + 8, c0 : c0 + 8] = blk
+                    done += 1
+            decoded.update(comp_by_id)
+        if decoded >= set(comp_by_id):
+            break
+        # resume marker parsing for the next scan's SOS
+        pos2 = scan_end
+        scan_spec = []
+        scan_start = None
+        while pos2 + 4 <= len(data):
+            if data[pos2] != 0xFF:
+                raise ValueError("bad JPEG marker alignment between scans")
+            m2 = data[pos2 + 1]
+            if m2 == 0xD9:
+                raise ValueError("JPEG EOI before all components were scanned")
+            (sl,) = _struct.unpack(">H", data[pos2 + 2 : pos2 + 4])
+            pl = data[pos2 + 4 : pos2 + 2 + sl]
+            if m2 == 0xDB:
+                _jpeg_parse_dqt(pl, qtables)
+            elif m2 == 0xC4:
+                _jpeg_parse_dht(pl, huff)
+            elif m2 == 0xDD:
+                (dri,) = _struct.unpack(">H", pl[:2])
+            elif m2 == 0xDA:
+                ns = pl[0]
+                if ns != 1:
+                    raise NotImplementedError(
+                        "interleaved scan after a non-interleaved one"
+                    )
+                cid, tt = pl[1], pl[2]
+                if cid not in comp_by_id:
+                    raise ValueError("JPEG scan references unknown component")
+                scan_spec = [(cid, tt >> 4, tt & 0x0F)]
+                scan_start = pos2 + 2 + sl
+                break
+            pos2 += 2 + sl
+        if scan_start is None:
+            raise ValueError("JPEG missing SOS for remaining components")
 
     if len(comps) == 1:
-        # single-component scan: MCU = one 8×8 block in raster order over
-        # the component's own grid (T.81 A.2.2 — sampling factors ignored)
-        cid, _, _, tq = comps[0]
-        q = qtables[tq]
-        plane = np.zeros(((h + 7) // 8 * 8, (w + 7) // 8 * 8), np.float64)
-        nbx, nby = plane.shape[1] // 8, plane.shape[0] // 8
-        done = 0
-        for byi in range(nby):
-            for bxi in range(nbx):
-                if dri and done and done % dri == 0:
-                    seg_i += 1
-                    br = _BitReader(segments[seg_i])
-                    preds[cid] = 0
-                blk, preds[cid] = decode_block(br, cid, q, preds[cid])
-                plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = blk
-                done += 1
-        return w, h, [(cid, 1, 1, plane[:h, :w])]
-
-    done = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and done and done % dri == 0:
-                seg_i += 1
-                br = _BitReader(segments[seg_i])
-                preds = {cid: 0 for cid, *_ in comps}
-            for cid, ch, cv, tq in comps:
-                q = qtables[tq]
-                for v in range(cv):
-                    for hh in range(ch):
-                        blk, preds[cid] = decode_block(br, cid, q, preds[cid])
-                        r0 = (my * cv + v) * 8
-                        c0 = (mx * ch + hh) * 8
-                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = blk
-            done += 1
+        cid = comps[0][0]
+        return w, h, [(cid, 1, 1, planes[cid][:h, :w])]
     out = []
     for cid, ch, cv, _ in comps:
         cw = (w * ch + hmax - 1) // hmax

@@ -1528,3 +1528,41 @@ def test_tiff_rgb_roundtrip_both_byte_orders():
     gray = rng.integers(0, 256, size=(8, 8)).astype(np.uint8)
     with pytest.raises(NotImplementedError, match="photometric=1"):
         decode_tiff_rgb(encode_tiff_gray(gray))
+
+
+def test_jpeg_noninterleaved_baseline_matches_interleaved():
+    """T.81 A.2.2: a baseline file may carry three single-component scans
+    instead of one interleaved MCU scan. Both layouts of the same pixels
+    must decode to identical component planes (round 7 closed this
+    boundary; previously a typed NotImplementedError)."""
+    from realestatedeals_spark.operators.multimodal import (
+        _decode_jpeg_planes,
+        encode_jpeg_ycbcr,
+    )
+
+    def tiles(h, w, seed):
+        r = np.random.default_rng(seed)
+        t = r.integers(16, 240, size=(h // 8, w // 8)).astype(np.uint8)
+        return np.kron(t, np.ones((8, 8), np.uint8))
+
+    for h, w, samp in [(16, 16, (1, 1)), (32, 48, (2, 2)), (16, 32, (2, 1))]:
+        y = tiles(h, w, 1)
+        cb = tiles(h // samp[1], w // samp[0], 2)
+        cr = tiles(h // samp[1], w // samp[0], 3)
+        ji = encode_jpeg_ycbcr(y, cb, cr, 100, samp)
+        jn = encode_jpeg_ycbcr(y, cb, cr, 100, samp, interleaved=False)
+        assert ji != jn  # genuinely different scan layouts
+        wi, hi, pi = _decode_jpeg_planes(ji)
+        wn, hn, pn = _decode_jpeg_planes(jn)
+        assert (wi, hi) == (wn, hn) == (w, h)
+        for (ci, chi, cvi, pli), (cn, chn, cvn, pln) in zip(pi, pn):
+            assert (ci, chi, cvi) == (cn, chn, cvn)
+            assert np.allclose(pli, pln), (h, w, samp, ci)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="interleaved"):
+        encode_jpeg_ycbcr(
+            tiles(16, 16, 1), tiles(16, 16, 2), tiles(16, 16, 3),
+            100, (1, 1), restart_interval=2, interleaved=False,
+        )
