@@ -2607,6 +2607,7 @@ def encode_tiff_rgb(
     compression: str = "packbits",
     rows_per_strip: int = 16,
     byteorder: str = "<",
+    planar: bool = False,
 ) -> bytes:
     """REAL multi-strip chunky 8-bit RGB TIFF encoder (photometric=2,
     SamplesPerPixel=3; the 3-entry BitsPerSample array lives in the data
@@ -2621,9 +2622,16 @@ def encode_tiff_rgb(
     px = pixels.astype(np.uint8)
     comp_code = {"none": 1, "packbits": 32773}[compression]
     strips = []
-    for r0 in range(0, h, rows_per_strip):
-        raw = px[r0 : r0 + rows_per_strip].tobytes()
-        strips.append(_packbits_compress(raw) if comp_code == 32773 else raw)
+    if planar:
+        # PlanarConfiguration=2: all of R's strips, then G's, then B's
+        for ci in range(3):
+            for r0 in range(0, h, rows_per_strip):
+                raw = px[r0 : r0 + rows_per_strip, :, ci].tobytes()
+                strips.append(_packbits_compress(raw) if comp_code == 32773 else raw)
+    else:
+        for r0 in range(0, h, rows_per_strip):
+            raw = px[r0 : r0 + rows_per_strip].tobytes()
+            strips.append(_packbits_compress(raw) if comp_code == 32773 else raw)
     offsets, pos = [], 8
     for st in strips:
         offsets.append(pos)
@@ -2656,7 +2664,7 @@ def encode_tiff_rgb(
     ifd += tag(277, 3, 1, _struct.pack(e + "HH", 3, 0))    # SamplesPerPixel
     ifd += tag(278, 4, 1, _struct.pack(e + "I", rows_per_strip))
     ifd += tag(279, 4, len(strips), cnt_val)
-    ifd += tag(284, 3, 1, _struct.pack(e + "HH", 1, 0))    # chunky
+    ifd += tag(284, 3, 1, _struct.pack(e + "HH", 2 if planar else 1, 0))
     ifd += _struct.pack(e + "I", 0)
     magic = b"II*\x00" if e == "<" else b"MM\x00*"
     return magic + _struct.pack(e + "I", ifd_off) + b"".join(strips) + ifd + off_blob + cnt_blob + bits_blob
@@ -2740,8 +2748,30 @@ def decode_tiff_rgb(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF photometric={photo} spp={spp} bits={bits}: 8-bit RGB decoded here"
         )
-    if planar != 1:
-        raise NotImplementedError("planar (PlanarConfiguration=2) TIFF RGB not decoded")
+    if planar == 2:
+        # planar: StripOffsets/Counts hold each component's strips back-to-
+        # back (T.81-adjacent TIFF 6.0 §"PlanarConfiguration"); rebuild one
+        # full plane per component, then stack channel-last
+        comp = 259 in tags and longs(259)[0] or 1
+        if comp not in (1, 32773):
+            raise NotImplementedError(f"TIFF compression={comp}: none/PackBits decoded here")
+        rps = longs(278)[0] if 278 in tags else h
+        offs, cnts = longs(273), longs(279)
+        per = len(offs) // 3
+        planes = []
+        for ci in range(3):
+            out = bytearray()
+            for k, (o, c) in enumerate(zip(offs[ci * per : (ci + 1) * per],
+                                           cnts[ci * per : (ci + 1) * per])):
+                nrows = min(rps, h - k * rps)
+                raw = data[o : o + c]
+                if comp == 32773:
+                    raw = _packbits_decompress(raw, nrows * w)
+                if len(raw) != nrows * w:
+                    raise ValueError("TIFF strip size mismatch")
+                out += raw
+            planes.append(np.frombuffer(bytes(out), np.uint8).reshape(h, w))
+        return np.stack(planes, axis=-1)
     raw = _tiff_strips(data, tags, longs, h, w * 3)
     return np.frombuffer(raw, np.uint8).reshape(h, w, 3)
 

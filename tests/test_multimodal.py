@@ -1520,8 +1520,11 @@ def test_tiff_rgb_roundtrip_both_byte_orders():
         px = rng.integers(0, 256, size=shape).astype(np.uint8)
         for comp in ("none", "packbits"):
             for bo in ("<", ">"):
-                data = encode_tiff_rgb(px, comp, rows_per_strip=16, byteorder=bo)
-                assert (decode_tiff_rgb(data) == px).all(), (shape, comp, bo)
+                for planar in (False, True):  # chunky AND planar layouts
+                    data = encode_tiff_rgb(
+                        px, comp, rows_per_strip=16, byteorder=bo, planar=planar
+                    )
+                    assert (decode_tiff_rgb(data) == px).all(), (shape, comp, bo, planar)
     # cross-photometric typed errors, both directions
     with pytest.raises(NotImplementedError, match="photometric=2"):
         decode_tiff_gray(encode_tiff_rgb(px))
