@@ -1623,3 +1623,51 @@ def _e29_js_sql() -> str:
         "']},\"payload\":{\"k\":' || "
         "COALESCE(get_json_object(props, '$.k'), 'null') || '}}'"
     )
+
+
+# ---------------------------------------------------------------------------
+# E30 — Markov transition matrix over per-user event sequences (round 7):
+# the classic product-analytics "what happens next" operator. LEAD over the
+# (user, ts, event_id)-ordered stream forms transitions; one keyed count +
+# one partition-sum window turn them into exact row-normalized
+# probabilities. Two exchanges total (user-keyed window, then the
+# from_type-keyed agg/window, which Catalyst shares); probabilities divide
+# two exact BIGINTs on both engines, so the matrix is hash-exact.
+# ---------------------------------------------------------------------------
+
+_E30_TRANSITIONS_ORACLE = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM nxt WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+FROM c
+"""
+
+
+@register("e30_transition_matrix", oracle=_E30_TRANSITIONS_ORACLE, tags=("window", "markov", "funnel"))
+def e30_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts and row-normalized probabilities over
+    each user's (ts, event_id)-ordered stream."""
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = nxt.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("prob"),
+    )
