@@ -1671,3 +1671,72 @@ def e30_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E31 — RFM segmentation (round 7): the standard customer-value quartiling.
+# Recency (micros from the user's last purchase to the corpus max ts),
+# frequency (purchase count), monetary (exact decimal-accumulated value)
+# per user, then NTILE(4) per dimension with a user_id tiebreak so the
+# quartile edges are deterministic on both engines. One user-keyed
+# aggregate + three global NTILE windows (single exchange each, tiny after
+# the aggregate).
+# ---------------------------------------------------------------------------
+
+_E31_RFM_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+         max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+m AS (SELECT max(ts) AS mx FROM events),
+r AS (
+  SELECT user_id,
+         epoch_us(m.mx) - epoch_us(p.last_ts) AS recency_us,
+         frequency, monetary
+  FROM p, m
+)
+SELECT user_id, CAST(recency_us AS BIGINT) AS recency_us, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_us ASC, user_id) AS BIGINT) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_quartile
+FROM r
+"""
+
+
+@register("e31_rfm_segments", oracle=_E31_RFM_ORACLE, tags=("window", "segmentation"))
+def e31_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary quartiles per purchasing user. The NTILE
+    windows are global by construction (quartiles need a total order) but
+    run over the user-level aggregate — rows ∝ users, not events — which
+    is the standard way this stays cheap at corpus scale."""
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            _dsum(F.col("value")).alias("monetary"),
+        )
+    )
+    mx = ev.agg(F.max("ts").alias("mx"))
+    r = p.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (F.unix_micros("mx") - F.unix_micros("last_ts")).alias("recency_us"),
+        "frequency",
+        "monetary",
+    )
+    return r.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy(F.asc("recency_us"), F.asc("user_id"))).cast("long").alias("r_quartile"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("user_id"))).cast("long").alias("f_quartile"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("user_id"))).cast("long").alias("m_quartile"),
+    )
