@@ -1740,3 +1740,85 @@ def e31_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("user_id"))).cast("long").alias("f_quartile"),
         F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("user_id"))).cast("long").alias("m_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E32 — top session paths (round 7): the clickstream "common journeys"
+# report. Sessions reuse e2's 30-minute gaps-and-islands; each session's
+# first 5 event types concatenate (in (ts, event_id) order — the ordered
+# string-agg is the cross-engine determinism point: Spark sorts collected
+# (rn, type) structs, DuckDB uses ORDER BY inside string_agg) into a path,
+# and paths are counted. Top 20 by (count desc, path) so the cut is exact.
+# ---------------------------------------------------------------------------
+
+_E32_PATHS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+),
+ranked AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 5
+  GROUP BY user_id, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@register("e32_top_session_paths", oracle=_E32_PATHS_ORACLE, tags=("window", "session", "funnel"))
+def e32_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most common first-5-event session journeys. One user-keyed
+    exchange covers sessionization AND ranking (same partitioning); the
+    path agg collects ≤5 structs per session and sorts them — bounded,
+    deterministic — and the global top-20 is TakeOrderedAndProject."""
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(wc).cast("long")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    )
+    ranked = sess.withColumn("rn", rn).filter(F.col("rn") <= 5)
+    paths = (
+        ranked.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
