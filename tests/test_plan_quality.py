@@ -44,6 +44,8 @@ _BNLJ_WHITELIST = {
     "x3_filtered_topk": "predicate-filtered linear scan vs the bounded broadcast query frame",
     "audit_referential_integrity": "cross of two 1-row count frames per FK edge",
     "x3_mips_topk": "linear scan vs the bounded broadcast query frame (MIPS baseline)",
+    "x9_quantization_impact": "linear scan vs the bounded broadcast query frame, shared by the exact and int8 rankings",
+    "e31_rfm_segments": "cross vs the 1-row broadcast corpus-max-ts frame",
 }
 
 # execute real streaming replays on invocation AND return localCheckpoint

@@ -41,6 +41,8 @@ SKIP = {
     "x3_cosine_topk_gemm": "driver-side chunked GEMM at plan build",
     "x4_bpe_encode": "BPE training at plan build",
     "x4_bpe_train_merges": "BPE training at plan build",
+    "x4_unigram_train": "unigram EM training at plan build",
+    "x4_unigram_encode": "unigram EM training at plan build",
     "g3_pagerank": "power iterations at plan build",
     "g5_kcore_parts": "peel iterations at plan build",
     "x6_heavy_hitters": "two-pass summary materialization",
