@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -298,4 +299,76 @@ def funnel_progress_event_time(events: DataFrame, delay: str = "10 minutes") -> 
         stateStructType=_FUNNEL_ET_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Markov transitions (round 7): the e30 batch transition matrix
+# as cross-batch keyed state. The only state a transition counter needs is
+# each user's LAST event type — the boundary pair between micro-batches is
+# exactly what a stateless per-batch LEAD would miss. Ordered-arrival
+# assumption as documented on funnel_progress (batches are time-tiled;
+# rows sort by (ts, event_id) within the batch); the event-time-buffered
+# pattern in funnel_progress_event_time is the disorder-tolerant upgrade.
+# ---------------------------------------------------------------------------
+
+TRANSITIONS_OUTPUT = StructType(
+    [
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_TRANS_STATE = StructType([StructField("last_type", StringType())])
+
+
+def _update_transitions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last = state.get[0] if state.exists else None
+    acc: pd.Series | None = None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ets = pdf["event_type"].reset_index(drop=True)
+        prev = ets.shift(1)
+        if last is not None:
+            prev.iloc[0] = last  # the cross-batch boundary transition
+        last = ets.iloc[-1]
+        # vectorized pair counting (no per-row Python): group the aligned
+        # (prev, current) columns, dropping the stateless first row
+        mask = prev.notna()
+        if mask.any():
+            counts = (
+                pd.DataFrame({"from_type": prev[mask], "to_type": ets[mask]})
+                .groupby(["from_type", "to_type"])
+                .size()
+            )
+            acc = counts if acc is None else acc.add(counts, fill_value=0)
+    state.update((last,))
+    if acc is not None and len(acc):
+        out = acc.astype("int64").reset_index(name="n").sort_values(
+            ["from_type", "to_type"]
+        )
+        yield out
+
+
+def transition_deltas(events: DataFrame) -> DataFrame:
+    """Per-micro-batch (from_type, to_type, count) deltas per user, with
+    the user's last event type carried in the state store so cross-batch
+    boundary transitions are counted exactly once. Downstream, the matrix
+    is a plain groupBy-sum over the emission log — the append-mode delta
+    stream is itself mergeable (the same shape an incremental view keeps)."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=TRANSITIONS_OUTPUT,
+            stateStructType=_TRANS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -34,6 +34,7 @@ SKIP = {
     "c6_incremental_agg_view": "streaming replay",
     "c7_streaming_sessions": "streaming replay",
     "c8_stream_static_enrich": "streaming replay",
+    "c13_stream_transition_matrix": "streaming replay",
     "io_bucketed_join": "managed-table write at plan build",
     "x3_pq_topk": "k-means training at plan build",
     "x3_ivf_topk": "k-means training at plan build",
