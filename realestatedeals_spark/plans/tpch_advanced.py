@@ -866,3 +866,42 @@ def olap_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP — native LATERAL correlated subquery (round 7): top-3 customers by
+# balance per nation, written as the ANSI LATERAL form both engines parse —
+# the same statement runs verbatim on Spark (DecorrelateInnerQuery plans it
+# as a ranked join, not a per-row re-execution) and on DuckDB as the
+# oracle. Complements olap_window_topk_per_group, which expresses the same
+# intent through window functions: two formulations, one answer.
+# Deterministic: the per-nation ORDER BY carries a name tiebreak.
+# ---------------------------------------------------------------------------
+
+_OLAP_LATERAL_SQL = """
+SELECT n.n_name, t.c_name,
+       CAST(ROUND(t.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       t.rk
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal,
+         CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_name) AS BIGINT) AS rk
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 3
+) t
+"""
+
+
+@register(
+    "olap_lateral_topk",
+    oracle=_OLAP_LATERAL_SQL,
+    tags=("olap", "lateral", "sql"),
+)
+def olap_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation via a native LATERAL correlated subquery;
+    identical SQL text is the DuckDB oracle."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_OLAP_LATERAL_SQL)
