@@ -289,3 +289,62 @@ def test_funnel_event_time_chaos_permuted_arrival(spark, sf_dir, tmp_path):
             n_retracted += 1
         inter[uid] = r["stage"]
     assert n_retracted > 0, "permutation never changed any provisional stage"
+
+
+def test_transition_deltas_counts_batch_boundary_pair(spark, tmp_path):
+    """The transition between a user's last event of batch N and first
+    event of batch N+1 must be counted exactly once — the case a stateless
+    per-batch LEAD misses. Two single-user batches: signup,click | view."""
+    from pyspark.sql.types import StringType, TimestampType
+
+    from realestatedeals_spark.streaming.stateful import transition_deltas
+
+    import datetime as dt
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    b1 = [(1, t0, 7, "signup"), (2, t0 + dt.timedelta(minutes=1), 7, "click")]
+    b2 = [(3, t0 + dt.timedelta(minutes=2), 7, "view")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+    for i, d in enumerate(("b1", "b2")):
+        full = os.path.join(src, d)
+        for f in os.listdir(full):
+            t = 1_700_000_000 + i * 10
+            os.utime(os.path.join(full, f), (t, t))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        src + "/*"
+    )
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        transition_deltas(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.read.parquet(out)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    # signup->click within batch 1; click->view ONLY via cross-batch state
+    assert got == {("signup", "click"): 1, ("click", "view"): 1}
