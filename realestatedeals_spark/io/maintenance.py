@@ -44,6 +44,7 @@ import threading
 import uuid
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -817,6 +818,114 @@ class VersionedTable:
             ).collect()
         ]
         pred = F.col(column).between(lo, hi)
+        if not files:
+            return self.read(v).filter(pred).limit(0)
+        return self.spark.read.parquet(*files).filter(pred)
+
+    def build_bloom_index(
+        self, column: str, fpp: float = 0.01, version: int | None = None
+    ) -> DataFrame:
+        """Per-data-file BLOOM FILTER index over a long-valued column (the
+        Delta bloom-filter-index / Parquet bloom analogue): min/max manifests
+        prune RANGE predicates but are useless for point lookups on
+        high-cardinality unclustered keys — any file's [min, max] spans the
+        probe. A per-file bloom answers "might this file contain k?" in
+        file-count-sized metadata with fpp false positives.
+
+        Distributed build: executors emit (file_path, bit position) pairs
+        (vectorized double hashing, operators/bloom.py), the per-file
+        DISTINCT positions shuffle once, and each file's bitmap packs inside
+        one Arrow group — the driver never sees row-proportional data.
+        Derived state like the manifest: rebuildable, not part of the commit
+        protocol; persisted under ``_bloom/v=N_col=<column>``."""
+        from realestatedeals_spark.operators.bloom import _positions, sizing
+
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self.versions():
+            raise ValueError(f"no such version {version!r} in {self.root}")
+        base, dv, ins = self._resolve(v)
+        if dv is not None or ins is not None:
+            raise ValueError(
+                "build_bloom_index needs a full snapshot; run optimize() first"
+            )
+        df = self.spark.read.parquet(os.path.join(self.root, f"v={base}"))
+        per_file = int(
+            df.groupBy(F.col("_metadata.file_path"))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+            or 1
+        )
+        n_bits, k = sizing(per_file, fpp)
+
+        @F.pandas_udf("array<long>")
+        def pos_udf(vals: pd.Series) -> pd.Series:
+            import numpy as np
+
+            p = _positions(vals.to_numpy(dtype=np.int64), n_bits, k)
+            return pd.Series(list(p))
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            bits = np.zeros(n_bits, dtype=bool)
+            bits[pdf["pos"].to_numpy(dtype=np.int64)] = True
+            return pd.DataFrame(
+                {
+                    "file_path": [pdf["file_path"].iloc[0]],
+                    "n_bits": [n_bits],
+                    "k": [k],
+                    "bitmap": [np.packbits(bits, bitorder="little").tobytes()],
+                }
+            )
+
+        blooms = (
+            df.select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.explode(pos_udf(F.col(column).cast("long"))).alias("pos"),
+            )
+            .distinct()
+            .groupBy("file_path")
+            .applyInPandas(pack, "file_path string, n_bits long, k long, bitmap binary")
+        )
+        out = os.path.join(self.root, "_bloom", f"v={v}_col={column}")
+        blooms.write.mode("overwrite").parquet(out)
+        return self.spark.read.parquet(out)
+
+    def bloom_pruned_files(
+        self, column: str, value: int, version: int | None = None
+    ) -> list[str]:
+        """Data files whose bloom says MIGHT contain ``value`` — the
+        file-count-sized driver-side probe behind ``read_point``."""
+        import numpy as np
+
+        from realestatedeals_spark.operators.bloom import _positions
+
+        v = self.latest_version() if version is None else version
+        path = os.path.join(self.root, "_bloom", f"v={v}_col={column}")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"no bloom index for v={v} col={column}; call build_bloom_index"
+            )
+        rows = self.spark.read.parquet(path).collect()
+        keep = []
+        for r in rows:
+            p = _positions(np.array([value], dtype=np.int64), r.n_bits, r.k)[0]
+            bm = np.frombuffer(bytes(r.bitmap), dtype=np.uint8)
+            if ((bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all():
+                keep.append(r.file_path)
+        return keep
+
+    def read_point(
+        self, column: str, value: int, version: int | None = None
+    ) -> DataFrame:
+        """Point lookup through the bloom index: open only the files whose
+        bloom admits ``value`` (expected ≈ files-that-contain-it + fpp ×
+        others), with the equality predicate still pushed to the reader.
+        Exact regardless of pruning: blooms have no false negatives."""
+        files = self.bloom_pruned_files(column, value, version)
+        pred = F.col(column) == value
+        v = self.latest_version() if version is None else version
         if not files:
             return self.read(v).filter(pred).limit(0)
         return self.spark.read.parquet(*files).filter(pred)

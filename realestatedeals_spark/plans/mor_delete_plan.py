@@ -592,3 +592,44 @@ def io_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# io_bloom_point_lookup: per-file BLOOM index point lookup (round 7). The
+# min/max manifest prunes ranges but is blind to point probes on
+# high-cardinality keys scattered across files; the bloom index answers
+# "might this file contain k?" per file with bounded false positives and
+# NO false negatives, so the lookup is exact while opening ≈ the files
+# that actually hold the key. Oracle: the same point predicate over the
+# raw table. File-count reduction pinned in tests/test_maintenance.py.
+# ---------------------------------------------------------------------------
+
+_BLOOM_POINT_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderpriority,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey = 4242
+"""
+
+
+@register("io_bloom_point_lookup", oracle=_BLOOM_POINT_ORACLE, tags=("io", "lakehouse", "bloom"))
+def io_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit orders as a many-file snapshot, build the per-file bloom
+    index on o_orderkey, and answer a point lookup through it."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="bloom_point_")
+    try:
+        t = VersionedTable(spark, os.path.join(work, "o"))
+        t.commit(o.repartition(16))
+        t.build_bloom_index("o_orderkey", fpp=0.01)
+        hit = t.read_point("o_orderkey", 4242)
+        out = hit.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

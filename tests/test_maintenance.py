@@ -879,3 +879,33 @@ def test_manifest_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
     t.build_manifest(["k"])
     after = t.read_pruned("k", 0, 2000).filter(F.col("k") % 1000 == 7).count()
     assert after == 0  # deletes folded before stats were rebuilt
+
+
+def test_bloom_index_point_lookup_prunes_files_and_is_exact(spark, tmp_path):
+    """Per-file bloom index: a point probe must open only a small minority
+    of files (true holder + fpp false positives), return exactly the
+    full-scan rows (no false negatives), and a missing key must return
+    empty through the same path."""
+    from realestatedeals_spark.io.maintenance import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(0, 30000).selectExpr("id", "id % 13 AS grp").repartition(25)
+    t.commit(df)
+    idx = t.build_bloom_index("id", fpp=0.01)
+    n_files = idx.count()
+    assert n_files >= 20
+
+    import random
+
+    random.seed(5)
+    for key in random.sample(range(30000), 8):
+        admitted = t.bloom_pruned_files("id", key)
+        assert 1 <= len(admitted) <= max(3, n_files // 4), (key, len(admitted))
+        got = t.read_point("id", key).collect()
+        assert [(r.id, r.grp) for r in got] == [(key, key % 13)]
+    # missing keys: exact empty; admitted files are fpp-bounded noise
+    misses = [t.bloom_pruned_files("id", 10**9 + i) for i in range(8)]
+    assert sum(len(m) for m in misses) <= 8  # ~0.25 files each at fpp=0.01
+    assert t.read_point("id", 10**9).count() == 0
+    # rebuild-not-commit: bloom index is derived state, table versions unchanged
+    assert len(t.versions()) == 1
