@@ -416,3 +416,79 @@ def x9_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("did").alias("doc_id"),
         F.col("score").cast("long").alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X9 — inverted text index as a STORED, partition-pruned artifact (round
+# 7): every retrieval query above scans the corpus linearly; this one
+# builds the posting table (term → doc_id, tf), persists it PARTITIONED BY
+# TERM, and answers a conjunctive query by reading only the query terms'
+# partitions — the text analogue of the bloom point-lookup: index-sized
+# I/O instead of corpus-sized. At 100 TB the partition key becomes a term
+# hash-bucket (bounded partition count); the plan — pruned posting read,
+# one doc-keyed aggregate with a distinct-term guard — is unchanged. The
+# oracle recomputes the same conjunctive match by direct tokenization.
+# ---------------------------------------------------------------------------
+
+_X9_INVERTED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+m AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(tf) AS BIGINT) AS tf_sum
+  FROM tf WHERE term IN ('spark', 'join', 'scan')
+  GROUP BY doc_id
+)
+SELECT doc_id, tf_sum FROM m WHERE n_terms_hit = 3
+"""
+
+
+@register(
+    "x9_inverted_index_search",
+    oracle=_X9_INVERTED_ORACLE,
+    tags=("X9", "retrieval", "index", "io"),
+)
+def x9_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search ('spark' AND 'join' AND 'scan') answered
+    from a term-partitioned posting store: the scan lists only the three
+    query-term partitions (partition pruning on the index layout), then one
+    doc-keyed aggregate enforces the conjunction and sums term frequencies."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    work = tempfile.mkdtemp(prefix="inverted_idx_")
+    try:
+        idx_path = os.path.join(work, "postings")
+        postings.write.partitionBy("term").parquet(idx_path)
+        terms = ["spark", "join", "scan"]
+        hits = (
+            spark.read.parquet(idx_path)
+            .filter(F.col("term").isin(terms))  # prunes to 3 partitions
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_terms_hit"),
+                F.sum("tf").alias("tf_sum"),
+            )
+            .filter(F.col("n_terms_hit") == len(terms))
+            .select("doc_id", "tf_sum")
+        )
+        return hits.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
