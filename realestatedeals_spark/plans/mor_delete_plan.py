@@ -633,3 +633,63 @@ def io_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# io_catalog_txn: MULTI-TABLE atomic commit (round 7 — io/catalog.py). A
+# pipeline that maintains a fact table and its aggregate view must never
+# let readers see one updated without the other; the catalog publishes one
+# manifest pinning {table: version} per transaction (atomic conditional
+# link, the POSIX analogue of S3 If-None-Match on the manifest). This
+# query runs two transactions — load, then a reprice of urgent orders with
+# the view recomputed in the SAME transaction — and answers from the
+# catalog-pinned view. The oracle recomputes the post-reprice aggregate
+# from raw orders; torn-read impossibility and lost-update freedom under
+# concurrent writers are pinned in tests/test_catalog.py.
+# ---------------------------------------------------------------------------
+
+_CATALOG_TXN_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2
+                     ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("io_catalog_txn", oracle=_CATALOG_TXN_ORACLE, tags=("io", "lakehouse", "catalog", "txn"))
+def io_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two multi-table transactions: (facts, view) load, then an urgent-
+    order reprice with the view recomputed atomically alongside. Result =
+    the catalog-pinned view after txn 2."""
+    from realestatedeals_spark.io.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def view_of(facts: DataFrame) -> DataFrame:
+        return facts.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+
+    work = tempfile.mkdtemp(prefix="catalog_txn_")
+    try:
+        cat = Catalog(spark, os.path.join(work, "cat"))
+        cat.commit({"facts": o, "price_view": view_of(o)})
+        repriced = o.withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.col("cents") * 2
+            ).otherwise(F.col("cents")),
+        )
+        cat.commit({"facts": repriced, "price_view": view_of(repriced)})
+        return cat.read("price_view").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

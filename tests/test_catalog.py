@@ -1,0 +1,96 @@
+"""Multi-table atomic catalog commits: torn-pair impossibility, lost-update
+freedom under concurrent blind commits, CAS conflicts, snapshot isolation."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from realestatedeals_spark.io.catalog import Catalog
+from realestatedeals_spark.io.maintenance import CommitConflict
+
+
+def _df(spark, marker: int):
+    return spark.createDataFrame([(marker, f"m{marker}")], "k long, tag string")
+
+
+def test_two_table_commit_is_atomic_to_readers(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    v1 = cat.commit({"facts": _df(spark, 1), "view": _df(spark, 100)})
+    assert [r.k for r in cat.read("facts").collect()] == [1]
+    assert [r.k for r in cat.read("view").collect()] == [100]
+
+    # a torn writer: table data published (phase 1) but NO catalog version —
+    # readers keep the old consistent pair, never one side of the new one
+    cat.table("facts").commit(_df(spark, 2))
+    assert cat.latest_version() == v1
+    assert [r.k for r in cat.read("facts").collect()] == [1]
+
+    # the completed transaction flips both at once
+    v2 = cat.commit({"facts": _df(spark, 2), "view": _df(spark, 200)})
+    assert v2 == v1 + 1
+    assert [r.k for r in cat.read("facts").collect()] == [2]
+    assert [r.k for r in cat.read("view").collect()] == [200]
+
+
+def test_snapshot_isolation_across_catalog_versions(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    v1 = cat.commit({"a": _df(spark, 1), "b": _df(spark, 10)})
+    cat.commit({"a": _df(spark, 2), "b": _df(spark, 20)})
+    # a reader pinned at v1 keeps the CONSISTENT OLD PAIR
+    assert [r.k for r in cat.read("a", v1).collect()] == [1]
+    assert [r.k for r in cat.read("b", v1).collect()] == [10]
+    assert [r.k for r in cat.read("a").collect()] == [2]
+
+
+def test_concurrent_blind_commits_lose_no_updates(spark, tmp_path):
+    """8 threads blind-commit disjoint tables; every thread's update must be
+    visible in the FINAL pins (the lost-update hazard of read-merge-write),
+    every catalog version must be derived from its predecessor, and version
+    numbers must be gapless."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"seed": _df(spark, 0)})
+    errs: list[Exception] = []
+
+    def worker(i: int) -> None:
+        try:
+            cat.commit({f"t{i}": _df(spark, i)})
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    vs = cat.versions()
+    assert vs == list(range(1, 10))  # seed + 8, gapless
+    final = cat.pins()
+    assert {f"t{i}" for i in range(8)} <= set(final)  # nothing lost
+    # monotone merge: each manifest contains every table of its predecessor
+    for a, b in zip(vs, vs[1:]):
+        assert set(cat.pins(a)) <= set(cat.pins(b))
+    for i in range(8):
+        assert [r.k for r in cat.read(f"t{i}").collect()] == [i]
+
+
+def test_cas_commit_conflicts_instead_of_silently_merging(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    v1 = cat.commit({"a": _df(spark, 1)})
+    cat.commit({"a": _df(spark, 2)})  # catalog moves under the CAS writer
+    with pytest.raises(CommitConflict, match="catalog moved"):
+        cat.commit({"a": _df(spark, 3)}, expected_latest=v1)
+    # the loser's phase-1 table version is stranded garbage, not visible
+    assert [r.k for r in cat.read("a").collect()] == [2]
+
+
+def test_referenced_table_versions_feeds_retention(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"a": _df(spark, 1)})
+    cat.commit({"a": _df(spark, 2)})
+    cat.commit({"b": _df(spark, 9)})  # carries a's pin forward unchanged
+    refs = cat.referenced_table_versions("a")
+    assert len(refs) == 2  # two distinct pinned versions of a
+    assert cat.referenced_table_versions("b") == {cat.pins()["b"]}
