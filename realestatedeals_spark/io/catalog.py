@@ -141,3 +141,24 @@ class Catalog:
         if name not in pins:
             raise ValueError(f"table {name!r} not in catalog")
         return self.table(name).read(pins[name])
+
+
+    def expire(self, keep_last: int = 1) -> dict[str, list[int]]:
+        """Retention across the whole catalog: drop all but the newest
+        ``keep_last`` catalog manifests, then expire member-table versions
+        that no SURVIVING manifest pins (each table also keeps its own
+        head: an unreferenced head is a harmless in-flight phase-1
+        version, not garbage to race with). Returns {table: removed}."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        for v in vs[:-keep_last]:
+            os.unlink(os.path.join(self._cat_dir, f"v={v}.json"))
+        tables = {name for v in self.versions() for name in self.pins(v)}
+        removed: dict[str, list[int]] = {}
+        for name in sorted(tables):
+            t = self.table(name)
+            removed[name] = t.expire_versions(
+                keep_last=1, protect=self.referenced_table_versions(name)
+            )
+        return removed

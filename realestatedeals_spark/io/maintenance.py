@@ -940,16 +940,21 @@ class VersionedTable:
                     out.add(int(fh.read().strip()))
         return out
 
-    def expire_versions(self, keep_last: int = 1) -> list[int]:
+    def expire_versions(
+        self, keep_last: int = 1, protect: set[int] | None = None
+    ) -> list[int]:
         """Retention cleanup: drop all but the newest ``keep_last``
         versions — EXCEPT full snapshots still referenced as the base of a
         surviving merge-on-read version (dropping those would corrupt
-        every DV read against them; the Iceberg expire-snapshots hazard).
-        Returns the versions actually removed."""
+        every DV read against them; the Iceberg expire-snapshots hazard),
+        and except anything in ``protect`` (a multi-table catalog passes
+        its pinned versions here — io/catalog.py). Returns the versions
+        actually removed."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
-        keep = set(vs[-keep_last:])
+        keep = set(vs[-keep_last:]) | (set(protect) if protect else set())
+        keep &= set(vs)
         # transitively protect bases of anything kept
         protected = set(keep)
         for v in keep:

@@ -94,3 +94,19 @@ def test_referenced_table_versions_feeds_retention(spark, tmp_path):
     refs = cat.referenced_table_versions("a")
     assert len(refs) == 2  # two distinct pinned versions of a
     assert cat.referenced_table_versions("b") == {cat.pins()["b"]}
+
+
+def test_catalog_expire_drops_only_unreferenced_versions(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"a": _df(spark, 1), "b": _df(spark, 10)})
+    cat.commit({"a": _df(spark, 2)})
+    cat.commit({"a": _df(spark, 3)})
+    removed = cat.expire(keep_last=2)  # catalog v2, v3 survive
+    assert cat.versions() == [2, 3]
+    # a's v pinned only by catalog v1 is gone; pins of v2/v3 survive
+    assert removed["a"], "expected at least one expired version of a"
+    assert [r.k for r in cat.read("a", 2).collect()] == [2]
+    assert [r.k for r in cat.read("a", 3).collect()] == [3]
+    # b is pinned (carried forward) by surviving manifests: nothing removed
+    assert removed["b"] == []
+    assert [r.k for r in cat.read("b").collect()] == [10]
