@@ -67,13 +67,27 @@ class Catalog:
         vs = self.versions()
         return vs[-1] if vs else None
 
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self._cat_dir, f"v={version}.json")) as f:
+            doc = json.load(f)
+        # legacy manifests are a bare pin map; current ones nest under "pins"
+        return doc if "pins" in doc else {"pins": doc, "epoch": None}
+
     def pins(self, version: int | None = None) -> dict[str, int]:
         """{table_name: pinned table version} for a catalog version."""
         v = self.latest_version() if version is None else version
         if v is None:
             return {}
-        with open(os.path.join(self._cat_dir, f"v={v}.json")) as f:
-            return {k: int(x) for k, x in json.load(f).items()}
+        return {k: int(x) for k, x in self._manifest(v)["pins"].items()}
+
+    def applied_epoch(self) -> int | None:
+        """Epoch id recorded by the newest manifest (exactly-once streaming:
+        a foreachBatch sink skips any batch whose epoch is <= this)."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        e = self._manifest(v).get("epoch")
+        return None if e is None else int(e)
 
     def referenced_table_versions(self, name: str) -> set[int]:
         """Every version of ``name`` some catalog version still pins —
@@ -91,6 +105,7 @@ class Catalog:
         updates: dict[str, DataFrame],
         expected_latest: int | None = None,
         max_retries: int = 50,
+        epoch: int | None = None,
     ) -> int:
         """Atomically publish new snapshots of every table in ``updates``.
 
@@ -119,7 +134,7 @@ class Catalog:
                 dir=self._cat_dir, prefix=f".v{target}-", suffix=".tmp"
             )
             with os.fdopen(fd, "w") as f:
-                json.dump(pins, f, sort_keys=True)
+                json.dump({"pins": pins, "epoch": epoch}, f, sort_keys=True)
             final = os.path.join(self._cat_dir, f"v={target}.json")
             try:
                 os.link(tmp, final)  # atomic conditional publish (EEXIST = lost)

@@ -34,6 +34,7 @@ from . import streaming_sessions  # noqa: E402,F401
 from . import streaming_enrich  # noqa: E402,F401
 from . import streaming_join_view  # noqa: E402,F401
 from . import streaming_transitions  # noqa: E402,F401
+from . import streaming_catalog  # noqa: E402,F401
 from . import dpp_plan  # noqa: E402,F401
 from . import mor_delete_plan  # noqa: E402,F401
 from . import tablediff_plan  # noqa: E402,F401

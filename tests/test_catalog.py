@@ -110,3 +110,36 @@ def test_catalog_expire_drops_only_unreferenced_versions(spark, tmp_path):
     # b is pinned (carried forward) by surviving manifests: nothing removed
     assert removed["b"] == []
     assert [r.k for r in cat.read("b").collect()] == [10]
+
+
+def test_stream_catalog_txn_redelivery_is_noop(spark, tmp_path):
+    """foreachBatch redelivery: re-applying an epoch already recorded in
+    the newest manifest must change NOTHING (no new catalog version, no
+    table writes) — crash-after-publish recovery."""
+    from realestatedeals_spark.plans.streaming_catalog import apply_batch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    b0 = spark.createDataFrame(
+        [(1, 7, "click", 1.5), (2, 8, "view", 2.5)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    assert apply_batch(cat, b0, 0) is True
+    v_after = cat.latest_version()
+    rows_after = sorted(
+        (r.event_type, r.n_events, r.value_micros)
+        for r in cat.read("agg_view").collect()
+    )
+    # redeliver epoch 0 (and a stale epoch below it): both no-ops
+    assert apply_batch(cat, b0, 0) is False
+    assert apply_batch(cat, b0, -1) is False
+    assert cat.latest_version() == v_after
+    assert cat.applied_epoch() == 0
+    # a NEW epoch applies on top
+    b1 = spark.createDataFrame(
+        [(3, 7, "click", 4.0)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    assert apply_batch(cat, b1, 1) is True
+    got = {r.event_type: (r.n_events, r.value_micros) for r in cat.read("agg_view").collect()}
+    assert got["click"] == (2, 5500000) and got["view"] == (1, 2500000)
+    assert rows_after != sorted((k, v[0], v[1]) for k, v in got.items())

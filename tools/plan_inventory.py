@@ -35,6 +35,7 @@ SKIP = {
     "c7_streaming_sessions": "streaming replay",
     "c8_stream_static_enrich": "streaming replay",
     "c13_stream_transition_matrix": "streaming replay",
+    "c14_stream_catalog_txn": "streaming replay",
     "io_bucketed_join": "managed-table write at plan build",
     "x3_pq_topk": "k-means training at plan build",
     "x3_ivf_topk": "k-means training at plan build",
