@@ -43,59 +43,134 @@ from realestatedeals_spark.io.maintenance import CommitConflict, VersionedTable
 
 
 class Catalog:
+    """``branch`` parameters default to "main" (the base ``_catalog``
+    directory); other branches live under ``_catalog/branches/<name>`` with
+    a ``_fork.json`` recording the pins they diverged from — the
+    three-way-merge base for ``merge()``."""
+
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
         self._cat_dir = os.path.join(root, "_catalog")
         os.makedirs(self._cat_dir, exist_ok=True)
 
+    def _dir(self, branch: str) -> str:
+        if branch == "main":
+            return self._cat_dir
+        d = os.path.join(self._cat_dir, "branches", branch)
+        return d
+
     # -- table access ------------------------------------------------------
     def table(self, name: str) -> VersionedTable:
         return VersionedTable(self.spark, os.path.join(self.root, name))
 
     # -- catalog versions --------------------------------------------------
-    def versions(self) -> list[int]:
+    def versions(self, branch: str = "main") -> list[int]:
+        d = self._dir(branch)
+        if not os.path.isdir(d):
+            return []
         out = []
-        for f in os.listdir(self._cat_dir):
+        for f in os.listdir(d):
             if f.startswith("v=") and f.endswith(".json"):
                 mid = f[2:-5]
                 if mid.isdigit():
                     out.append(int(mid))
         return sorted(out)
 
-    def latest_version(self) -> int | None:
-        vs = self.versions()
+    def latest_version(self, branch: str = "main") -> int | None:
+        vs = self.versions(branch)
         return vs[-1] if vs else None
 
-    def _manifest(self, version: int) -> dict:
-        with open(os.path.join(self._cat_dir, f"v={version}.json")) as f:
+    def _manifest(self, version: int, branch: str = "main") -> dict:
+        with open(os.path.join(self._dir(branch), f"v={version}.json")) as f:
             doc = json.load(f)
         # legacy manifests are a bare pin map; current ones nest under "pins"
         return doc if "pins" in doc else {"pins": doc, "epoch": None}
 
-    def pins(self, version: int | None = None) -> dict[str, int]:
+    def pins(self, version: int | None = None, branch: str = "main") -> dict[str, int]:
         """{table_name: pinned table version} for a catalog version."""
-        v = self.latest_version() if version is None else version
+        v = self.latest_version(branch) if version is None else version
         if v is None:
             return {}
-        return {k: int(x) for k, x in self._manifest(v)["pins"].items()}
+        return {k: int(x) for k, x in self._manifest(v, branch)["pins"].items()}
 
-    def applied_epoch(self) -> int | None:
+    def applied_epoch(self, branch: str = "main") -> int | None:
         """Epoch id recorded by the newest manifest (exactly-once streaming:
         a foreachBatch sink skips any batch whose epoch is <= this)."""
-        v = self.latest_version()
+        v = self.latest_version(branch)
         if v is None:
             return None
-        e = self._manifest(v).get("epoch")
+        e = self._manifest(v, branch).get("epoch")
         return None if e is None else int(e)
 
+    # -- branches (write-audit-publish) -------------------------------------
+    def create_branch(self, name: str, from_branch: str = "main") -> None:
+        """Fork a branch at the source branch's head: the branch starts with
+        the head's pins, and ``_fork.json`` records them as the merge base."""
+        if name == "main" or "/" in name:
+            raise ValueError(f"bad branch name {name!r}")
+        d = self._dir(name)
+        if os.path.isdir(d):
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(d)
+        base = self.pins(branch=from_branch)
+        with open(os.path.join(d, "_fork.json"), "w") as f:
+            json.dump(base, f, sort_keys=True)
+        with open(os.path.join(d, "v=1.json"), "w") as f:
+            json.dump({"pins": base, "epoch": None}, f, sort_keys=True)
+
+    def fork_pins(self, branch: str) -> dict[str, int]:
+        with open(os.path.join(self._dir(branch), "_fork.json")) as f:
+            return {k: int(x) for k, x in json.load(f).items()}
+
+    def merge(self, branch: str, into: str = "main", max_retries: int = 50) -> int:
+        """Publish the branch's changes onto ``into`` — the write-audit-
+        publish step. Three-way: a table counts as changed-on-branch if its
+        head pin differs from the fork pin; the merge CONFLICTS (raises
+        CommitConflict, nothing published) if the target also moved any of
+        those tables since the fork. Non-overlapping target movement merges
+        cleanly; publish is the same atomic conditional link as commit."""
+        changed = {
+            t: v
+            for t, v in self.pins(branch=branch).items()
+            if self.fork_pins(branch).get(t) != v
+        }
+        for _ in range(max_retries):
+            latest = self.latest_version(into)
+            head = self.pins(branch=into) if latest is not None else {}
+            fork = self.fork_pins(branch)
+            conflicts = sorted(
+                t for t in changed if head.get(t) != fork.get(t)
+            )
+            if conflicts:
+                raise CommitConflict(
+                    f"merge {branch!r}->{into!r} conflicts on tables {conflicts}"
+                )
+            target = (latest if latest is not None else 0) + 1
+            pins = dict(head)
+            pins.update(changed)
+            d = self._dir(into)
+            fd, tmp = tempfile.mkstemp(dir=d, prefix=f".v{target}-", suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"pins": pins, "epoch": None}, f, sort_keys=True)
+            final = os.path.join(d, f"v={target}.json")
+            try:
+                os.link(tmp, final)
+                return target
+            except FileExistsError:
+                continue  # target advanced: re-check conflicts against new head
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(f"merge lost {max_retries} publish races")
+
     def referenced_table_versions(self, name: str) -> set[int]:
-        """Every version of ``name`` some catalog version still pins —
-        the set expire_versions must not drop."""
+        """Every version of ``name`` some catalog version ON ANY BRANCH
+        still pins — the set expire_versions must not drop."""
         return {
             pins[name]
-            for v in self.versions()
-            for pins in [self.pins(v)]
+            for b in self.branches()
+            for v in self.versions(b)
+            for pins in [self.pins(v, b)]
             if name in pins
         }
 
@@ -106,6 +181,7 @@ class Catalog:
         expected_latest: int | None = None,
         max_retries: int = 50,
         epoch: int | None = None,
+        branch: str = "main",
     ) -> int:
         """Atomically publish new snapshots of every table in ``updates``.
 
@@ -121,21 +197,23 @@ class Catalog:
         for name, df in updates.items():
             new_pins[name] = self.table(name).commit(df)
 
+        if branch != "main" and not os.path.isdir(self._dir(branch)):
+            raise ValueError(f"no such branch {branch!r}; create_branch first")
         for _ in range(max_retries):
-            latest = self.latest_version()
+            latest = self.latest_version(branch)
             if expected_latest is not None and latest != expected_latest:
                 raise CommitConflict(
                     f"catalog moved: expected latest {expected_latest}, saw {latest}"
                 )
             target = (latest if latest is not None else 0) + 1
-            pins = self.pins(latest) if latest is not None else {}
+            pins = self.pins(latest, branch) if latest is not None else {}
             pins.update(new_pins)
             fd, tmp = tempfile.mkstemp(
-                dir=self._cat_dir, prefix=f".v{target}-", suffix=".tmp"
+                dir=self._dir(branch), prefix=f".v{target}-", suffix=".tmp"
             )
             with os.fdopen(fd, "w") as f:
                 json.dump({"pins": pins, "epoch": epoch}, f, sort_keys=True)
-            final = os.path.join(self._cat_dir, f"v={target}.json")
+            final = os.path.join(self._dir(branch), f"v={target}.json")
             try:
                 os.link(tmp, final)  # atomic conditional publish (EEXIST = lost)
                 return target
@@ -149,10 +227,12 @@ class Catalog:
                 os.unlink(tmp)
         raise CommitConflict(f"catalog commit lost {max_retries} publish races")
 
-    def read(self, name: str, version: int | None = None) -> DataFrame:
+    def read(
+        self, name: str, version: int | None = None, branch: str = "main"
+    ) -> DataFrame:
         """Read table ``name`` AT THE VERSION pinned by a catalog version —
         never the table's unreferenced head."""
-        pins = self.pins(version)
+        pins = self.pins(version, branch)
         if name not in pins:
             raise ValueError(f"table {name!r} not in catalog")
         return self.table(name).read(pins[name])
@@ -169,7 +249,12 @@ class Catalog:
         vs = self.versions()
         for v in vs[:-keep_last]:
             os.unlink(os.path.join(self._cat_dir, f"v={v}.json"))
-        tables = {name for v in self.versions() for name in self.pins(v)}
+        tables = {
+            name
+            for b in self.branches()
+            for v in self.versions(b)
+            for name in self.pins(v, b)
+        }
         removed: dict[str, list[int]] = {}
         for name in sorted(tables):
             t = self.table(name)
@@ -177,3 +262,8 @@ class Catalog:
                 keep_last=1, protect=self.referenced_table_versions(name)
             )
         return removed
+
+    def branches(self) -> list[str]:
+        bdir = os.path.join(self._cat_dir, "branches")
+        extra = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+        return ["main", *extra]

@@ -143,3 +143,55 @@ def test_stream_catalog_txn_redelivery_is_noop(spark, tmp_path):
     got = {r.event_type: (r.n_events, r.value_micros) for r in cat.read("agg_view").collect()}
     assert got["click"] == (2, 5500000) and got["view"] == (1, 2500000)
     assert rows_after != sorted((k, v[0], v[1]) for k, v in got.items())
+
+
+def test_branch_write_audit_publish_flow(spark, tmp_path):
+    """Iceberg-style WAP: stage on a branch (main readers unaffected),
+    audit the staged data, then merge = one atomic publish on main."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"facts": _df(spark, 1), "view": _df(spark, 10)})
+    cat.create_branch("audit")
+    cat.commit({"facts": _df(spark, 2), "view": _df(spark, 20)}, branch="audit")
+    # isolation: main still serves the old consistent pair
+    assert [r.k for r in cat.read("facts").collect()] == [1]
+    assert [r.k for r in cat.read("facts", branch="audit").collect()] == [2]
+    # "audit" passes; publish
+    cat.merge("audit")
+    assert [r.k for r in cat.read("facts").collect()] == [2]
+    assert [r.k for r in cat.read("view").collect()] == [20]
+
+
+def test_branch_merge_conflicts_when_target_moved_same_table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"facts": _df(spark, 1)})
+    cat.create_branch("wip")
+    cat.commit({"facts": _df(spark, 2)}, branch="wip")
+    cat.commit({"facts": _df(spark, 3)})  # main moves the SAME table
+    v_main = cat.latest_version()
+    with pytest.raises(CommitConflict, match="conflicts on tables \\['facts'\\]"):
+        cat.merge("wip")
+    assert cat.latest_version() == v_main  # nothing published
+    assert [r.k for r in cat.read("facts").collect()] == [3]
+
+
+def test_branch_merge_is_clean_when_changes_are_disjoint(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"x": _df(spark, 1), "y": _df(spark, 10)})
+    cat.create_branch("wip")
+    cat.commit({"y": _df(spark, 20)}, branch="wip")
+    cat.commit({"x": _df(spark, 2)})  # main moves a DIFFERENT table
+    cat.merge("wip")
+    assert [r.k for r in cat.read("x").collect()] == [2]   # main's move kept
+    assert [r.k for r in cat.read("y").collect()] == [20]  # branch's change in
+
+
+def test_expire_protects_branch_pins(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"a": _df(spark, 1)})
+    cat.create_branch("keepme")
+    cat.commit({"a": _df(spark, 2)})
+    cat.commit({"a": _df(spark, 3)})
+    cat.expire(keep_last=1)  # main keeps only the head manifest...
+    # ...but the branch still pins a's ORIGINAL version: it must survive
+    assert [r.k for r in cat.read("a", branch="keepme").collect()] == [1]
+    assert [r.k for r in cat.read("a").collect()] == [3]
