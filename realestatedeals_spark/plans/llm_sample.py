@@ -1130,3 +1130,109 @@ def x7_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 16)
         .select("vec_id", "cluster", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 — dedup-aware split (round 7): id-keyed splits leak — two copies of
+# the same text under different doc_ids can land in train AND eval, the
+# contamination dedup pipelines exist to prevent. Keying the split on the
+# CONTENT hash puts every exact duplicate on one side by construction.
+# The query measures both modes side by side: distinct texts present in
+# BOTH splits (leaked) must be zero for the content-keyed mode and is
+# nonzero for the id-keyed mode on this fixture (it has exact dups), so
+# the guarantee is load-bearing, not vacuous. One aggregate per mode over
+# the same scan; the md5-prefix split rule is the cross-engine-stable
+# 75/25 assignment x7_hash_split already uses.
+# ---------------------------------------------------------------------------
+
+_X7_DEDUP_SPLIT_ORACLE = """
+WITH contaminated AS (
+  -- the fixture has almost no exact dups, so every 7th doc becomes one of
+  -- five shared boilerplate texts (same injection on BOTH engines): the
+  -- id-keyed split MUST leak on these, the content-keyed split cannot
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'boilerplate template number ' || CAST(doc_id % 5 AS STRING)
+              ELSE text END AS text
+  FROM documents
+),
+modes AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 1) <= 'b'
+              THEN 'train' ELSE 'eval' END AS by_id,
+         CASE WHEN substr(md5(text), 1, 1) <= 'b'
+              THEN 'train' ELSE 'eval' END AS by_content
+  FROM contaminated
+),
+leak AS (
+  SELECT 'by_id' AS split_mode,
+         CAST(count(*) FILTER (by_id = 'train') AS BIGINT) AS n_train,
+         CAST(count(*) FILTER (by_id = 'eval') AS BIGINT) AS n_eval,
+         CAST((SELECT count(*) FROM (
+            SELECT text FROM modes GROUP BY text
+            HAVING count(DISTINCT by_id) > 1)) AS BIGINT) AS leaked_dup_texts
+  FROM modes
+  UNION ALL
+  SELECT 'by_content',
+         CAST(count(*) FILTER (by_content = 'train') AS BIGINT),
+         CAST(count(*) FILTER (by_content = 'eval') AS BIGINT),
+         CAST((SELECT count(*) FROM (
+            SELECT text FROM modes GROUP BY text
+            HAVING count(DISTINCT by_content) > 1)) AS BIGINT)
+  FROM modes
+)
+SELECT * FROM leak
+"""
+
+
+@register("x7_dedup_aware_split", oracle=_X7_DEDUP_SPLIT_ORACLE, tags=("X7", "sampling", "dedup"))
+def x7_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split keyed by content hash vs by doc id, with the
+    cross-split duplicate-text leak count for each — zero for the
+    content-keyed mode by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    contaminated = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("boilerplate template number "),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    modes = contaminated.select(
+        "text",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b",
+            F.lit("train"),
+        ).otherwise(F.lit("eval")).alias("by_id"),
+        F.when(F.substring(F.md5("text"), 1, 1) <= "b", F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("by_content"),
+    )
+    rows = []
+    for mode in ("by_id", "by_content"):
+        counts = modes.groupBy(F.col(mode).alias("split")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        leaked = (
+            modes.groupBy("text")
+            .agg(F.count_distinct(F.col(mode)).alias("sides"))
+            .filter(F.col("sides") > 1)
+            .agg(F.count(F.lit(1)).alias("leaked"))
+        )
+        row = (
+            counts.groupBy()
+            .pivot("split", ["train", "eval"])
+            .sum("n")
+            .crossJoin(F.broadcast(leaked))
+            .select(
+                F.lit(mode).alias("split_mode"),
+                F.coalesce(F.col("train"), F.lit(0)).alias("n_train"),
+                F.coalesce(F.col("eval"), F.lit(0)).alias("n_eval"),
+                F.col("leaked").alias("leaked_dup_texts"),
+            )
+        )
+        rows.append(row)
+    return rows[0].unionByName(rows[1])
