@@ -46,6 +46,7 @@ _BNLJ_WHITELIST = {
     "x3_mips_topk": "linear scan vs the bounded broadcast query frame (MIPS baseline)",
     "x9_quantization_impact": "linear scan vs the bounded broadcast query frame, shared by the exact and int8 rankings",
     "e31_rfm_segments": "cross vs the 1-row broadcast corpus-max-ts frame",
+    "x7_dedup_aware_split": "cross vs the 1-row broadcast leak-count frame, once per split mode",
 }
 
 # execute real streaming replays on invocation AND return localCheckpoint
