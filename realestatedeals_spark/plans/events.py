@@ -1822,3 +1822,63 @@ def e32_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# E33 — time-to-convert latency distribution (round 7): per user, earliest
+# signup → earliest purchase at-or-after it; the latency distribution
+# (exact interpolated percentiles over integer micros) is the product
+# metric funnels feed. Spark percentile() and DuckDB quantile_cont share
+# the linear-interpolation definition (verified bit-equal on
+# olap_percentiles_exact), so the result is hash-exact. One user-keyed
+# aggregate per stage, then a single global percentile over user-count
+# rows — events-scale work happens in the keyed min()s.
+# ---------------------------------------------------------------------------
+
+_E33_TTC_ORACLE = """
+WITH s AS (SELECT user_id, min(epoch_us(ts)) AS st FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS pt
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.st
+      GROUP BY e.user_id),
+lat AS (SELECT p.user_id, p.pt - s.st AS latency_us FROM p JOIN s USING (user_id))
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(latency_us, 0.25) AS p25_us,
+       quantile_cont(latency_us, 0.5) AS p50_us,
+       quantile_cont(latency_us, 0.75) AS p75_us,
+       quantile_cont(latency_us, 0.9) AS p90_us,
+       CAST(min(latency_us) AS BIGINT) AS min_us,
+       CAST(max(latency_us) AS BIGINT) AS max_us
+FROM lat
+"""
+
+
+@register("e33_time_to_convert", oracle=_E33_TTC_ORACLE, tags=("funnel", "percentile"))
+def e33_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase latency percentiles over converting users."""
+    apply_session_conf(spark)
+    ev = load_events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("st"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("pt"))
+        .join(s, "user_id")
+        .filter(F.col("pt") >= F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("pt").alias("pt"), F.first("st").alias("st"))
+    )
+    lat = p.select((F.col("pt") - F.col("st")).alias("latency_us"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("latency_us", F.lit(0.25)).alias("p25_us"),
+        F.percentile("latency_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("latency_us", F.lit(0.75)).alias("p75_us"),
+        F.percentile("latency_us", F.lit(0.9)).alias("p90_us"),
+        F.min("latency_us").alias("min_us"),
+        F.max("latency_us").alias("max_us"),
+    )
