@@ -693,3 +693,63 @@ def io_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cat.read("price_view").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# io_catalog_wap: the write-audit-publish workflow through the driver gate
+# (round 7 — io/catalog.py branches). A staging branch takes the risky
+# update (repriced urgent orders + recomputed view), an AUDIT runs against
+# the BRANCH (row-count conservation + non-negative totals — the kind of
+# expectation suite a real pipeline gates merges on; audit failure would
+# leave main untouched), and only then does the three-way merge publish
+# onto main. Result = main's post-merge view; the oracle recomputes it
+# directly. Isolation/conflict/retention semantics are pinned in
+# tests/test_catalog.py.
+# ---------------------------------------------------------------------------
+
+
+@register("io_catalog_wap", oracle=_CATALOG_TXN_ORACLE, tags=("io", "lakehouse", "catalog", "branch"))
+def io_catalog_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: stage the reprice on a branch, audit the staged
+    view, merge to main; returns main's view (same oracle as the direct
+    transaction — the workflow must not change the answer)."""
+    from realestatedeals_spark.io.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def view_of(facts: DataFrame) -> DataFrame:
+        return facts.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+
+    work = tempfile.mkdtemp(prefix="catalog_wap_")
+    try:
+        cat = Catalog(spark, os.path.join(work, "cat"))
+        cat.commit({"facts": o, "price_view": view_of(o)})
+        cat.create_branch("staging")
+        repriced = o.withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.col("cents") * 2
+            ).otherwise(F.col("cents")),
+        )
+        cat.commit(
+            {"facts": repriced, "price_view": view_of(repriced)}, branch="staging"
+        )
+        # AUDIT the branch before anything reaches main
+        staged = cat.read("price_view", branch="staging")
+        audit = staged.agg(
+            F.sum("n_orders").alias("rows"), F.min("total_cents").alias("mn")
+        ).first()
+        base_rows = cat.read("price_view").agg(F.sum("n_orders")).first()[0]
+        if audit["rows"] != base_rows or audit["mn"] < 0:
+            raise ValueError("WAP audit failed; main stays untouched")
+        cat.merge("staging")
+        return cat.read("price_view").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
