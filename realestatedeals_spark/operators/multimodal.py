@@ -2688,6 +2688,10 @@ def _tiff_ifd(data: bytes):
         tags[tid] = (typ, count, data[ent + 8 : ent + 12])
 
     def longs(tid: int) -> list[int]:
+        if tid not in tags:
+            # a corrupt IFD entry id must surface as the typed ValueError
+            # the media error-row catch tuples understand, not a KeyError
+            raise ValueError(f"TIFF missing required tag {tid}")
         typ, count, val = tags[tid]
         size = 2 if typ == 3 else 4
         if count * size <= 4:

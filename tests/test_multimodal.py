@@ -1569,3 +1569,50 @@ def test_jpeg_noninterleaved_baseline_matches_interleaved():
             tiles(16, 16, 1), tiles(16, 16, 2), tiles(16, 16, 3),
             100, (1, 1), restart_interval=2, interleaved=False,
         )
+
+
+def test_tiff_decoder_fuzz_never_crashes_untyped():
+    """Byte-mutation fuzz over both TIFF byte orders and layouts: every
+    mutation either decodes (pixel-data hits change values, not structure)
+    or raises a TYPED error the media error-row catches understand — never
+    an unhandled exception class, hang, or silent misshape."""
+    import struct as _s
+
+    import numpy as np
+
+    from realestatedeals_spark.operators.multimodal import (
+        decode_tiff_gray,
+        decode_tiff_rgb,
+        encode_tiff_gray,
+        encode_tiff_rgb,
+    )
+
+    rng = np.random.default_rng(41)
+    gray = rng.integers(0, 256, size=(24, 17)).astype(np.uint8)
+    rgb = rng.integers(0, 256, size=(16, 11, 3)).astype(np.uint8)
+    corpus = [
+        (encode_tiff_gray(gray, "packbits"), decode_tiff_gray, gray.shape),
+        (encode_tiff_gray(gray, "none", byteorder=">"), decode_tiff_gray, gray.shape),
+        (encode_tiff_rgb(rgb, "packbits"), decode_tiff_rgb, rgb.shape),
+        (encode_tiff_rgb(rgb, "none", byteorder=">", planar=True), decode_tiff_rgb, rgb.shape),
+    ]
+    allowed = (ValueError, NotImplementedError, _s.error, IndexError)
+    import random
+
+    random.seed(17)
+    decoded = raised = 0
+    for data, dec, shape in corpus:
+        for _ in range(120):
+            b = bytearray(data)
+            for _ in range(random.randrange(1, 4)):
+                b[random.randrange(len(b))] = random.randrange(256)
+            try:
+                out = dec(bytes(b))
+            except allowed:
+                raised += 1
+                continue
+            decoded += 1
+            # a "successful" decode must still be a sane array
+            assert out.dtype == np.uint8 and out.ndim == len(shape)
+    # the fuzz must exercise BOTH outcomes to mean anything
+    assert decoded > 30 and raised > 30, (decoded, raised)
