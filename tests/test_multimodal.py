@@ -1616,3 +1616,69 @@ def test_tiff_decoder_fuzz_never_crashes_untyped():
             assert out.dtype == np.uint8 and out.ndim == len(shape)
     # the fuzz must exercise BOTH outcomes to mean anything
     assert decoded > 30 and raised > 30, (decoded, raised)
+
+
+def test_all_codec_decoders_fuzz_typed_errors_only():
+    """Unified mutation fuzz over every remaining decoder (the TIFF fuzz
+    above found a real KeyError escape on its first run): each mutated
+    stream must decode or raise a TYPED error — never KeyError/TypeError/
+    AttributeError or an unhandled crash."""
+    import struct as _s
+
+    import numpy as np
+
+    from realestatedeals_spark.operators.aiff import decode_aiff_pcm16, encode_aiff_pcm16
+    from realestatedeals_spark.operators.flac import decode_flac, encode_flac
+    from realestatedeals_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        decode_gif_frames,
+        decode_gif_gray,
+        decode_png_gray,
+        decode_png_rgb,
+        decode_wav_pcm16,
+        encode_bmp_rgb,
+        encode_gif_animation,
+        encode_gif_gray,
+        encode_png_gray,
+        encode_png_rgb,
+        encode_wav_pcm16,
+    )
+    from realestatedeals_spark.operators.qoi import decode_qoi, encode_qoi
+    from realestatedeals_spark.operators.y4m import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(43)
+    g = rng.integers(0, 256, size=(24, 16)).astype(np.uint8)
+    c = rng.integers(0, 256, size=(16, 12, 3)).astype(np.uint8)
+    pcm = (rng.integers(-3000, 3000, size=800)).astype(np.int16)
+    frames = [g, (g + 7).astype(np.uint8)]
+    yuv = [rng.integers(0, 256, size=(16, 16)).astype(np.uint8) for _ in range(2)]
+    corpus = [
+        (encode_png_gray(g, interlace=True), decode_png_gray),
+        (encode_png_rgb(c), decode_png_rgb),
+        (encode_gif_gray(g, interlace=True), decode_gif_gray),
+        (encode_gif_animation(frames), decode_gif_frames),
+        (encode_bmp_rgb(c), decode_bmp_rgb),
+        (encode_qoi(c), decode_qoi),
+        (encode_wav_pcm16(pcm), decode_wav_pcm16),
+        (encode_aiff_pcm16(pcm), decode_aiff_pcm16),
+        (encode_flac(pcm, block_size=256), decode_flac),
+        (encode_y4m(yuv, 16, 16), decode_y4m),
+    ]
+    import zlib
+
+    allowed = (ValueError, NotImplementedError, _s.error, IndexError, zlib.error, EOFError)
+    import random
+
+    random.seed(23)
+    outcomes = {"ok": 0, "typed": 0}
+    for data, dec in corpus:
+        for _ in range(80):
+            b = bytearray(data)
+            for _ in range(random.randrange(1, 4)):
+                b[random.randrange(len(b))] = random.randrange(256)
+            try:
+                dec(bytes(b))
+                outcomes["ok"] += 1
+            except allowed:
+                outcomes["typed"] += 1
+    assert outcomes["ok"] > 50 and outcomes["typed"] > 50, outcomes
