@@ -857,6 +857,16 @@ class VersionedTable:
             or 1
         )
         n_bits, k = sizing(per_file, fpp)
+        blooms = self._file_blooms(df, column, n_bits, k)
+        out = os.path.join(self.root, "_bloom", f"v={v}_col={column}")
+        blooms.write.mode("overwrite").parquet(out)
+        return self.spark.read.parquet(out)
+
+    def _file_blooms(
+        self, df: DataFrame, column: str, n_bits: int, k: int
+    ) -> DataFrame:
+        """One packed per-file bloom row per data file of ``df``."""
+        from realestatedeals_spark.operators.bloom import _positions
 
         @F.pandas_udf("array<long>")
         def pos_udf(vals: pd.Series) -> pd.Series:
@@ -879,7 +889,7 @@ class VersionedTable:
                 }
             )
 
-        blooms = (
+        return (
             df.select(
                 F.col("_metadata.file_path").alias("file_path"),
                 F.explode(pos_udf(F.col(column).cast("long"))).alias("pos"),
@@ -888,8 +898,40 @@ class VersionedTable:
             .groupBy("file_path")
             .applyInPandas(pack, "file_path string, n_bits long, k long, bitmap binary")
         )
+
+    def update_bloom_index(
+        self, column: str, fpp: float = 0.01, version: int | None = None
+    ) -> DataFrame:
+        """INCREMENTAL bloom-index maintenance: for a merge-on-read version,
+        only the (rewritten-cumulative, batch-sized) insert store gets new
+        blooms — the base files' entries copy over unchanged, so index
+        upkeep costs O(new data), not O(table). Deletions never need index
+        work: a deleted key admitting its old file is just one more false
+        positive, and ``read_point`` applies the deletion vector. Full
+        snapshots fall back to a full build (everything rewrote)."""
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self.versions():
+            raise ValueError(f"no such version {version!r} in {self.root}")
+        base, dv, ins = self._resolve(v)
+        if dv is None:
+            return self.build_bloom_index(column, fpp, v)
+        base_idx_path = os.path.join(self.root, "_bloom", f"v={base}_col={column}")
+        if not os.path.exists(base_idx_path):
+            raise ValueError(
+                f"no bloom index for base v={base}; build_bloom_index there first"
+            )
+        base_idx = self.spark.read.parquet(base_idx_path)
+        first = base_idx.first()
+        n_bits, k = int(first["n_bits"]), int(first["k"])
+        parts = [base_idx]
+        if ins is not None:
+            ins_files = self.spark.read.parquet(
+                os.path.join(self.root, f"v={v}", "_ins")
+            )
+            parts.append(self._file_blooms(ins_files, column, n_bits, k))
+        combined = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         out = os.path.join(self.root, "_bloom", f"v={v}_col={column}")
-        blooms.write.mode("overwrite").parquet(out)
+        combined.write.mode("overwrite").parquet(out)
         return self.spark.read.parquet(out)
 
     def bloom_pruned_files(
@@ -922,13 +964,41 @@ class VersionedTable:
         """Point lookup through the bloom index: open only the files whose
         bloom admits ``value`` (expected ≈ files-that-contain-it + fpp ×
         others), with the equality predicate still pushed to the reader.
-        Exact regardless of pruning: blooms have no false negatives."""
+        Exact regardless of pruning: blooms have no false negatives. On a
+        merge-on-read version, admitted BASE files are read through the
+        deletion vector and admitted INSERT-store files directly — same
+        row set the full MoR read produces for this key."""
         files = self.bloom_pruned_files(column, value, version)
         pred = F.col(column) == value
         v = self.latest_version() if version is None else version
         if not files:
             return self.read(v).filter(pred).limit(0)
-        return self.spark.read.parquet(*files).filter(pred)
+        base, dv, _ins = self._resolve(v)
+        if dv is None:
+            return self.spark.read.parquet(*files).filter(pred)
+        cols = self.read(v).columns
+        base_files = [f for f in files if "/_ins/" not in f]
+        ins_files = [f for f in files if "/_ins/" in f]
+        parts = []
+        if base_files:
+            live = self.spark.read.parquet(*base_files).select(
+                "*",
+                F.col("_metadata.file_path").alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            live = live.join(
+                dv,
+                (F.col("__file") == F.col("file_path"))
+                & (F.col("__pos") == F.col("row_index")),
+                "left_anti",
+            )
+            parts.append(live.select(*cols).filter(pred))
+        if ins_files:
+            parts.append(self.spark.read.parquet(*ins_files).select(*cols).filter(pred))
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra)
+        return out
 
     def referenced_bases(self) -> set[int]:
         """Full-snapshot versions some merge-on-read version points at."""

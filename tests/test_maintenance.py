@@ -909,3 +909,37 @@ def test_bloom_index_point_lookup_prunes_files_and_is_exact(spark, tmp_path):
     assert t.read_point("id", 10**9).count() == 0
     # rebuild-not-commit: bloom index is derived state, table versions unchanged
     assert len(t.versions()) == 1
+
+
+def test_bloom_index_incremental_update_on_mor_insert(spark, tmp_path):
+    """Incremental index upkeep: after a MoR MERGE that inserts new keys
+    and deletes-by-update an old one, update_bloom_index must only hash the
+    (batch-sized) insert store — base bloom rows are copied byte-identical —
+    and read_point through the updated index must see inserted keys, the
+    updated value, and respect the deletion vector."""
+    from realestatedeals_spark.io.maintenance import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base_df = spark.range(0, 5000).selectExpr("id", "id * 10 AS val").repartition(8)
+    t.commit(base_df)
+    idx0 = {r.file_path: bytes(r.bitmap) for r in t.build_bloom_index("id").collect()}
+
+    # MoR upsert: update id=7 (position-delete + reinsert), insert new keys
+    src = spark.createDataFrame(
+        [(7, 777), (100001, 1), (100002, 2)], "id long, val long"
+    )
+    t.merge_into(src, keys=["id"])
+    idx1 = t.update_bloom_index("id")
+    rows1 = {r.file_path: bytes(r.bitmap) for r in idx1.collect()}
+    # base entries copied unchanged; at least one new _ins entry appended
+    for f, bm in idx0.items():
+        assert rows1[f] == bm
+    assert any("/_ins/" in f for f in rows1), "insert-store files not indexed"
+
+    # point lookups through the MoR-aware path
+    assert [(r.id, r.val) for r in t.read_point("id", 100001).collect()] == [(100001, 1)]
+    assert [(r.id, r.val) for r in t.read_point("id", 7).collect()] == [(7, 777)]
+    assert [(r.id, r.val) for r in t.read_point("id", 4242).collect()] == [(4242, 42420)]
+    assert t.read_point("id", 10**9).count() == 0
+    # pruning still real: the updated index admits few files for a base key
+    assert len(t.bloom_pruned_files("id", 4242)) <= 4
