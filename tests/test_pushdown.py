@@ -144,3 +144,36 @@ def test_runtime_bloom_filter_injects_and_preserves_results(spark, sf_dir):
         for k, v in old.items():
             conf.set(k, v)
     assert rows_on == rows_off and rows_on[0]["n"] > 0
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
+    """Spark's DSv2 parquet scan can answer MIN/MAX/COUNT from file footer
+    statistics without reading data pages (spark.sql.parquet.
+    aggregatePushDown) — at 100 TB that turns a table-wide count into a
+    metadata read. Pin that the rewrite injects on this engine's plans and
+    is semantics-preserving against the ordinary v1 aggregate."""
+    keys = ("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushDown")
+    old = {k: spark.conf.get(k, None) for k in keys}
+
+    def agg():
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("mn"),
+            F.max("l_orderkey").alias("mx"),
+        )
+
+    try:
+        baseline = agg().collect()
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        pushed = agg()
+        plan = pushed._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan and "BatchScan" in plan
+        assert pushed.collect() == baseline
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
