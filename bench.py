@@ -71,18 +71,39 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # The driver keeps only the last ~2000 chars of stdout and parses the
+    # JSON line out of that tail — round 7's line broke 2000 chars when the
+    # medians dict was inlined and the driver recorded "parsed": null. The
+    # stdout line therefore stays COMPACT (best-of-3 timings only, separators
+    # without spaces); the full payload incl. medians/method/errors goes to
+    # bench_results/bench_full.json on disk.
     payload: dict = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {**timings, **{k: "error" for k in failed}},
-        "queries_median": medians,
-        "method": "warmup pass + best-of-3 per query; value = sum of bests",
         "sf": sf_val,
     }
+    full = {
+        **payload,
+        "queries_median": medians,
+        "method": "warmup pass + best-of-3 per query; value = sum of bests",
+    }
     if failed:
-        payload["errors"] = failed
-    print(json.dumps(payload))
+        full["errors"] = failed
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "bench_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # hard guard: never exceed the driver's tail window
+        slim = dict(payload)
+        slim["queries"] = {k: v for k, v in sorted(
+            payload["queries"].items(), key=lambda kv: -(kv[1] if isinstance(kv[1], float) else 9e9)
+        )[:20]}
+        slim["note"] = "top20 by time; full set in bench_results/bench_full.json"
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -82,8 +82,16 @@ class Catalog:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int, branch: str = "main") -> dict:
-        with open(os.path.join(self._dir(branch), f"v={version}.json")) as f:
-            doc = json.load(f)
+        try:
+            with open(os.path.join(self._dir(branch), f"v={version}.json")) as f:
+                doc = json.load(f)
+        except FileNotFoundError:
+            # a concurrent expire() may have dropped it, or the caller passed
+            # a bad number — either way surface the catalog API's typed error,
+            # not a raw OS error
+            raise ValueError(
+                f"no such catalog version {version} on branch {branch!r}"
+            ) from None
         # legacy manifests are a bare pin map; current ones nest under "pins"
         return doc if "pins" in doc else {"pins": doc, "epoch": None}
 
@@ -149,10 +157,18 @@ class Catalog:
             target = (latest if latest is not None else 0) + 1
             pins = dict(head)
             pins.update(changed)
+            # Carry the target head's applied-epoch watermark forward: a merge
+            # between streaming commits must NOT clobber it to None, or the
+            # next redelivered foreachBatch epoch would re-apply (duplicates).
+            epoch = (
+                self._manifest(latest, into).get("epoch")
+                if latest is not None
+                else None
+            )
             d = self._dir(into)
             fd, tmp = tempfile.mkstemp(dir=d, prefix=f".v{target}-", suffix=".tmp")
             with os.fdopen(fd, "w") as f:
-                json.dump({"pins": pins, "epoch": None}, f, sort_keys=True)
+                json.dump({"pins": pins, "epoch": epoch}, f, sort_keys=True)
             final = os.path.join(d, f"v={target}.json")
             try:
                 os.link(tmp, final)

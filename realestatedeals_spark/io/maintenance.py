@@ -889,8 +889,14 @@ class VersionedTable:
                 }
             )
 
+        # NULL keys are never admitted by the index: a NULL would become NaN
+        # in the int64 conversion and blow up the UDF untyped, and the
+        # equality predicate read_point pushes (col == value) can never match
+        # a NULL row anyway — so dropping them is both safe and semantically
+        # exact for point lookups.
         return (
-            df.select(
+            df.filter(F.col(column).isNotNull())
+            .select(
                 F.col("_metadata.file_path").alias("file_path"),
                 F.explode(pos_udf(F.col(column).cast("long"))).alias("pos"),
             )
@@ -991,14 +997,25 @@ class VersionedTable:
                 (F.col("__file") == F.col("file_path"))
                 & (F.col("__pos") == F.col("row_index")),
                 "left_anti",
-            )
-            parts.append(live.select(*cols).filter(pred))
+            ).drop("__file", "__pos")
+            parts.append(live)
         if ins_files:
-            parts.append(self.spark.read.parquet(*ins_files).select(*cols).filter(pred))
+            parts.append(self.spark.read.parquet(*ins_files))
+        # After schema evolution the insert store and the base snapshot may
+        # carry different column sets (read() tolerates that via
+        # unionByName(allowMissingColumns=True)); a strict select(*cols) on
+        # each side would raise AnalysisException for the missing columns.
+        # Mirror read(): select what each side HAS, union allowing missing,
+        # then null-fill anything still absent so the output schema matches
+        # read(v) exactly.
+        parts = [p.select(*[c for c in cols if c in p.columns]) for p in parts]
         out = parts[0]
         for extra in parts[1:]:
-            out = out.unionByName(extra)
-        return out
+            out = out.unionByName(extra, allowMissingColumns=True)
+        for c in cols:
+            if c not in out.columns:
+                out = out.withColumn(c, F.lit(None))
+        return out.select(*cols).filter(pred)
 
     def referenced_bases(self) -> set[int]:
         """Full-snapshot versions some merge-on-read version points at."""

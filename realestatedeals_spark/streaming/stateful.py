@@ -327,29 +327,33 @@ def _update_transitions(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     last = state.get[0] if state.exists else None
-    acc: pd.Series | None = None
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ets = pdf["event_type"].reset_index(drop=True)
-        prev = ets.shift(1)
-        if last is not None:
-            prev.iloc[0] = last  # the cross-batch boundary transition
-        last = ets.iloc[-1]
-        # vectorized pair counting (no per-row Python): group the aligned
-        # (prev, current) columns, dropping the stateless first row
-        mask = prev.notna()
-        if mask.any():
-            counts = (
-                pd.DataFrame({"from_type": prev[mask], "to_type": ets[mask]})
-                .groupby(["from_type", "to_type"])
-                .size()
-            )
-            acc = counts if acc is None else acc.add(counts, fill_value=0)
+    # One micro-batch's rows for a key may arrive as MULTIPLE Arrow record
+    # batches (default ~10k rows each), and the chunks are not globally
+    # ordered by (ts, event_id). Sorting each chunk independently and
+    # carrying `last` across them in arrival order would count the
+    # chunk-boundary transitions against the wrong pairs — so concatenate
+    # everything for the key first, then sort ONCE.
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if not parts:
+        state.update((last,))
+        return
+    pdf = pd.concat(parts, ignore_index=True).sort_values(["ts", "event_id"])
+    ets = pdf["event_type"].reset_index(drop=True)
+    prev = ets.shift(1)
+    if last is not None:
+        prev.iloc[0] = last  # the cross-batch boundary transition
+    last = ets.iloc[-1]
     state.update((last,))
-    if acc is not None and len(acc):
-        out = acc.astype("int64").reset_index(name="n").sort_values(
+    # vectorized pair counting (no per-row Python): group the aligned
+    # (prev, current) columns, dropping the stateless first row
+    mask = prev.notna()
+    if mask.any():
+        counts = (
+            pd.DataFrame({"from_type": prev[mask], "to_type": ets[mask]})
+            .groupby(["from_type", "to_type"])
+            .size()
+        )
+        out = counts.astype("int64").reset_index(name="n").sort_values(
             ["from_type", "to_type"]
         )
         yield out

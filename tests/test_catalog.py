@@ -195,3 +195,32 @@ def test_expire_protects_branch_pins(spark, tmp_path):
     # ...but the branch still pins a's ORIGINAL version: it must survive
     assert [r.k for r in cat.read("a", branch="keepme").collect()] == [1]
     assert [r.k for r in cat.read("a").collect()] == [3]
+
+
+def test_branch_merge_preserves_applied_epoch(spark, tmp_path):
+    """A branch merge between streaming commits must carry the target
+    head's applied-epoch watermark forward, not clobber it to None —
+    otherwise the next redelivered foreachBatch epoch would re-apply."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"facts": _df(spark, 1)})
+    cat.create_branch("wip")
+    cat.commit({"extra": _df(spark, 5)}, branch="wip")
+    # a streaming sink stamps epoch 3 on main after the fork
+    cat.commit({"view": _df(spark, 9)}, epoch=3)
+    assert cat.applied_epoch() == 3
+    cat.merge("wip")  # disjoint tables: merges cleanly
+    # watermark survives the merge; a redelivery of epoch <= 3 still skips
+    assert cat.applied_epoch() == 3
+    assert [r.k for r in cat.read("extra").collect()] == [5]
+
+
+def test_manifest_bad_version_raises_typed_value_error(spark, tmp_path):
+    """Reading a catalog version that never existed (or that a concurrent
+    expire() deleted) surfaces the catalog API's typed ValueError, not a
+    raw FileNotFoundError."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"a": _df(spark, 1)})
+    with pytest.raises(ValueError, match="no such catalog version 99"):
+        cat.pins(version=99)
+    with pytest.raises(ValueError, match="on branch 'main'"):
+        cat.read("a", version=42)

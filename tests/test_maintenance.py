@@ -943,3 +943,53 @@ def test_bloom_index_incremental_update_on_mor_insert(spark, tmp_path):
     assert t.read_point("id", 10**9).count() == 0
     # pruning still real: the updated index admits few files for a base key
     assert len(t.bloom_pruned_files("id", 4242)) <= 4
+
+
+def test_bloom_index_tolerates_null_keys(spark, tmp_path):
+    """NULL values in the indexed column must not blow up the index build
+    (NaN in the int64 cast used to raise untyped inside the pandas UDF).
+    NULL keys are never admitted — the equality predicate read_point
+    pushes can't match them anyway — and lookups stay exact."""
+    from realestatedeals_spark.io.maintenance import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE id END AS id", "id AS val"
+    ).repartition(6)
+    t.commit(df)
+    idx = t.build_bloom_index("id")
+    assert idx.count() >= 1
+    got = t.read_point("id", 7).collect()
+    assert [(r.id, r.val) for r in got] == [(7, 7)]
+    assert t.read_point("id", 10).count() == 0  # NULLed-out key: exact empty
+
+
+def test_read_point_after_schema_evolution(spark, tmp_path):
+    """After an evolved MoR merge the insert store is wider than the base
+    snapshot; read_point must align the two sides like read() does (null-
+    filling the base rows) instead of raising AnalysisException on a strict
+    select of the missing column."""
+    from realestatedeals_spark.io.maintenance import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(0, 3000).selectExpr("id", "id * 10 AS val").repartition(6)
+    )
+    t.build_bloom_index("id")
+    wide = spark.createDataFrame(
+        [(7, 777, "upd"), (90001, 1, "new")], "id long, val long, note string"
+    )
+    t.merge_into(wide, keys=["id"], allow_schema_evolution=True)
+    t.update_bloom_index("id")
+    cols = t.read().columns
+    # base row read through the evolved MoR path: note null-filled
+    row = t.read_point("id", 1242).collect()
+    assert [(r.id, r.val, r.note) for r in row] == [(1242, 12420, None)]
+    assert t.read_point("id", 1242).columns == cols
+    # evolved insert-store rows carry the new column
+    assert [(r.id, r.val, r.note) for r in t.read_point("id", 90001).collect()] == [
+        (90001, 1, "new")
+    ]
+    assert [(r.id, r.val, r.note) for r in t.read_point("id", 7).collect()] == [
+        (7, 777, "upd")
+    ]

@@ -348,3 +348,57 @@ def test_transition_deltas_counts_batch_boundary_pair(spark, tmp_path):
     }
     # signup->click within batch 1; click->view ONLY via cross-batch state
     assert got == {("signup", "click"): 1, ("click", "view"): 1}
+
+
+def test_update_transitions_multi_chunk_out_of_order():
+    """One micro-batch's rows for a key can span several Arrow record
+    batches that are NOT globally ordered by (ts, event_id); the counter
+    must concatenate and sort ONCE, not sort each chunk independently and
+    thread `last` across chunk boundaries in arrival order."""
+    import pandas as pd
+
+    from realestatedeals_spark.streaming.stateful import _update_transitions
+
+    class _FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, tup):
+            self.exists = True
+            self.get = tup
+
+    # global order by ts: a(1) b(2) a(3) b(4) → a->b, b->a, a->b
+    chunk1 = pd.DataFrame(
+        {"ts": [2, 4], "event_id": [2, 4], "event_type": ["b", "b"]}
+    )
+    chunk2 = pd.DataFrame(
+        {"ts": [1, 3], "event_id": [1, 3], "event_type": ["a", "a"]}
+    )
+    state = _FakeState()
+    out = list(_update_transitions((7,), iter([chunk1, chunk2]), state))
+    assert state.get == ("b",)
+    got = {
+        (r.from_type, r.to_type): r.n for r in pd.concat(out).itertuples()
+    }
+    # per-chunk sorting would have produced b->b and a->a phantom pairs
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+    # cross-batch boundary still counted once from carried state
+    state2 = _FakeState()
+    state2.exists, state2.get = True, ("b",)
+    out2 = list(
+        _update_transitions(
+            (7,),
+            iter([pd.DataFrame({"ts": [9], "event_id": [9], "event_type": ["c"]})]),
+            state2,
+        )
+    )
+    got2 = {(r.from_type, r.to_type): r.n for r in pd.concat(out2).itertuples()}
+    assert got2 == {("b", "c"): 1} and state2.get == ("c",)
+
+    # empty batch: state untouched, nothing emitted
+    state3 = _FakeState()
+    state3.exists, state3.get = True, ("z",)
+    assert list(_update_transitions((7,), iter([pd.DataFrame({"ts": [], "event_id": [], "event_type": []})]), state3)) == []
+    assert state3.get == ("z",)
