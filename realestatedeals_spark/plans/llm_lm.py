@@ -1,0 +1,330 @@
+"""X4 — distributed Stupid-Backoff n-gram LM (Brants et al. 2007, "Large
+Language Models in Machine Translation"): train trigram/bigram/unigram
+count tables on one half of the corpus, score the held-out half, and
+filter low-quality documents CCNet-style (Wenzek et al. 2019 score the
+crawl with an LM trained on a clean corpus and keep the best buckets).
+
+Stupid Backoff was designed FOR this execution model: the paper's point
+is that at MapReduce scale you skip Kneser-Ney normalization entirely and
+use raw relative frequencies with a fixed backoff multiplier,
+
+    S(w | u,v) = c(uvw)/c(uv)        if c(uvw) > 0
+               = 0.4 * c(vw)/c(v)    else if c(vw) > 0
+               = 0.4^2 * c(w)/N      else if c(w) > 0
+               = 0                   else (OOV)
+
+so training is nothing but count group-bys and scoring is nothing but
+count-table joins — no per-token Python, no driver state, every stage a
+plain shuffle that survives a 1000-executor 100 TB corpus (the model
+tables shuffle-join against the scored positions exactly like the paper's
+"batched lookup"; a small model would broadcast, but nothing here assumes
+it fits).
+
+Exactness discipline: scores use ONLY +,*,/ on doubles derived from exact
+BIGINT counts — no log/exp — so Spark (JVM) and DuckDB (libm) produce
+bit-identical doubles, and per-position scores round to int64 micros via
+the engine-portable floor(x*1e6 + 0.5) before any SUM (the tpch_q1
+pattern, plans/tpch.py:_micros6). Every aggregate is therefore
+associative-exact and the oracles hash-exactly.
+
+Train/score split: the model trains on even doc_ids and scores odd
+doc_ids, so the backoff branches are genuinely load-bearing (scoring the
+training corpus would always hit the trigram table). No counterpart in
+the reference repo (no text pipeline); built for the engine's X4 layer
+(SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.plans.registry import register
+from realestatedeals_spark.plans.tpch import _micros6
+from realestatedeals_spark.session import apply_session_conf
+
+# 0.4 and 0.16 are exactly the doubles both engines parse from these
+# literals; products/divisions on them are IEEE-deterministic.
+_ALPHA = 0.4
+_ALPHA2 = 0.16
+
+
+def _words(df: DataFrame) -> DataFrame:
+    """doc_id + the non-empty whitespace token array (fixture docs are
+    space-joined words, the same tokenization every X4 query uses)."""
+    return df.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("ws"),
+    )
+
+
+def _ngrams(df: DataFrame, n: int) -> DataFrame:
+    """Explode order-n grams per document — pure per-row array transforms
+    (posexplode over a transform(sequence(...)) lattice), zero shuffles.
+    Docs shorter than n contribute nothing (pre-filtered, which is what
+    exploding an empty array would do anyway — but Spark's sequence(0, k)
+    DESCENDS for k < 0, so the filter is load-bearing)."""
+    fields = ", ".join(f"ws[i+{j}] AS g{j}" for j in range(n))
+    return (
+        df.filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(0, size(ws)-{n}), i -> struct({fields}))")
+            ).alias("g"),
+        )
+        .select("doc_id", "g.*")
+    )
+
+
+def _model(spark: SparkSession, sf_dir: str):
+    """Count tables of the stupid-backoff model, trained on even doc_ids."""
+    train = _words(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    )
+    tri = (
+        _ngrams(train, 3)
+        .groupBy(F.col("g0").alias("u"), F.col("g1").alias("v"), F.col("g2").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c_uvw"))
+    )
+    big = (
+        _ngrams(train, 2)
+        .groupBy(F.col("g0").alias("u"), F.col("g1").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c_uv"))
+    )
+    uni = (
+        _ngrams(train, 1)
+        .groupBy(F.col("g0").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    total = uni.agg(F.sum("c_w").alias("n_total"))
+    return tri, big, uni, total
+
+
+_LM_TRAIN_ORACLE = """
+WITH tw AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 2 = 0
+),
+tri AS (
+  SELECT g.u AS u, g.v AS v, g.w AS w FROM (
+    SELECT unnest(list_transform(range(0, len(ws) - 2),
+                  i -> {'u': ws[i+1], 'v': ws[i+2], 'w': ws[i+3]})) AS g
+    FROM tw)
+),
+tric AS (SELECT u, v, w, CAST(count(*) AS BIGINT) AS c_uvw FROM tri GROUP BY u, v, w),
+big AS (
+  SELECT g.u AS u, g.v AS v FROM (
+    SELECT unnest(list_transform(range(0, len(ws) - 1),
+                  i -> {'u': ws[i+1], 'v': ws[i+2]})) AS g
+    FROM tw)
+),
+bigc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c_uv FROM big GROUP BY u, v)
+SELECT tric.u AS u, tric.v AS v, tric.w AS w, tric.c_uvw AS c_uvw,
+       bigc.c_uv AS c_uv,
+       CAST(floor(CAST(tric.c_uvw AS DOUBLE) / CAST(bigc.c_uv AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) AS p_micros
+FROM tric JOIN bigc ON tric.u = bigc.u AND tric.v = bigc.v
+ORDER BY c_uvw DESC, u, v, w
+LIMIT 100
+"""
+
+
+@register("x4_lm_backoff_train", oracle=_LM_TRAIN_ORACLE, tags=("X4", "text", "lm"))
+def x4_lm_backoff_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained model's head: top-100 trigrams by count with their
+    relative-frequency score in micros. Counting is one explode + one
+    group-by per order; the top-k is a TakeOrdered (no global sort)."""
+    apply_session_conf(spark)
+    tri, big, _, _ = _model(spark, sf_dir)
+    p = F.col("c_uvw").cast("double") / F.col("c_uv").cast("double")
+    return (
+        tri.join(big, ["u", "v"])
+        .select("u", "v", "w", "c_uvw", "c_uv", _micros6(p).alias("p_micros"))
+        .orderBy(F.col("c_uvw").desc(), "u", "v", "w")
+        .limit(100)
+    )
+
+
+# Scoring CTEs shared by the score and filter oracles: held-out (odd
+# doc_id) trigram positions left-joined against every backoff level's
+# count table, scored with the pure-arithmetic cascade above.
+_LM_SCORE_CTES = """
+WITH tw AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 2 = 0
+),
+tric AS (
+  SELECT g.u AS u, g.v AS v, g.w AS w, CAST(count(*) AS BIGINT) AS c_uvw FROM (
+    SELECT unnest(list_transform(range(0, len(ws) - 2),
+                  i -> {'u': ws[i+1], 'v': ws[i+2], 'w': ws[i+3]})) AS g
+    FROM tw) GROUP BY u, v, w
+),
+bigc AS (
+  SELECT g.u AS u, g.v AS v, CAST(count(*) AS BIGINT) AS c_uv FROM (
+    SELECT unnest(list_transform(range(0, len(ws) - 1),
+                  i -> {'u': ws[i+1], 'v': ws[i+2]})) AS g
+    FROM tw) GROUP BY u, v
+),
+unic AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM (
+    SELECT unnest(ws) AS w FROM tw) GROUP BY w
+),
+tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM unic),
+held AS (
+  SELECT doc_id, g.u AS u, g.v AS v, g.w AS w FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(ws) - 2),
+                  i -> {'u': ws[i+1], 'v': ws[i+2], 'w': ws[i+3]})) AS g
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents WHERE doc_id % 2 = 1))
+),
+pos AS (
+  SELECT h.doc_id,
+         CASE WHEN t.c_uvw IS NOT NULL THEN 3
+              WHEN bvw.c_uv IS NOT NULL THEN 2
+              WHEN uw.c_w IS NOT NULL THEN 1
+              ELSE 0 END AS lvl,
+         CASE WHEN t.c_uvw IS NOT NULL
+                THEN CAST(t.c_uvw AS DOUBLE) / CAST(buv.c_uv AS DOUBLE)
+              WHEN bvw.c_uv IS NOT NULL
+                THEN 0.4 * (CAST(bvw.c_uv AS DOUBLE) / CAST(uv2.c_w AS DOUBLE))
+              WHEN uw.c_w IS NOT NULL
+                THEN 0.16 * (CAST(uw.c_w AS DOUBLE) / CAST(tot.n_total AS DOUBLE))
+              ELSE 0.0 END AS s
+  FROM held h
+  LEFT JOIN tric t ON h.u = t.u AND h.v = t.v AND h.w = t.w
+  LEFT JOIN bigc buv ON h.u = buv.u AND h.v = buv.v
+  LEFT JOIN bigc bvw ON h.v = bvw.u AND h.w = bvw.v
+  LEFT JOIN unic uv2 ON h.v = uv2.w
+  LEFT JOIN unic uw ON h.w = uw.w
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS tri_hits,
+         CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bigram_backoffs,
+         CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unigram_backoffs,
+         CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+         CAST(sum(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_sum_micros,
+         CAST(floor(CAST(sum(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS avg_score_micros
+  FROM pos GROUP BY doc_id
+)
+"""
+
+_LM_SCORE_ORACLE = _LM_SCORE_CTES + """
+SELECT * FROM scored
+"""
+
+_LM_FILTER_ORACLE = _LM_SCORE_CTES + """
+SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source,
+       s.avg_score_micros AS avg_score_micros, s.tri_hits AS tri_hits,
+       s.n_pos AS n_pos
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.oov = 0
+  AND 10 * s.tri_hits >= 6 * s.n_pos
+  AND s.avg_score_micros >= 50000
+"""
+
+
+def _score_held_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri, big, uni, total = _model(spark, sf_dir)
+    held = _ngrams(
+        _words(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)),
+        3,
+    ).select("doc_id", F.col("g0").alias("u"), F.col("g1").alias("v"), F.col("g2").alias("w"))
+
+    pos = (
+        held.join(tri, ["u", "v", "w"], "left")
+        .join(big.withColumnRenamed("c_uv", "c_buv"), ["u", "v"], "left")
+        .join(
+            big.select(
+                F.col("u").alias("v"), F.col("v").alias("w"), F.col("c_uv").alias("c_bvw")
+            ),
+            ["v", "w"],
+            "left",
+        )
+        .join(uni.select(F.col("w").alias("v"), F.col("c_w").alias("c_v")), ["v"], "left")
+        .join(uni, ["w"], "left")
+        # the model total is ONE row — broadcast cross is bounded by
+        # construction (whitelisted in tests/test_plan_quality.py)
+        .crossJoin(F.broadcast(total))
+    )
+    lvl = (
+        F.when(F.col("c_uvw").isNotNull(), F.lit(3))
+        .when(F.col("c_bvw").isNotNull(), F.lit(2))
+        .when(F.col("c_w").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    s = (
+        F.when(
+            F.col("c_uvw").isNotNull(),
+            F.col("c_uvw").cast("double") / F.col("c_buv").cast("double"),
+        )
+        .when(
+            F.col("c_bvw").isNotNull(),
+            F.lit(_ALPHA) * (F.col("c_bvw").cast("double") / F.col("c_v").cast("double")),
+        )
+        .when(
+            F.col("c_w").isNotNull(),
+            F.lit(_ALPHA2)
+            * (F.col("c_w").cast("double") / F.col("n_total").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    sum_micros = F.sum("s_micros").cast("long")
+    return (
+        pos.select("doc_id", lvl.alias("lvl"), _micros6(s).alias("s_micros"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0)).cast("long").alias("tri_hits"),
+            F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("bigram_backoffs"),
+            F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("unigram_backoffs"),
+            F.sum(F.when(F.col("lvl") == 0, 1).otherwise(0)).cast("long").alias("oov"),
+            sum_micros.alias("score_sum_micros"),
+            F.floor(
+                sum_micros.cast("double") / F.count(F.lit(1)).cast("double") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_score_micros"),
+        )
+    )
+
+
+@register("x4_lm_backoff_score", oracle=_LM_SCORE_ORACLE, tags=("X4", "text", "lm"))
+def x4_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every held-out document against the trained model: per-doc
+    position count, hits per backoff level, and the micros-exact summed /
+    averaged stupid-backoff score. Five left joins against count tables —
+    the paper's batched distributed lookup, one shuffle each."""
+    apply_session_conf(spark)
+    return _score_held_out(spark, sf_dir)
+
+
+@register("x4_lm_perplexity_filter", oracle=_LM_FILTER_ORACLE, tags=("X4", "text", "lm"))
+def x4_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus filter on the LM score: keep held-out docs with
+    no OOV positions, a ≥60% trigram hit rate, and an average position
+    score ≥ 0.05 (50000 micros). Integer-exact predicates over the scored
+    table joined back to the corpus — the filter composes into any
+    downstream pipeline as one more pushed-down predicate."""
+    apply_session_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _score_held_out(spark, sf_dir)
+    return (
+        scored.filter(
+            (F.col("oov") == 0)
+            & (F.lit(10) * F.col("tri_hits") >= F.lit(6) * F.col("n_pos"))
+            & (F.col("avg_score_micros") >= 50000)
+        )
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "source", "avg_score_micros", "tri_hits", "n_pos")
+    )

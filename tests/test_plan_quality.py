@@ -47,6 +47,8 @@ _BNLJ_WHITELIST = {
     "x9_quantization_impact": "linear scan vs the bounded broadcast query frame, shared by the exact and int8 rankings",
     "e31_rfm_segments": "cross vs the 1-row broadcast corpus-max-ts frame",
     "x7_dedup_aware_split": "cross vs the 1-row broadcast leak-count frame, once per split mode",
+    "x4_lm_backoff_score": "cross vs the 1-row broadcast model-total frame",
+    "x4_lm_perplexity_filter": "cross vs the 1-row broadcast model-total frame (via the shared scorer)",
 }
 
 # execute real streaming replays on invocation AND return localCheckpoint
