@@ -1295,3 +1295,91 @@ def x5_y4m_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample,
         schema="media_id long, frame_idx int, width int, height int, px_sum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# X5/X2 — audio near-dup via acoustic fingerprint: the audio member of the
+# dedup family (text MinHash, image dHash, audio delta-sign fingerprint).
+# Fixture: doc_id % 40 picks a base signal, doc_id // 40 % 3 + 1 a volume
+# gain — so each base has true volume-variant near-duplicates, and the
+# fingerprint (energy/ZCR delta SIGNS only) must collapse them. The oracle
+# recomputes every frame energy, zero-crossing count, and comparison bit
+# arithmetically from the ungained base signal (gain-invariance makes that
+# exact), so a hash match proves WAV encode, real PCM decode, framing, and
+# bit order end-to-end.
+# ---------------------------------------------------------------------------
+
+_X5_AUDIO_FP_ORACLE = """
+WITH b AS (SELECT DISTINCT doc_id % 40 AS base FROM documents),
+sig AS (
+  SELECT base,
+         list_transform(range(0, 1600), i -> (base * 7 + i * 13) % 401 - 200) AS pcm
+  FROM b),
+feat AS (
+  SELECT base,
+         list_transform(range(0, 16), t ->
+           list_reduce(list_transform(range(0, 100),
+             f -> abs(pcm[t*100 + f + 1])), (a, x) -> a + x)) AS e,
+         list_transform(range(0, 16), t ->
+           list_reduce(list_transform(range(0, 99),
+             f -> CASE WHEN pcm[t*100 + f + 1] * pcm[t*100 + f + 2] < 0
+                  THEN 1 ELSE 0 END), (a, x) -> a + x)) AS z
+  FROM sig),
+fp AS (
+  SELECT base,
+         list_reduce(list_transform(range(0, 15),
+           t -> CASE WHEN e[t+2] > e[t+1] THEN '1' ELSE '0' END), (a, x) -> a || x)
+         ||
+         list_reduce(list_transform(range(0, 15),
+           t -> CASE WHEN z[t+2] > z[t+1] THEN '1' ELSE '0' END), (a, x) -> a || x)
+         AS fp
+  FROM feat)
+SELECT fp.fp AS fp, CAST(count(*) AS BIGINT) AS n_tracks,
+       CAST(min(doc_id) AS BIGINT) AS min_track,
+       CAST(max(doc_id) AS BIGINT) AS max_track
+FROM (SELECT doc_id, doc_id % 40 AS base FROM documents) d JOIN fp USING (base)
+GROUP BY fp.fp
+"""
+
+
+@register(
+    "x5_audio_near_dup_fp",
+    oracle=_X5_AUDIO_FP_ORACLE,
+    tags=("X5", "multimodal", "dedup"),
+)
+def x5_audio_near_dup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup groups via the delta-sign acoustic fingerprint
+    (operators/multimodal.py:audio_fingerprint). Per document a
+    deterministic 1600-sample PCM track (pattern keyed by doc_id % 40, at
+    one of three volume gains) is encoded as a REAL RIFF/WAV file; the
+    fingerprint runs the engine's real decode -> frame -> energy/ZCR ->
+    delta-sign pipeline and groups identical prints. Volume variants of a
+    base MUST collapse (gain-invariance is the near-dup semantic); distinct
+    bases that share a delta-sign structure collide by design, exactly like
+    dHash's perceptual collapse."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        i = np.arange(1600, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base, gain = int(did) % 40, int(did) // 40 % 3 + 1
+                s = gain * ((base * 7 + i * 13) % 401 - 200)
+                rows.append((int(did), bytearray(encode_wav_pcm16(s, 8000))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    return audio_fingerprint(media, n_frames=16, frame_len=100).groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tracks"),
+        F.min("media_id").cast("long").alias("min_track"),
+        F.max("media_id").cast("long").alias("max_track"),
+    )
