@@ -967,6 +967,64 @@ def audio_fingerprint(
     )
 
 
+def video_fingerprint(media: DataFrame) -> DataFrame:
+    """Temporal video fingerprint — the video member of the dedup family:
+    per frame, 2x2 quadrant brightness-comparison bits (q1>q0, q2>q0,
+    q3>q0); across frames, total-brightness delta-sign bits. Only SIGNS
+    survive into the print, so copies differing by a constant brightness
+    offset (equal-size quadrants shift equally) collapse, and clips with
+    different frame counts can never collide (the print length encodes
+    the count).
+
+    Pipeline (Arrow-batched ``mapInPandas``): REAL .y4m container decode
+    (operators/y4m.py), luma plane for color frames, integer-exact
+    quadrant/total sums. Odd-dimension or undecodable clips yield a null
+    print (typed error row). Grouping is one shuffle on a short string
+    key; Hamming-tolerant matching bands the bits like SimHash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from realestatedeals_spark.operators.y4m import decode_y4m
+
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                b = bytes(content) if content is not None else b""
+                try:
+                    w, h, _fps, frames = decode_y4m(b)
+                except (ValueError, NotImplementedError, _struct.error):
+                    fps.append(None)
+                    continue
+                if h % 2 or w % 2 or not frames:
+                    fps.append(None)
+                    continue
+                hh, ww = h // 2, w // 2
+                bits: list[str] = []
+                totals: list[int] = []
+                for fr in frames:
+                    x = (fr[:, :, 0] if fr.ndim == 3 else fr).astype(np.int64)
+                    q0 = int(x[:hh, :ww].sum())
+                    q1 = int(x[:hh, ww:].sum())
+                    q2 = int(x[hh:, :ww].sum())
+                    q3 = int(x[hh:, ww:].sum())
+                    bits += [
+                        "1" if q1 > q0 else "0",
+                        "1" if q2 > q0 else "0",
+                        "1" if q3 > q0 else "0",
+                    ]
+                    totals.append(q0 + q1 + q2 + q3)
+                bits += [
+                    "1" if totals[i + 1] > totals[i] else "0"
+                    for i in range(len(totals) - 1)
+                ]
+                fps.append("".join(bits))
+            yield pd.DataFrame({"media_id": ids, "fp": fps})
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema="media_id long, fp string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real stdlib GIF codec: LZW compress/decompress per GIF87a/89a. Closes the
 # "compressed-format pixel decode" boundary for a real dictionary codec —

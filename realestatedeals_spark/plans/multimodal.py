@@ -1383,3 +1383,99 @@ def x5_audio_near_dup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").cast("long").alias("min_track"),
         F.max("media_id").cast("long").alias("max_track"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X5/X2 — video near-dup via temporal fingerprint: per-frame quadrant
+# comparison bits + cross-frame brightness delta signs. Fixture: doc_id %
+# 30 picks the clip (4-6 frames of 16x16 mono), doc_id // 30 % 3 * 10 a
+# constant brightness offset — so each clip has true brightness-variant
+# near-duplicates the sign-only print must collapse. The oracle recomputes
+# every quadrant sum, frame total, and comparison bit arithmetically from
+# the unshifted base clip (offset-invariance makes that exact), proving
+# y4m encode, real container decode, quadrant pooling, and bit order
+# end-to-end.
+# ---------------------------------------------------------------------------
+
+_X5_VIDEO_FP_ORACLE = """
+WITH b AS (SELECT DISTINCT doc_id % 30 AS base FROM documents),
+g AS (SELECT base, unnest(range(0, base % 3 + 4)) AS f FROM b),
+q AS (
+  SELECT base, f,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*r + 5*c) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q0,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*r + 5*(c+8)) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q1,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*(r+8) + 5*c) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q2,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*(r+8) + 5*(c+8)) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q3
+  FROM g),
+perbase AS (
+  SELECT base,
+         string_agg(
+           (CASE WHEN q1 > q0 THEN '1' ELSE '0' END) ||
+           (CASE WHEN q2 > q0 THEN '1' ELSE '0' END) ||
+           (CASE WHEN q3 > q0 THEN '1' ELSE '0' END), '' ORDER BY f) AS sb,
+         list(q0 + q1 + q2 + q3 ORDER BY f) AS ps
+  FROM q GROUP BY base),
+fp AS (
+  SELECT base,
+         sb || list_reduce(list_transform(range(0, len(ps) - 1),
+           i -> CASE WHEN ps[i+2] > ps[i+1] THEN '1' ELSE '0' END),
+           (a, x) -> a || x) AS fp
+  FROM perbase)
+SELECT fp.fp AS fp, CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(min(doc_id) AS BIGINT) AS min_clip,
+       CAST(max(doc_id) AS BIGINT) AS max_clip
+FROM (SELECT doc_id, doc_id % 30 AS base FROM documents) d JOIN fp USING (base)
+GROUP BY fp.fp
+"""
+
+
+@register(
+    "x5_video_near_dup_tfp",
+    oracle=_X5_VIDEO_FP_ORACLE,
+    tags=("X5", "multimodal", "dedup"),
+)
+def x5_video_near_dup_tfp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup groups via the temporal fingerprint
+    (operators/multimodal.py:video_fingerprint). Per document a
+    deterministic 4-6 frame 16x16 mono clip (keyed by doc_id % 30, at one
+    of three constant brightness offsets) is encoded as a REAL .y4m
+    stream; the fingerprint runs the engine's real container decode ->
+    quadrant/total sums -> delta-sign pipeline and groups identical
+    prints. Brightness variants of a clip MUST collapse; clips with
+    different frame counts can never collide (print length differs)."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import video_fingerprint
+    from realestatedeals_spark.operators.y4m import encode_y4m
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        r = np.arange(16, dtype=np.int64)[:, None]
+        c = np.arange(16, dtype=np.int64)[None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base, off = int(did) % 30, int(did) // 30 % 3 * 10
+                frames = [
+                    ((base * 19 + 29 * f + 3 * r + 5 * c) % 200 + off).astype(np.uint8)
+                    for f in range(base % 3 + 4)
+                ]
+                rows.append((int(did), bytearray(encode_y4m(frames, 25, 1))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    return video_fingerprint(media).groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.min("media_id").cast("long").alias("min_clip"),
+        F.max("media_id").cast("long").alias("max_clip"),
+    )
