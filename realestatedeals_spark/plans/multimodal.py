@@ -1479,3 +1479,230 @@ def x5_video_near_dup_tfp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").cast("long").alias("min_clip"),
         F.max("media_id").cast("long").alias("max_clip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X5/X2 capstone — one dedup report across all four modalities: per
+# document, the size of its near-dup group under the text vocabulary-set
+# fingerprint, image dHash, audio delta-sign print, and video temporal
+# print, plus how many modalities flag it as duplicated. Group sizes are
+# computed with a COUNT() OVER (PARTITION BY print) window — one shuffle
+# per modality, single pass over each fingerprint table (no self-join, so
+# the codec pipelines run once). The oracle reassembles the same report
+# from the already-verified arithmetic CTEs of the per-modality queries.
+# ---------------------------------------------------------------------------
+
+_X5_MM_REPORT_ORACLE = """
+WITH tex AS (
+  SELECT doc_id, CAST(count(*) OVER (PARTITION BY tfp) AS BIGINT) AS text_dups
+  FROM (SELECT doc_id,
+               list_reduce(list_sort(list_distinct(
+                 list_filter(string_split(text, ' '), x -> x <> ''))),
+                 (a, x) -> a || ' ' || x) AS tfp
+        FROM documents)),
+ib AS (SELECT DISTINCT doc_id % 50 AS base FROM documents),
+ig AS (SELECT base,
+        list_transform(range(0, 72), i ->
+          (3*base + 7*(2*(i//9)) + 11*(2*(i%9))) % 256
+        + (3*base + 7*(2*(i//9)) + 11*(2*(i%9)+1)) % 256
+        + (3*base + 7*(2*(i//9)+1) + 11*(2*(i%9))) % 256
+        + (3*base + 7*(2*(i//9)+1) + 11*(2*(i%9)+1)) % 256) AS pooled
+      FROM ib),
+ihx AS (SELECT base,
+        list_reduce(list_transform(range(0, 64), k ->
+          CASE WHEN pooled[(k//8)*9 + (k%8) + 2] > pooled[(k//8)*9 + (k%8) + 1]
+          THEN '1' ELSE '0' END), (a, x) -> a || x) AS dhash
+       FROM ig),
+img AS (
+  SELECT doc_id, CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS image_dups
+  FROM (SELECT doc_id, doc_id % 50 AS base FROM documents) d JOIN ihx USING (base)),
+ab AS (SELECT DISTINCT doc_id % 40 AS base FROM documents),
+asig AS (
+  SELECT base,
+         list_transform(range(0, 1600), i -> (base * 7 + i * 13) % 401 - 200) AS pcm
+  FROM ab),
+afeat AS (
+  SELECT base,
+         list_transform(range(0, 16), t ->
+           list_reduce(list_transform(range(0, 100),
+             f -> abs(pcm[t*100 + f + 1])), (a, x) -> a + x)) AS e,
+         list_transform(range(0, 16), t ->
+           list_reduce(list_transform(range(0, 99),
+             f -> CASE WHEN pcm[t*100 + f + 1] * pcm[t*100 + f + 2] < 0
+                  THEN 1 ELSE 0 END), (a, x) -> a + x)) AS z
+  FROM asig),
+afp AS (
+  SELECT base,
+         list_reduce(list_transform(range(0, 15),
+           t -> CASE WHEN e[t+2] > e[t+1] THEN '1' ELSE '0' END), (a, x) -> a || x)
+         ||
+         list_reduce(list_transform(range(0, 15),
+           t -> CASE WHEN z[t+2] > z[t+1] THEN '1' ELSE '0' END), (a, x) -> a || x)
+         AS fp
+  FROM afeat),
+aud AS (
+  SELECT doc_id, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS audio_dups
+  FROM (SELECT doc_id, doc_id % 40 AS base FROM documents) d JOIN afp USING (base)),
+vb AS (SELECT DISTINCT doc_id % 30 AS base FROM documents),
+vg AS (SELECT base, unnest(range(0, base % 3 + 4)) AS f FROM vb),
+vq AS (
+  SELECT base, f,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*r + 5*c) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q0,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*r + 5*(c+8)) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q1,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*(r+8) + 5*c) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q2,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*(r+8) + 5*(c+8)) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q3
+  FROM vg),
+vperbase AS (
+  SELECT base,
+         string_agg(
+           (CASE WHEN q1 > q0 THEN '1' ELSE '0' END) ||
+           (CASE WHEN q2 > q0 THEN '1' ELSE '0' END) ||
+           (CASE WHEN q3 > q0 THEN '1' ELSE '0' END), '' ORDER BY f) AS sb,
+         list(q0 + q1 + q2 + q3 ORDER BY f) AS ps
+  FROM vq GROUP BY base),
+vfp AS (
+  SELECT base,
+         sb || list_reduce(list_transform(range(0, len(ps) - 1),
+           i -> CASE WHEN ps[i+2] > ps[i+1] THEN '1' ELSE '0' END),
+           (a, x) -> a || x) AS fp
+  FROM vperbase),
+vid AS (
+  SELECT doc_id, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS video_dups
+  FROM (SELECT doc_id, doc_id % 30 AS base FROM documents) d JOIN vfp USING (base))
+SELECT tex.doc_id AS doc_id, tex.text_dups AS text_dups, img.image_dups AS image_dups,
+       aud.audio_dups AS audio_dups, vid.video_dups AS video_dups,
+       CAST((CASE WHEN tex.text_dups > 1 THEN 1 ELSE 0 END)
+          + (CASE WHEN img.image_dups > 1 THEN 1 ELSE 0 END)
+          + (CASE WHEN aud.audio_dups > 1 THEN 1 ELSE 0 END)
+          + (CASE WHEN vid.video_dups > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       AS dup_modalities
+FROM tex JOIN img USING (doc_id) JOIN aud USING (doc_id) JOIN vid USING (doc_id)
+"""
+
+
+@register(
+    "x5_multimodal_dedup_report",
+    oracle=_X5_MM_REPORT_ORACLE,
+    tags=("X5", "multimodal", "dedup", "capstone"),
+)
+def x5_multimodal_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup report: per document, its near-dup group size
+    under each modality's fingerprint (text vocabulary set, image dHash,
+    audio delta-sign print, video temporal print) and the number of
+    modalities that flag it. Each modality is one fingerprint pass + one
+    COUNT window over the print — four shuffles total plus three doc_id
+    joins, every stage linear in the corpus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from realestatedeals_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_dhash,
+        video_fingerprint,
+    )
+    from realestatedeals_spark.operators.multimodal import (
+        encode_png_gray,
+        encode_wav_pcm16,
+    )
+    from realestatedeals_spark.operators.y4m import encode_y4m
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    tfp = F.array_join(
+        F.array_sort(
+            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+        ),
+        " ",
+    )
+    tex = docs.select(
+        "doc_id",
+        F.count(F.lit(1)).over(Window.partitionBy(tfp)).cast("long").alias("text_dups"),
+    )
+
+    ids = docs.select("doc_id")
+
+    def enc_img(batches):
+        r = np.arange(16, dtype=np.int64)[:, None]
+        c = np.arange(18, dtype=np.int64)[None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 50
+                px = ((3 * base + 7 * r + 11 * c) % 256).astype(np.uint8)
+                rows.append((int(did), bytearray(encode_png_gray(px))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    def enc_aud(batches):
+        i = np.arange(1600, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base, gain = int(did) % 40, int(did) // 40 % 3 + 1
+                s = gain * ((base * 7 + i * 13) % 401 - 200)
+                rows.append((int(did), bytearray(encode_wav_pcm16(s, 8000))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    def enc_vid(batches):
+        r = np.arange(16, dtype=np.int64)[:, None]
+        c = np.arange(16, dtype=np.int64)[None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base, off = int(did) % 30, int(did) // 30 % 3 * 10
+                frames = [
+                    ((base * 19 + 29 * f + 3 * r + 5 * c) % 200 + off).astype(np.uint8)
+                    for f in range(base % 3 + 4)
+                ]
+                rows.append((int(did), bytearray(encode_y4m(frames, 25, 1))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    def group_sizes(media, fp_fn, out_col):
+        fps = fp_fn(media)
+        fp_col = fps.columns[-1]
+        return fps.select(
+            F.col("media_id").alias("doc_id"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy(fp_col))
+            .cast("long")
+            .alias(out_col),
+        )
+
+    img = group_sizes(
+        ids.mapInPandas(enc_img, schema="media_id long, content binary"),
+        image_dhash,
+        "image_dups",
+    )
+    aud = group_sizes(
+        ids.mapInPandas(enc_aud, schema="media_id long, content binary"),
+        audio_fingerprint,
+        "audio_dups",
+    )
+    vid = group_sizes(
+        ids.mapInPandas(enc_vid, schema="media_id long, content binary"),
+        video_fingerprint,
+        "video_dups",
+    )
+    flag = lambda c: F.when(F.col(c) > 1, 1).otherwise(0)  # noqa: E731
+    return (
+        tex.join(img, "doc_id")
+        .join(aud, "doc_id")
+        .join(vid, "doc_id")
+        .select(
+            "doc_id",
+            "text_dups",
+            "image_dups",
+            "audio_dups",
+            "video_dups",
+            (flag("text_dups") + flag("image_dups") + flag("audio_dups")
+             + flag("video_dups")).cast("long").alias("dup_modalities"),
+        )
+    )
