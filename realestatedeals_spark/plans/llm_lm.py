@@ -225,8 +225,8 @@ SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source,
        s.n_pos AS n_pos
 FROM scored s JOIN documents d USING (doc_id)
 WHERE s.oov = 0
-  AND 10 * s.tri_hits >= 6 * s.n_pos
-  AND s.avg_score_micros >= 50000
+  AND 10 * s.tri_hits >= 5 * s.n_pos
+  AND s.avg_score_micros >= 25000
 """
 
 
@@ -312,8 +312,12 @@ def x4_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x4_lm_perplexity_filter", oracle=_LM_FILTER_ORACLE, tags=("X4", "text", "lm"))
 def x4_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus filter on the LM score: keep held-out docs with
-    no OOV positions, a ≥60% trigram hit rate, and an average position
-    score ≥ 0.05 (50000 micros). Integer-exact predicates over the scored
+    no OOV positions, a ≥50% trigram hit rate, and an average position
+    score ≥ 0.025 (25000 micros) — thresholds load-bearing on BOTH the
+    driver fixture (trigram hit rate binds: 29/250 survive) and the
+    generated scale corpora (average score binds: ~75% survive at
+    gen-sf0.1, where the old 50000-micros cut kept zero rows, a fixture
+    blind spot the slope sweep caught). Integer-exact predicates over the scored
     table joined back to the corpus — the filter composes into any
     downstream pipeline as one more pushed-down predicate."""
     apply_session_conf(spark)
@@ -322,8 +326,8 @@ def x4_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.filter(
             (F.col("oov") == 0)
-            & (F.lit(10) * F.col("tri_hits") >= F.lit(6) * F.col("n_pos"))
-            & (F.col("avg_score_micros") >= 50000)
+            & (F.lit(10) * F.col("tri_hits") >= F.lit(5) * F.col("n_pos"))
+            & (F.col("avg_score_micros") >= 25000)
         )
         .join(docs, "doc_id")
         .select("doc_id", "lang", "source", "avg_score_micros", "tri_hits", "n_pos")
