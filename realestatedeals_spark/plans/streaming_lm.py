@@ -1,0 +1,171 @@
+"""C15 — STREAMING incremental n-gram LM training, exactly-once.
+
+The batch Stupid-Backoff model (plans/llm_lm.py) maintained as documents
+ARRIVE: every micro-batch counts its own n-grams (one explode + group-by
+per order, exactly the batch formulation on less data) and folds them
+into the persisted trigram/bigram/unigram count tables through one atomic
+multi-table catalog transaction (io/catalog.py) — a reader can never see
+the trigram table updated without its backoff denominators. After the
+replay, the model's head must hash-match the all-data batch trainer's
+oracle (_LM_TRAIN_ORACLE): streaming epochs == batch recompute,
+bit-for-bit, because counts are integers and addition is associative.
+
+Exactly-once under foreachBatch redelivery: same protocol as C14 — each
+manifest records its epoch, the sink skips any epoch <= applied_epoch()
+(the round-8 merge() fix keeps that watermark intact across branch
+merges), and CAS publish (expected_latest) keeps a torn writer from
+interleaving with the skip check.
+
+Fold cost: union-previous-pin + re-group is O(model) per batch — the
+documented simplification (c14 does the same for facts); the O(batch)
+production variant appends per-batch count DELTAS merge-on-read style
+(io/maintenance.py) and sums at read time. The catalog protocol is
+identical either way. This is the 100 TB ingest shape for quality-filter
+LMs: the crawl streams in, the model is always current, and scoring
+(x4_lm_backoff_score) reads a consistent pinned snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.io.catalog import Catalog
+from realestatedeals_spark.io.sources import load_table
+from realestatedeals_spark.plans.llm_lm import _LM_TRAIN_ORACLE, _micros6, _ngrams, _words
+from realestatedeals_spark.plans.registry import register
+from realestatedeals_spark.session import apply_session_conf
+
+
+def _batch_counts(batch_df: DataFrame):
+    """The batch trainer's count formulation applied to one micro-batch."""
+    ws = _words(batch_df)
+    tri = (
+        _ngrams(ws, 3)
+        .groupBy(F.col("g0").alias("u"), F.col("g1").alias("v"), F.col("g2").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c_uvw"))
+    )
+    big = (
+        _ngrams(ws, 2)
+        .groupBy(F.col("g0").alias("u"), F.col("g1").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c_uv"))
+    )
+    uni = (
+        _ngrams(ws, 1)
+        .groupBy(F.col("g0").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    return tri, big, uni
+
+
+def apply_lm_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int) -> bool:
+    """Fold one micro-batch's n-gram counts into the persisted model as a
+    single three-table transaction; returns False on the redelivery-skip
+    path. Module-level so tests can drive redelivery directly."""
+    applied = cat.applied_epoch()
+    if applied is not None and epoch_id <= applied:
+        return False  # redelivered batch: the model already counts it
+    latest = cat.latest_version()
+    tri_b, big_b, uni_b = _batch_counts(batch_df)
+    if latest is None:
+        tri, big, uni = tri_b, big_b, uni_b
+    else:
+        tri = (
+            cat.read("tri", latest)
+            .unionByName(tri_b)
+            .groupBy("u", "v", "w")
+            .agg(F.sum("c_uvw").alias("c_uvw"))
+        )
+        big = (
+            cat.read("big", latest)
+            .unionByName(big_b)
+            .groupBy("u", "v")
+            .agg(F.sum("c_uv").alias("c_uv"))
+        )
+        uni = (
+            cat.read("uni", latest)
+            .unionByName(uni_b)
+            .groupBy("w")
+            .agg(F.sum("c_w").alias("c_w"))
+        )
+    # pin the txn's inputs: the folds read the previous pin's files
+    cat.commit(
+        {
+            "tri": tri.localCheckpoint(eager=True),
+            "big": big.localCheckpoint(eager=True),
+            "uni": uni.localCheckpoint(eager=True),
+        },
+        expected_latest=latest,
+        epoch=epoch_id,
+    )
+    return True
+
+
+def model_head(cat: Catalog) -> DataFrame:
+    """The trained model's top-100 head — identical formulation (and
+    therefore identical oracle) to x4_lm_backoff_train."""
+    tri, big = cat.read("tri"), cat.read("big")
+    p = F.col("c_uvw").cast("double") / F.col("c_uv").cast("double")
+    return (
+        tri.join(big, ["u", "v"])
+        .select("u", "v", "w", "c_uvw", "c_uv", _micros6(p).alias("p_micros"))
+        .orderBy(F.col("c_uvw").desc(), "u", "v", "w")
+        .limit(100)
+    )
+
+
+@register(
+    "c15_stream_lm_counts",
+    oracle=_LM_TRAIN_ORACLE,
+    tags=("C15", "streaming", "catalog", "lm"),
+)
+def c15_stream_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the training half of the corpus (even doc_ids) as 3
+    micro-batches, each folding its n-gram counts into the catalog-pinned
+    model atomically with its epoch recorded; the final model head must
+    hash-match the all-data batch trainer's oracle. Redelivery idempotency
+    is pinned in tests/test_streaming_lm.py."""
+    apply_session_conf(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_lm_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i in (0, 1, 2):
+            d = os.path.join(in_dir, f"b{i}")
+            docs.filter(F.col("doc_id") % 6 == 2 * i).coalesce(1).write.parquet(d)
+            for fname in os.listdir(d):
+                t = 1_700_000_000 + i * 10
+                os.utime(os.path.join(d, fname), (t, t))
+
+        cat = Catalog(spark, os.path.join(work, "cat"))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, eid: apply_lm_batch(cat, bdf, eid)
+            )
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the streamed model must be indistinguishable from the batch one
+        return spark.createDataFrame(
+            model_head(cat).collect(),
+            "u string, v string, w string, c_uvw bigint, c_uv bigint, p_micros bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

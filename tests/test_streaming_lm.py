@@ -1,0 +1,58 @@
+"""C15 streaming LM count maintenance: redelivery idempotency and
+streamed-equals-batch model state (the oracle pins the same equality
+end-to-end through a real availableNow replay)."""
+
+from __future__ import annotations
+
+from realestatedeals_spark.io.catalog import Catalog
+from realestatedeals_spark.plans.llm_lm import _model
+from realestatedeals_spark.plans.streaming_lm import apply_lm_batch, model_head
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_redelivered_epoch_is_a_noop(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    b0 = _docs(spark, [(0, "a b c a b"), (2, "b c a")])
+    b1 = _docs(spark, [(4, "a b c")])
+    assert apply_lm_batch(cat, b0, 0) is True
+    assert apply_lm_batch(cat, b1, 1) is True
+    before = {(r.u, r.v, r.w): r.c_uvw for r in cat.read("tri").collect()}
+    # crash-after-publish: the engine redelivers epochs 0 and 1
+    assert apply_lm_batch(cat, b0, 0) is False
+    assert apply_lm_batch(cat, b1, 1) is False
+    after = {(r.u, r.v, r.w): r.c_uvw for r in cat.read("tri").collect()}
+    assert after == before  # no double counting
+    assert cat.applied_epoch() == 1
+
+
+def test_incremental_fold_equals_one_shot_counts(spark, tmp_path):
+    texts = [
+        (0, "a b c a b c d"),
+        (2, "b c d e"),
+        (4, "c d e a b"),
+        (6, "a b"),
+    ]
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    for i, row in enumerate(texts):
+        apply_lm_batch(cat, _docs(spark, [row]), i)
+    # batch model over the same docs (written as a one-table corpus)
+    sf_dir = str(tmp_path / "corpus")
+    _docs(spark, texts).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS LONG) AS n_chars"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    tri_b, big_b, uni_b, _ = _model(spark, sf_dir)
+    assert {(r.u, r.v, r.w, r.c_uvw) for r in cat.read("tri").collect()} == {
+        (r.u, r.v, r.w, r.c_uvw) for r in tri_b.collect()
+    }
+    assert {(r.u, r.v, r.c_uv) for r in cat.read("big").collect()} == {
+        (r.u, r.v, r.c_uv) for r in big_b.collect()
+    }
+    assert {(r.w, r.c_w) for r in cat.read("uni").collect()} == {
+        (r.w, r.c_w) for r in uni_b.collect()
+    }
+    head = model_head(cat).collect()
+    assert head and all(r.p_micros <= 1_000_000 for r in head)
