@@ -900,7 +900,8 @@ def audio_features(media: DataFrame) -> DataFrame:
                          float(np.sqrt((sd * sd).mean())) if len(s) else None,
                          int(np.abs(s).max()) if len(s) else None)
                     )
-                except (ValueError, NotImplementedError, _struct.error):
+                except (ValueError, NotImplementedError, _struct.error,
+                        IndexError, EOFError, zlib.error):
                     rows.append((mid, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -947,7 +948,8 @@ def audio_fingerprint(
                 b = bytes(content) if content is not None else b""
                 try:
                     _rate, s = decode_audio_auto(b)
-                except (ValueError, NotImplementedError, _struct.error):
+                except (ValueError, NotImplementedError, _struct.error,
+                        IndexError, EOFError, zlib.error):
                     fps.append(None)
                     continue
                 if len(s) < need:
@@ -992,7 +994,8 @@ def video_fingerprint(media: DataFrame) -> DataFrame:
                 b = bytes(content) if content is not None else b""
                 try:
                     w, h, _fps, frames = decode_y4m(b)
-                except (ValueError, NotImplementedError, _struct.error):
+                except (ValueError, NotImplementedError, _struct.error,
+                        IndexError, EOFError, zlib.error):
                     fps.append(None)
                     continue
                 if h % 2 or w % 2 or not frames:

@@ -79,3 +79,40 @@ def test_matches_numpy_reference(spark):
         str(int(b)) for b in np.concatenate([e[1:] > e[:-1], z[1:] > z[:-1]])
     )
     assert fp == want
+
+
+def test_fingerprint_ops_survive_mutation_fuzz_end_to_end(spark):
+    """Byte-mutation fuzz THROUGH the Spark Arrow path: a batch of mutated
+    WAV/FLAC/y4m blobs must come back as one row per input — a bitstring
+    or a typed null — never a crashed task (the decoders are allowed to
+    raise IndexError/EOFError/zlib.error on corrupt bytes per the unified
+    codec fuzz; the fingerprint catch lists must cover all of them)."""
+    import random
+
+    from realestatedeals_spark.operators.multimodal import video_fingerprint
+    from realestatedeals_spark.operators.y4m import encode_y4m
+
+    random.seed(31)
+    wav = bytes(encode_wav_pcm16(_pcm(3), 8000))
+    flac = bytes(encode_flac(_pcm(9), 8000))
+    clip = bytes(
+        encode_y4m([(_pcm(5)[:256].reshape(16, 16) % 200).astype(np.uint8)] * 4)
+    )
+
+    def mutate(data):
+        b = bytearray(data)
+        for _ in range(random.randrange(1, 4)):
+            b[random.randrange(len(b))] = random.randrange(256)
+        return bytes(b)
+
+    audio_rows = [(i, mutate(wav if i % 2 else flac)) for i in range(120)]
+    video_rows = [(i, mutate(clip)) for i in range(120)]
+    got_a = audio_fingerprint(_media(spark, audio_rows)).collect()
+    got_v = video_fingerprint(_media(spark, video_rows)).collect()
+    assert len(got_a) == 120 and len(got_v) == 120
+    for rows in (got_a, got_v):
+        ok = sum(1 for r in rows if r.fp is not None)
+        bad = sum(1 for r in rows if r.fp is None)
+        assert all(set(r.fp) <= {"0", "1"} for r in rows if r.fp is not None)
+        # both outcomes must occur for the fuzz to mean anything
+        assert ok > 5 and bad > 5, (ok, bad)
