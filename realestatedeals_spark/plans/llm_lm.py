@@ -232,10 +232,18 @@ WHERE s.oov = 0
 
 def _score_held_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri, big, uni, total = _model(spark, sf_dir)
-    held = _ngrams(
-        _words(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)),
-        3,
-    ).select("doc_id", F.col("g0").alias("u"), F.col("g1").alias("v"), F.col("g2").alias("w"))
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return score_documents(docs, (tri, big, uni, total))
+
+
+def score_documents(docs: DataFrame, model) -> DataFrame:
+    """Stupid-backoff scoring of ``docs`` (doc_id, text) against a trained
+    model — ONE definition shared by the batch query and the streaming
+    scorer (c16), so their oracle equivalence is by construction."""
+    tri, big, uni, total = model
+    held = _ngrams(_words(docs), 3).select(
+        "doc_id", F.col("g0").alias("u"), F.col("g1").alias("v"), F.col("g2").alias("w")
+    )
 
     pos = (
         held.join(tri, ["u", "v", "w"], "left")

@@ -36,7 +36,13 @@ from pyspark.sql import functions as F
 
 from realestatedeals_spark.io.catalog import Catalog
 from realestatedeals_spark.io.sources import load_table
-from realestatedeals_spark.plans.llm_lm import _LM_TRAIN_ORACLE, _micros6, _ngrams, _words
+from realestatedeals_spark.plans.llm_lm import (
+    _LM_SCORE_ORACLE,
+    _LM_TRAIN_ORACLE,
+    _micros6,
+    _ngrams,
+    _words,
+)
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
 
@@ -169,3 +175,85 @@ def c15_stream_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def apply_score_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int, model) -> bool:
+    """Score one micro-batch of arriving documents against the pinned
+    model and fold the per-doc rows into the accumulated ``scores`` table,
+    exactly-once (same epoch/CAS protocol as the count fold). Documents
+    never span micro-batches, so the union of per-batch scores IS the
+    batch scorer's output — the oracle pins that equality bit-for-bit."""
+    from realestatedeals_spark.plans.llm_lm import score_documents
+
+    applied = cat.applied_epoch()
+    if applied is not None and epoch_id <= applied:
+        return False
+    latest = cat.latest_version()
+    scored = score_documents(batch_df, model)
+    if latest is not None:
+        scored = cat.read("scores", latest).unionByName(scored)
+    cat.commit(
+        {"scores": scored.localCheckpoint(eager=True)},
+        expected_latest=latest,
+        epoch=epoch_id,
+    )
+    return True
+
+
+@register(
+    "c16_stream_lm_score",
+    # the streamed scores must be indistinguishable from the batch
+    # scorer's — same oracle, by construction of the shared scorer
+    oracle=_LM_SCORE_ORACLE,
+    tags=("C16", "streaming", "catalog", "lm"),
+)
+def c16_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LM scoring: the held-out half of the corpus (odd
+    doc_ids) arrives as 3 micro-batches; each is scored against the
+    STATIC trained model (the c15 fold's endpoint — here trained batch-
+    side, the subject under test is scoring) through the SHARED scorer
+    (llm_lm.score_documents) and folded into the catalog exactly-once.
+    The accumulated table must hash-match x4_lm_backoff_score's oracle:
+    per-batch stream-static joins == whole-corpus batch joins, because
+    documents never span batches and counts are static."""
+    from realestatedeals_spark.plans.llm_lm import _model
+
+    apply_session_conf(spark)
+    model = _model(spark, sf_dir)
+    held = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_lm_score_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i in (0, 1, 2):
+            d = os.path.join(in_dir, f"b{i}")
+            held.filter(F.col("doc_id") % 6 == 2 * i + 1).coalesce(1).write.parquet(d)
+            for fname in os.listdir(d):
+                t = 1_700_000_000 + i * 10
+                os.utime(os.path.join(d, fname), (t, t))
+
+        cat = Catalog(spark, os.path.join(work, "cat"))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, eid: apply_score_batch(cat, bdf, eid, model)
+            )
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = cat.read("scores")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+

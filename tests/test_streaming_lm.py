@@ -56,3 +56,24 @@ def test_incremental_fold_equals_one_shot_counts(spark, tmp_path):
     }
     head = model_head(cat).collect()
     assert head and all(r.p_micros <= 1_000_000 for r in head)
+
+
+def test_score_fold_redelivery_noop(spark, tmp_path):
+    from realestatedeals_spark.plans.llm_lm import _model
+    from realestatedeals_spark.plans.streaming_lm import apply_score_batch
+
+    sf_dir = str(tmp_path / "corpus")
+    _docs(spark, [(0, "a b c a b"), (2, "b c a b c")]).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS LONG) AS n_chars"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    model = _model(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    b0 = _docs(spark, [(1, "a b c d")])
+    b1 = _docs(spark, [(3, "b c a")])
+    assert apply_score_batch(cat, b0, 0, model) is True
+    assert apply_score_batch(cat, b1, 1, model) is True
+    before = sorted((r.doc_id, r.score_sum_micros) for r in cat.read("scores").collect())
+    assert apply_score_batch(cat, b0, 0, model) is False  # redelivery
+    after = sorted((r.doc_id, r.score_sum_micros) for r in cat.read("scores").collect())
+    assert after == before and len(after) == 2

@@ -37,6 +37,7 @@ SKIP = {
     "c13_stream_transition_matrix": "streaming replay",
     "c14_stream_catalog_txn": "streaming replay",
     "c15_stream_lm_counts": "streaming replay",
+    "c16_stream_lm_score": "streaming replay",
     "io_bucketed_join": "managed-table write at plan build",
     "x3_pq_topk": "k-means training at plan build",
     "x3_ivf_topk": "k-means training at plan build",
