@@ -198,6 +198,7 @@ class Catalog:
         max_retries: int = 50,
         epoch: int | None = None,
         branch: str = "main",
+        drops: list[str] | None = None,
     ) -> int:
         """Atomically publish new snapshots of every table in ``updates``.
 
@@ -208,7 +209,18 @@ class Catalog:
         publish v=latest+1 (atomic link; see module docstring). A blind
         commit that loses the publish race re-reads the winner's pins and
         retries — no update can be lost because every published manifest
-        was derived from the manifest immediately before it."""
+        was derived from the manifest immediately before it.
+
+        ``drops`` unpins tables in the SAME transaction (DROP TABLE): a
+        reader can never observe the replacement without the drop or vice
+        versa — compaction folds N delta tables into one and retires them
+        atomically. Dropped data files stay on disk until ``expire``
+        removes the manifests that still pin them (time travel to an
+        older catalog version keeps working until then)."""
+        drops = list(drops or [])
+        overlap = sorted(set(drops) & set(updates))
+        if overlap:
+            raise ValueError(f"tables both updated and dropped: {overlap}")
         new_pins: dict[str, int] = {}
         for name, df in updates.items():
             new_pins[name] = self.table(name).commit(df)
@@ -223,7 +235,12 @@ class Catalog:
                 )
             target = (latest if latest is not None else 0) + 1
             pins = self.pins(latest, branch) if latest is not None else {}
+            missing = sorted(d for d in drops if d not in pins)
+            if missing:
+                raise ValueError(f"cannot drop unpinned tables: {missing}")
             pins.update(new_pins)
+            for d_name in drops:
+                del pins[d_name]
             fd, tmp = tempfile.mkstemp(
                 dir=self._dir(branch), prefix=f".v{target}-", suffix=".tmp"
             )
@@ -265,11 +282,23 @@ class Catalog:
         vs = self.versions()
         for v in vs[:-keep_last]:
             os.unlink(os.path.join(self._cat_dir, f"v={v}.json"))
+        # enumerate member tables from DISK, not just surviving pins: a
+        # table dropped from every surviving manifest still has versions
+        # that earlier (now-expired) manifests pinned — those are exactly
+        # the garbage retention exists to reclaim. Each table's own HEAD
+        # always survives (expire_versions keep_last=1): it may be an
+        # in-flight phase-1 commit whose manifest isn't published yet, so
+        # a fully-dropped table shrinks to one bounded head version.
+        def _is_table(name: str) -> bool:
+            d = os.path.join(self.root, name)
+            return os.path.isdir(d) and any(
+                e.startswith("v=") for e in os.listdir(d)
+            )
+
         tables = {
             name
-            for b in self.branches()
-            for v in self.versions(b)
-            for name in self.pins(v, b)
+            for name in os.listdir(self.root)
+            if name != "_catalog" and _is_table(name)
         }
         removed: dict[str, list[int]] = {}
         for name in sorted(tables):

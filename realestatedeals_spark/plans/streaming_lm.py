@@ -257,3 +257,113 @@ def c16_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+
+
+# -- O(batch) delta fold + transactional compaction (c15's production twin) --
+
+def apply_lm_delta_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int) -> bool:
+    """The O(batch) fold: commit ONLY this epoch's n-gram count deltas
+    (three new tables named by epoch) — nothing proportional to the model
+    is read or written, which is what survives an unbounded stream. Same
+    epoch/CAS exactly-once protocol as the full fold."""
+    applied = cat.applied_epoch()
+    if applied is not None and epoch_id <= applied:
+        return False
+    latest = cat.latest_version()
+    tri_b, big_b, uni_b = _batch_counts(batch_df)
+    cat.commit(
+        {
+            f"tri_d{epoch_id}": tri_b,
+            f"big_d{epoch_id}": big_b,
+            f"uni_d{epoch_id}": uni_b,
+        },
+        expected_latest=latest,
+        epoch=epoch_id,
+    )
+    return True
+
+
+def _fold_order(cat: Catalog, pins: dict, base: str, prefix: str, keys: list[str], cnt: str):
+    parts = [cat.read(n) for n in sorted(pins) if n.startswith(prefix)]
+    if base in pins:
+        parts.append(cat.read(base))
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out.groupBy(*keys).agg(F.sum(cnt).alias(cnt))
+
+
+def compact_lm(cat: Catalog) -> int:
+    """Fold every pending delta table into the compacted model and RETIRE
+    the deltas in the same transaction (Catalog.commit drops) — a reader
+    sees either deltas+old-model or new-model, never both or neither.
+    Read-time cost returns to O(model); time travel to pre-compaction
+    manifests still resolves the dropped deltas until expire()."""
+    pins = cat.pins()
+    deltas = sorted(n for n in pins if n.partition("_d")[1] == "_d")
+    tri = _fold_order(cat, pins, "tri", "tri_d", ["u", "v", "w"], "c_uvw")
+    big = _fold_order(cat, pins, "big", "big_d", ["u", "v"], "c_uv")
+    uni = _fold_order(cat, pins, "uni", "uni_d", ["w"], "c_w")
+    return cat.commit(
+        {
+            "tri": tri.localCheckpoint(eager=True),
+            "big": big.localCheckpoint(eager=True),
+            "uni": uni.localCheckpoint(eager=True),
+        },
+        drops=deltas,
+    )
+
+
+@register(
+    "c15b_stream_lm_delta_fold",
+    oracle=_LM_TRAIN_ORACLE,
+    tags=("C15", "streaming", "catalog", "lm"),
+)
+def c15b_stream_lm_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production variant of c15: each epoch commits ONLY its count
+    deltas (O(batch) write — the full fold's O(model)-per-batch cost was
+    the one documented simplification left in the streaming LM loop), and
+    one transactional compaction folds deltas into the model and retires
+    them atomically (Catalog drops). The compacted head must hash-match
+    the same all-data batch trainer oracle as c15 and x4_lm_backoff_train."""
+    apply_session_conf(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_lm_delta_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i in (0, 1, 2):
+            d = os.path.join(in_dir, f"b{i}")
+            docs.filter(F.col("doc_id") % 6 == 2 * i).coalesce(1).write.parquet(d)
+            for fname in os.listdir(d):
+                t = 1_700_000_000 + i * 10
+                os.utime(os.path.join(d, fname), (t, t))
+
+        cat = Catalog(spark, os.path.join(work, "cat"))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, eid: apply_lm_delta_batch(cat, bdf, eid)
+            )
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        compact_lm(cat)
+        assert not [n for n in cat.pins() if "_d" in n]  # deltas retired
+        return spark.createDataFrame(
+            model_head(cat).collect(),
+            "u string, v string, w string, c_uvw bigint, c_uv bigint, p_micros bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -224,3 +224,42 @@ def test_manifest_bad_version_raises_typed_value_error(spark, tmp_path):
         cat.pins(version=99)
     with pytest.raises(ValueError, match="on branch 'main'"):
         cat.read("a", version=42)
+
+
+def test_commit_drops_tables_transactionally(spark, tmp_path):
+    """DROP TABLE in a transaction: the replacement and the retirements
+    publish under one manifest; time travel to the pre-drop version still
+    resolves; updating and dropping the same table is a typed error, as is
+    dropping a table that was never pinned."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    v1 = cat.commit({"d0": _df(spark, 1), "d1": _df(spark, 2)})
+    v2 = cat.commit({"merged": _df(spark, 3)}, drops=["d0", "d1"])
+    assert sorted(cat.pins()) == ["merged"]
+    with pytest.raises(ValueError, match="not in catalog"):
+        cat.read("d0")
+    # time travel: the pre-drop manifest still pins the deltas
+    assert [r.k for r in cat.read("d0", version=v1).collect()] == [1]
+    assert [r.k for r in cat.read("merged", version=v2).collect()] == [3]
+    with pytest.raises(ValueError, match="both updated and dropped"):
+        cat.commit({"merged": _df(spark, 4)}, drops=["merged"])
+    with pytest.raises(ValueError, match="cannot drop unpinned"):
+        cat.commit({}, drops=["ghost"])
+    # a dropped name can be re-introduced later
+    cat.commit({"d0": _df(spark, 9)})
+    assert [r.k for r in cat.read("d0").collect()] == [9]
+
+
+def test_expire_reclaims_dropped_tables(spark, tmp_path):
+    """After a transactional drop, expire() must still visit the table
+    (it is pinned by NO surviving manifest, so pin-derived enumeration
+    would skip it) and reclaim every non-head version; the head survives
+    by the in-flight-phase-1 protection contract, so a fully-dropped
+    table shrinks to one bounded version."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"d0": _df(spark, 1)})
+    cat.commit({"d0": _df(spark, 2)})  # d0 now has versions 1 and 2
+    cat.commit({"merged": _df(spark, 3)}, drops=["d0"])
+    removed = cat.expire(keep_last=1)
+    assert removed.get("d0") == [1]  # non-head reclaimed
+    assert cat.table("d0").versions() == [2]  # bounded head remains
+    assert sorted(cat.pins()) == ["merged"]

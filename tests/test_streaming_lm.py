@@ -77,3 +77,37 @@ def test_score_fold_redelivery_noop(spark, tmp_path):
     assert apply_score_batch(cat, b0, 0, model) is False  # redelivery
     after = sorted((r.doc_id, r.score_sum_micros) for r in cat.read("scores").collect())
     assert after == before and len(after) == 2
+
+
+def test_delta_fold_compaction_equals_one_shot(spark, tmp_path):
+    from realestatedeals_spark.plans.streaming_lm import (
+        apply_lm_delta_batch,
+        compact_lm,
+    )
+
+    texts = [(0, "a b c a b c d"), (2, "b c d e"), (4, "c d e a b")]
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    for i, row in enumerate(texts):
+        assert apply_lm_delta_batch(cat, _docs(spark, [row]), i) is True
+    assert apply_lm_delta_batch(cat, _docs(spark, [texts[0]]), 0) is False
+    assert sorted(n for n in cat.pins() if n.startswith("tri_d")) == [
+        "tri_d0", "tri_d1", "tri_d2",
+    ]
+    pre_compact_v = cat.latest_version()
+    compact_lm(cat)
+    assert sorted(cat.pins()) == ["big", "tri", "uni"]  # deltas retired
+    # time travel: the pre-compaction manifest still resolves a delta
+    assert cat.read("tri_d0", version=pre_compact_v).count() >= 1
+    # compacted counts == one-shot counts over the same corpus
+    sf_dir = str(tmp_path / "corpus")
+    _docs(spark, texts).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS LONG) AS n_chars"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    tri_b, big_b, uni_b, _ = _model(spark, sf_dir)
+    assert {(r.u, r.v, r.w, r.c_uvw) for r in cat.read("tri").collect()} == {
+        (r.u, r.v, r.w, r.c_uvw) for r in tri_b.collect()
+    }
+    assert {(r.w, r.c_w) for r in cat.read("uni").collect()} == {
+        (r.w, r.c_w) for r in uni_b.collect()
+    }

@@ -38,6 +38,7 @@ SKIP = {
     "c14_stream_catalog_txn": "streaming replay",
     "c15_stream_lm_counts": "streaming replay",
     "c16_stream_lm_score": "streaming replay",
+    "c15b_stream_lm_delta_fold": "streaming replay",
     "io_bucketed_join": "managed-table write at plan build",
     "x3_pq_topk": "k-means training at plan build",
     "x3_ivf_topk": "k-means training at plan build",
