@@ -1706,3 +1706,132 @@ def x5_multimodal_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              + flag("video_dups")).cast("long").alias("dup_modalities"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X5/X2 — Hamming-tolerant audio matching: the banded-LSH step the
+# fingerprint docstrings promise. Works at the DISTINCT-PRINT level (the
+# print space is bounded by signal structure, not corpus size, so the
+# pair output can never go quadratic in documents — doc membership stays
+# in the group query); candidates come from band buckets (never
+# all-pairs), then exact Hamming verify <= 2. The oracle recomputes the
+# prints arithmetically and verifies the SAME pairs via an all-pairs
+# band-share + Hamming filter — trivial over <= 40 prints, quadratic only
+# in print space.
+# ---------------------------------------------------------------------------
+
+_X5_AUDIO_BANDED_ORACLE = """
+WITH b AS (SELECT DISTINCT doc_id % 40 AS base FROM documents),
+sig AS (
+  SELECT base,
+         list_transform(range(0, 1600), i -> (base * 7 + i * 13) % 401 - 200) AS pcm
+  FROM b),
+feat AS (
+  SELECT base,
+         list_transform(range(0, 16), t ->
+           list_reduce(list_transform(range(0, 100),
+             f -> abs(pcm[t*100 + f + 1])), (a, x) -> a + x)) AS e,
+         list_transform(range(0, 16), t ->
+           list_reduce(list_transform(range(0, 99),
+             f -> CASE WHEN pcm[t*100 + f + 1] * pcm[t*100 + f + 2] < 0
+                  THEN 1 ELSE 0 END), (a, x) -> a + x)) AS z
+  FROM sig),
+afp AS (
+  SELECT base,
+         list_reduce(list_transform(range(0, 15),
+           t -> CASE WHEN e[t+2] > e[t+1] THEN '1' ELSE '0' END), (a, x) -> a || x)
+         ||
+         list_reduce(list_transform(range(0, 15),
+           t -> CASE WHEN z[t+2] > z[t+1] THEN '1' ELSE '0' END), (a, x) -> a || x)
+         AS fp
+  FROM feat),
+prints AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n_tracks
+  FROM (SELECT doc_id, doc_id % 40 AS base FROM documents) d JOIN afp USING (base)
+  GROUP BY fp)
+SELECT a.fp AS fp_a, c.fp AS fp_b,
+       CAST(list_reduce(list_transform(range(1, 31),
+         i -> CASE WHEN substring(a.fp, i, 1) <> substring(c.fp, i, 1)
+              THEN 1 ELSE 0 END), (x, y) -> x + y) AS BIGINT) AS hamming,
+       a.n_tracks AS n_a, c.n_tracks AS n_b
+FROM prints a JOIN prints c ON a.fp < c.fp
+WHERE (substring(a.fp, 1, 10) = substring(c.fp, 1, 10)
+    OR substring(a.fp, 11, 10) = substring(c.fp, 11, 10)
+    OR substring(a.fp, 21, 10) = substring(c.fp, 21, 10))
+  AND list_reduce(list_transform(range(1, 31),
+        i -> CASE WHEN substring(a.fp, i, 1) <> substring(c.fp, i, 1)
+             THEN 1 ELSE 0 END), (x, y) -> x + y) <= 2
+"""
+
+
+@register(
+    "x5_audio_near_dup_banded",
+    oracle=_X5_AUDIO_BANDED_ORACLE,
+    tags=("X5", "multimodal", "dedup", "lsh"),
+)
+def x5_audio_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-tolerant audio near-match: distinct fingerprints band into
+    3 x 10-bit buckets; prints sharing any band become candidates (one
+    shuffle on the band key — never all-pairs over prints, and never any
+    pairing over documents); candidates verify by exact Hamming <= 2.
+    On this fixture the tolerance is load-bearing: 13 print pairs at
+    Hamming 1-2 exist beyond the exact groups the group query collapses."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        i = np.arange(1600, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base, gain = int(did) % 40, int(did) // 40 % 3 + 1
+                s = gain * ((base * 7 + i * 13) % 401 - 200)
+                rows.append((int(did), bytearray(encode_wav_pcm16(s, 8000))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    prints = (
+        audio_fingerprint(media, n_frames=16, frame_len=100)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tracks"))
+    )
+    bands = prints.select(
+        "fp",
+        "n_tracks",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 2), k -> struct(k, substring(fp, k*10 + 1, 10) AS band))"
+            )
+        ).alias("bk"),
+    ).select("fp", "n_tracks", "bk.k", "bk.band")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.select(
+                F.col("fp").alias("fp_b"),
+                F.col("n_tracks").alias("n_b"),
+                "k",
+                "band",
+            ).alias("c"),
+            ["k", "band"],
+        )
+        .filter(F.col("fp") < F.col("fp_b"))
+        .select(
+            F.col("fp").alias("fp_a"), F.col("fp_b"),
+            F.col("n_tracks").alias("n_a"), F.col("n_b"),
+        )
+        .distinct()  # a pair may share several bands
+    )
+    hamming = F.expr(
+        "size(filter(sequence(1, 30), i -> substring(fp_a, i, 1) != substring(fp_b, i, 1)))"
+    ).cast("long")
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 2).select(
+        "fp_a", "fp_b", "hamming", "n_a", "n_b"
+    )
