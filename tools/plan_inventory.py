@@ -39,6 +39,7 @@ SKIP = {
     "c15_stream_lm_counts": "streaming replay",
     "c16_stream_lm_score": "streaming replay",
     "c15b_stream_lm_delta_fold": "streaming replay",
+    "c17_stream_media_dedup": "streaming replay",
     "io_bucketed_join": "managed-table write at plan build",
     "x3_pq_topk": "k-means training at plan build",
     "x3_ivf_topk": "k-means training at plan build",
