@@ -340,3 +340,86 @@ def x4_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, "doc_id")
         .select("doc_id", "lang", "source", "avg_score_micros", "tri_hits", "n_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# X4/X7 — CCNet's last two steps over the LM scores: quality BUCKETS and
+# bucket-dependent deterministic SAMPLING (Wenzek et al. 2019 keep the
+# head/middle perplexity buckets of the crawl at higher rates than the
+# tail). Bands are fixed integer cuts of avg_score_micros (scale-free, no
+# global sort/percentile — a band is a pure function of the doc's own
+# score); sampling is the engine's md5-prefix-threshold draw (membership
+# is a pure function of doc_id — retry/partitioning independent), at a
+# per-band rate: head 90%, middle 50%, tail 10%.
+# ---------------------------------------------------------------------------
+
+# least(avg_score_micros // 10000, 9): 10 bands of 0.01 average score each
+_BAND = "least(CAST(floor(avg_score_micros / 10000) AS BIGINT), 9)"
+# md5-prefix keep thresholds per band tier (60-bit hex, engine-portable)
+_T_HEAD, _T_MID, _T_TAIL = "e66666666666680", "800000000000000", "1999999999999a0"
+
+_LM_BUCKETS_ORACLE = _LM_SCORE_CTES + f"""
+SELECT {_BAND} AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_pos) AS BIGINT) AS total_positions,
+       CAST(min(avg_score_micros) AS BIGINT) AS min_avg,
+       CAST(max(avg_score_micros) AS BIGINT) AS max_avg
+FROM scored GROUP BY {_BAND}
+"""
+
+_LM_BUCKET_SAMPLE_ORACLE = _LM_SCORE_CTES + f"""
+SELECT doc_id, {_BAND} AS band, avg_score_micros
+FROM scored
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+      CASE WHEN {_BAND} >= 5 THEN '{_T_HEAD}'
+           WHEN {_BAND} >= 3 THEN '{_T_MID}'
+           ELSE '{_T_TAIL}' END
+"""
+
+
+def _band_col() -> F.Column:
+    return F.least(
+        F.floor(F.col("avg_score_micros") / 10000).cast("long"), F.lit(9)
+    ).alias("band")
+
+
+@register("x4_lm_quality_buckets", oracle=_LM_BUCKETS_ORACLE, tags=("X4", "text", "lm"))
+def x4_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band corpus statistics over the LM scores — CCNet's bucket
+    histogram. One extra group-by over the scored table; bands are fixed
+    integer cuts, so no global sort or percentile enters the plan."""
+    apply_session_conf(spark)
+    return (
+        _score_held_out(spark, sf_dir)
+        .select(_band_col(), "n_pos", "avg_score_micros")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pos").cast("long").alias("total_positions"),
+            F.min("avg_score_micros").alias("min_avg"),
+            F.max("avg_score_micros").alias("max_avg"),
+        )
+    )
+
+
+@register(
+    "x7_lm_bucket_sample", oracle=_LM_BUCKET_SAMPLE_ORACLE, tags=("X7", "sampling", "lm")
+)
+def x7_lm_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-dependent deterministic sampling: keep head bands (>=5) at
+    90%, middle (3-4) at 50%, tail at 10%, by the md5-prefix-threshold
+    draw — membership is a pure function of doc_id, so the kept set is
+    identical under retries and any partitioning, and the oracle checks
+    the REAL kept rows."""
+    apply_session_conf(spark)
+    scored = _score_held_out(spark, sf_dir).select(
+        "doc_id", _band_col(), "avg_score_micros"
+    )
+    thr = (
+        F.when(F.col("band") >= 5, F.lit(_T_HEAD))
+        .when(F.col("band") >= 3, F.lit(_T_MID))
+        .otherwise(F.lit(_T_TAIL))
+    )
+    return scored.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15) < thr
+    ).select("doc_id", "band", "avg_score_micros")

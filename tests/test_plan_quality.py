@@ -49,6 +49,8 @@ _BNLJ_WHITELIST = {
     "x7_dedup_aware_split": "cross vs the 1-row broadcast leak-count frame, once per split mode",
     "x4_lm_backoff_score": "cross vs the 1-row broadcast model-total frame",
     "x4_lm_perplexity_filter": "cross vs the 1-row broadcast model-total frame (via the shared scorer)",
+    "x4_lm_quality_buckets": "cross vs the 1-row broadcast model-total frame (via the shared scorer)",
+    "x7_lm_bucket_sample": "cross vs the 1-row broadcast model-total frame (via the shared scorer)",
 }
 
 # execute real streaming replays on invocation AND return localCheckpoint
