@@ -1835,3 +1835,115 @@ def x5_audio_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 2).select(
         "fp_a", "fp_b", "hamming", "n_a", "n_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# X5/X2 — Hamming-tolerant image matching: banded LSH over the 64-bit
+# dHash prints, same distinct-print formulation as the audio matcher
+# (pair output bounded by print space, never quadratic in documents).
+# 8 bands x 8 bits; candidates share >= 1 band; exact Hamming <= 2
+# verify. Load-bearing on the fixture: near pairs exist at Hamming 2
+# beyond the 3 exact-collision print pairs.
+# ---------------------------------------------------------------------------
+
+_X5_IMAGE_BANDED_ORACLE = """
+WITH ib AS (SELECT DISTINCT doc_id % 50 AS base FROM documents),
+ig AS (SELECT base,
+        list_transform(range(0, 72), i ->
+          (3*base + 7*(2*(i//9)) + 11*(2*(i%9))) % 256
+        + (3*base + 7*(2*(i//9)) + 11*(2*(i%9)+1)) % 256
+        + (3*base + 7*(2*(i//9)+1) + 11*(2*(i%9))) % 256
+        + (3*base + 7*(2*(i//9)+1) + 11*(2*(i%9)+1)) % 256) AS pooled
+      FROM ib),
+ihx AS (SELECT base,
+        list_reduce(list_transform(range(0, 64), k ->
+          CASE WHEN pooled[(k//8)*9 + (k%8) + 2] > pooled[(k//8)*9 + (k%8) + 1]
+          THEN '1' ELSE '0' END), (a, x) -> a || x) AS dhash
+       FROM ig),
+prints AS (
+  SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs
+  FROM (SELECT doc_id, doc_id % 50 AS base FROM documents) d JOIN ihx USING (base)
+  GROUP BY dhash),
+pairs AS (
+  SELECT a.dhash AS fp_a, c.dhash AS fp_b,
+         CAST(list_reduce(list_transform(range(1, 65),
+           i -> CASE WHEN substring(a.dhash, i, 1) <> substring(c.dhash, i, 1)
+                THEN 1 ELSE 0 END), (x, y) -> x + y) AS BIGINT) AS hamming,
+         a.n_docs AS n_a, c.n_docs AS n_b
+  FROM prints a JOIN prints c ON a.dhash < c.dhash
+  WHERE EXISTS (SELECT 1 FROM range(0, 8) t(k)
+                WHERE substring(a.dhash, CAST(k*8+1 AS INT), 8)
+                    = substring(c.dhash, CAST(k*8+1 AS INT), 8)))
+SELECT fp_a, fp_b, hamming, n_a, n_b FROM pairs WHERE hamming <= 2
+"""
+
+
+@register(
+    "x5_image_near_dup_banded",
+    oracle=_X5_IMAGE_BANDED_ORACLE,
+    tags=("X5", "multimodal", "dedup", "lsh"),
+)
+def x5_image_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-tolerant image near-match: distinct dHash prints band into
+    8 x 8-bit buckets (one shuffle on the band key — never all-pairs over
+    prints, never any pairing over documents), candidates verify by exact
+    Hamming <= 2. Same fixture and real PNG decode path as
+    x5_image_near_dup_dhash; the tolerance catches re-encodes whose
+    gradient structure differs by a couple of cells."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import (
+        encode_png_gray,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        r = np.arange(16, dtype=np.int64)[:, None]
+        c = np.arange(18, dtype=np.int64)[None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 50
+                px = ((3 * base + 7 * r + 11 * c) % 256).astype(np.uint8)
+                rows.append((int(did), bytearray(encode_png_gray(px))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    prints = (
+        image_dhash(media)
+        .groupBy("dhash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    bands = prints.select(
+        "dhash",
+        "n_docs",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), k -> struct(k, substring(dhash, k*8 + 1, 8) AS band))"
+            )
+        ).alias("bk"),
+    ).select("dhash", "n_docs", "bk.k", "bk.band")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.select(
+                F.col("dhash").alias("fp_b"), F.col("n_docs").alias("n_b"), "k", "band"
+            ).alias("c"),
+            ["k", "band"],
+        )
+        .filter(F.col("dhash") < F.col("fp_b"))
+        .select(
+            F.col("dhash").alias("fp_a"), F.col("fp_b"),
+            F.col("n_docs").alias("n_a"), F.col("n_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        "size(filter(sequence(1, 64), i -> substring(fp_a, i, 1) != substring(fp_b, i, 1)))"
+    ).cast("long")
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 2).select(
+        "fp_a", "fp_b", "hamming", "n_a", "n_b"
+    )
