@@ -1947,3 +1947,149 @@ def x5_image_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 2).select(
         "fp_a", "fp_b", "hamming", "n_a", "n_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# X5/X2 — Hamming-tolerant video matching: banded LSH over the variable-
+# length temporal prints. Prints of different lengths can never match
+# (frame count differs), so the band key includes the length; the three
+# bands are structural — spatial bits of the first half of frames,
+# spatial bits of the second half, and the temporal delta bits — with
+# n_frames recovered from the print length (len = 4n - 3).
+# ---------------------------------------------------------------------------
+
+_X5_VIDEO_BANDED_ORACLE = """
+WITH vb AS (SELECT DISTINCT doc_id % 30 AS base FROM documents),
+vg AS (SELECT base, unnest(range(0, base % 3 + 4)) AS f FROM vb),
+vq AS (
+  SELECT base, f,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*r + 5*c) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q0,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*r + 5*(c+8)) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q1,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*(r+8) + 5*c) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q2,
+    list_reduce(list_transform(range(0, 8), r -> list_reduce(
+      list_transform(range(0, 8), c -> (base*19 + 29*f + 3*(r+8) + 5*(c+8)) % 200),
+      (a, x) -> a + x)), (a, x) -> a + x) AS q3
+  FROM vg),
+vperbase AS (
+  SELECT base,
+         string_agg(
+           (CASE WHEN q1 > q0 THEN '1' ELSE '0' END) ||
+           (CASE WHEN q2 > q0 THEN '1' ELSE '0' END) ||
+           (CASE WHEN q3 > q0 THEN '1' ELSE '0' END), '' ORDER BY f) AS sb,
+         list(q0 + q1 + q2 + q3 ORDER BY f) AS ps
+  FROM vq GROUP BY base),
+vfp AS (
+  SELECT base,
+         sb || list_reduce(list_transform(range(0, len(ps) - 1),
+           i -> CASE WHEN ps[i+2] > ps[i+1] THEN '1' ELSE '0' END),
+           (a, x) -> a || x) AS fp
+  FROM vperbase),
+prints AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n_clips
+  FROM (SELECT doc_id, doc_id % 30 AS base FROM documents) d JOIN vfp USING (base)
+  GROUP BY fp)
+SELECT a.fp AS fp_a, c.fp AS fp_b,
+       CAST(list_reduce(list_transform(range(1, length(a.fp) + 1),
+         i -> CASE WHEN substring(a.fp, i, 1) <> substring(c.fp, i, 1)
+              THEN 1 ELSE 0 END), (x, y) -> x + y) AS BIGINT) AS hamming,
+       a.n_clips AS n_a, c.n_clips AS n_b
+FROM prints a JOIN prints c ON length(a.fp) = length(c.fp) AND a.fp < c.fp
+WHERE (substring(a.fp, 1, 3 * (((length(a.fp) + 3) // 4) // 2))
+         = substring(c.fp, 1, 3 * (((length(c.fp) + 3) // 4) // 2))
+    OR substring(a.fp, 3 * (((length(a.fp) + 3) // 4) // 2) + 1,
+                 3 * ((length(a.fp) + 3) // 4) - 3 * (((length(a.fp) + 3) // 4) // 2))
+         = substring(c.fp, 3 * (((length(c.fp) + 3) // 4) // 2) + 1,
+                 3 * ((length(c.fp) + 3) // 4) - 3 * (((length(c.fp) + 3) // 4) // 2))
+    OR substring(a.fp, 3 * ((length(a.fp) + 3) // 4) + 1, ((length(a.fp) + 3) // 4) - 1)
+         = substring(c.fp, 3 * ((length(c.fp) + 3) // 4) + 1, ((length(c.fp) + 3) // 4) - 1))
+  AND list_reduce(list_transform(range(1, length(a.fp) + 1),
+        i -> CASE WHEN substring(a.fp, i, 1) <> substring(c.fp, i, 1)
+             THEN 1 ELSE 0 END), (x, y) -> x + y) <= 2
+"""
+
+
+@register(
+    "x5_video_near_dup_banded",
+    oracle=_X5_VIDEO_BANDED_ORACLE,
+    tags=("X5", "multimodal", "dedup", "lsh"),
+)
+def x5_video_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-tolerant video near-match over the variable-length temporal
+    prints: three structural bands (spatial bits of the first and second
+    half of frames, temporal delta bits; n_frames = (len+3)/4 recovered
+    from the print itself), band key includes the print LENGTH so
+    different frame counts can never pair, exact Hamming <= 2 verify.
+    Same distinct-print bound as the audio/image matchers. Completes the
+    Hamming-tolerant family across every modality print."""
+    import numpy as np
+    import pandas as pd
+
+    from realestatedeals_spark.operators.multimodal import video_fingerprint
+    from realestatedeals_spark.operators.y4m import encode_y4m
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        r = np.arange(16, dtype=np.int64)[:, None]
+        c = np.arange(16, dtype=np.int64)[None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base, off = int(did) % 30, int(did) // 30 % 3 * 10
+                frames = [
+                    ((base * 19 + 29 * f + 3 * r + 5 * c) % 200 + off).astype(np.uint8)
+                    for f in range(base % 3 + 4)
+                ]
+                rows.append((int(did), bytearray(encode_y4m(frames, 25, 1))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    prints = (
+        video_fingerprint(media)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clips"))
+    )
+    # n = (len+3) div 4; bands: [1, 3*(n div 2)], (.., 3n], (3n, 3n + n-1]
+    bands = prints.select(
+        "fp",
+        "n_clips",
+        F.length("fp").alias("flen"),
+        F.explode(
+            F.expr(
+                "array("
+                "struct(0 AS k, substring(fp, 1, 3 * (((length(fp) + 3) div 4) div 2)) AS band),"
+                "struct(1 AS k, substring(fp, 3 * (((length(fp) + 3) div 4) div 2) + 1,"
+                "       3 * ((length(fp) + 3) div 4) - 3 * (((length(fp) + 3) div 4) div 2)) AS band),"
+                "struct(2 AS k, substring(fp, 3 * ((length(fp) + 3) div 4) + 1,"
+                "       ((length(fp) + 3) div 4) - 1) AS band))"
+            )
+        ).alias("bk"),
+    ).select("fp", "n_clips", "flen", "bk.k", "bk.band")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.select(
+                F.col("fp").alias("fp_b"), F.col("n_clips").alias("n_b"),
+                "flen", "k", "band",
+            ).alias("c"),
+            ["flen", "k", "band"],
+        )
+        .filter(F.col("fp") < F.col("fp_b"))
+        .select(
+            F.col("fp").alias("fp_a"), F.col("fp_b"),
+            F.col("n_clips").alias("n_a"), F.col("n_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        "size(filter(sequence(1, length(fp_a)), i -> substring(fp_a, i, 1) != substring(fp_b, i, 1)))"
+    ).cast("long")
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 2).select(
+        "fp_a", "fp_b", "hamming", "n_a", "n_b"
+    )
