@@ -241,11 +241,21 @@ class Catalog:
             pins.update(new_pins)
             for d_name in drops:
                 del pins[d_name]
+            # The applied-epoch watermark is MONOTONE: a non-streaming commit
+            # (epoch=None) interleaved with streaming sinks — compaction,
+            # maintenance, a manual table update — must carry the previous
+            # manifest's epoch forward, never clobber it to None, or the next
+            # redelivered foreachBatch epoch would pass the skip check and
+            # double-apply. Same rule merge() applies.
+            eff_epoch = epoch
+            if eff_epoch is None and latest is not None:
+                prev = self._manifest(latest, branch).get("epoch")
+                eff_epoch = None if prev is None else int(prev)
             fd, tmp = tempfile.mkstemp(
                 dir=self._dir(branch), prefix=f".v{target}-", suffix=".tmp"
             )
             with os.fdopen(fd, "w") as f:
-                json.dump({"pins": pins, "epoch": epoch}, f, sort_keys=True)
+                json.dump({"pins": pins, "epoch": eff_epoch}, f, sort_keys=True)
             final = os.path.join(self._dir(branch), f"v={target}.json")
             try:
                 os.link(tmp, final)  # atomic conditional publish (EEXIST = lost)

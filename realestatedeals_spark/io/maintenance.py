@@ -1012,9 +1012,14 @@ class VersionedTable:
         out = parts[0]
         for extra in parts[1:]:
             out = out.unionByName(extra, allowMissingColumns=True)
+        # Null-fill with the column's TYPE from the full read's schema — a
+        # bare lit(None) is NullType (void), which diverges from read(v)'s
+        # typed schema and breaks downstream unions/writes when a column is
+        # absent from every bloom-admitted part.
+        read_schema = {f.name: f.dataType for f in self.read(v).schema.fields}
         for c in cols:
             if c not in out.columns:
-                out = out.withColumn(c, F.lit(None))
+                out = out.withColumn(c, F.lit(None).cast(read_schema[c]))
         return out.select(*cols).filter(pred)
 
     def referenced_bases(self) -> set[int]:

@@ -1955,7 +1955,8 @@ def x5_image_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (frame count differs), so the band key includes the length; the three
 # bands are structural — spatial bits of the first half of frames,
 # spatial bits of the second half, and the temporal delta bits — with
-# n_frames recovered from the print length (len = 4n - 3).
+# n_frames recovered from the print length: len = 3n spatial bits +
+# (n-1) temporal bits = 4n - 1, so (len + 3) div 4 = (4n + 2) div 4 = n.
 # ---------------------------------------------------------------------------
 
 _X5_VIDEO_BANDED_ORACLE = """

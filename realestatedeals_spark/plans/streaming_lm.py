@@ -28,6 +28,7 @@ LMs: the crawl streams in, the model is always current, and scoring
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 
@@ -283,10 +284,22 @@ def apply_lm_delta_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int) -> bo
     return True
 
 
-def _fold_order(cat: Catalog, pins: dict, base: str, prefix: str, keys: list[str], cnt: str):
-    parts = [cat.read(n) for n in sorted(pins) if n.startswith(prefix)]
+# A delta table is EXACTLY "<order>_d<epoch>"; substring tests would also
+# match unrelated pinned tables (a future "scores_daily", "big_data") and
+# compact_lm would silently drop them from the catalog.
+_DELTA_RE = re.compile(r"(tri|big|uni)_d\d+")
+
+
+def _fold_order(cat: Catalog, pins: dict, base: str, keys: list[str], cnt: str):
+    parts = [
+        cat.read(n)
+        for n in sorted(pins)
+        if (m := _DELTA_RE.fullmatch(n)) and m.group(1) == base
+    ]
     if base in pins:
         parts.append(cat.read(base))
+    if not parts:
+        raise ValueError(f"nothing to compact for {base!r}: no base and no deltas")
     out = parts[0]
     for extra in parts[1:]:
         out = out.unionByName(extra)
@@ -298,12 +311,15 @@ def compact_lm(cat: Catalog) -> int:
     the deltas in the same transaction (Catalog.commit drops) — a reader
     sees either deltas+old-model or new-model, never both or neither.
     Read-time cost returns to O(model); time travel to pre-compaction
-    manifests still resolves the dropped deltas until expire()."""
+    manifests still resolves the dropped deltas until expire(). The commit
+    carries the applied-epoch watermark forward (Catalog.commit preserves
+    the previous manifest's epoch when none is given), so a compaction
+    racing a live stream can never re-open the redelivery window."""
     pins = cat.pins()
-    deltas = sorted(n for n in pins if n.partition("_d")[1] == "_d")
-    tri = _fold_order(cat, pins, "tri", "tri_d", ["u", "v", "w"], "c_uvw")
-    big = _fold_order(cat, pins, "big", "big_d", ["u", "v"], "c_uv")
-    uni = _fold_order(cat, pins, "uni", "uni_d", ["w"], "c_w")
+    deltas = sorted(n for n in pins if _DELTA_RE.fullmatch(n))
+    tri = _fold_order(cat, pins, "tri", ["u", "v", "w"], "c_uvw")
+    big = _fold_order(cat, pins, "big", ["u", "v"], "c_uv")
+    uni = _fold_order(cat, pins, "uni", ["w"], "c_w")
     return cat.commit(
         {
             "tri": tri.localCheckpoint(eager=True),
@@ -360,7 +376,7 @@ def c15b_stream_lm_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         compact_lm(cat)
-        assert not [n for n in cat.pins() if "_d" in n]  # deltas retired
+        assert not [n for n in cat.pins() if _DELTA_RE.fullmatch(n)]  # retired
         return spark.createDataFrame(
             model_head(cat).collect(),
             "u string, v string, w string, c_uvw bigint, c_uv bigint, p_micros bigint",

@@ -263,3 +263,19 @@ def test_expire_reclaims_dropped_tables(spark, tmp_path):
     assert removed.get("d0") == [1]  # non-head reclaimed
     assert cat.table("d0").versions() == [2]  # bounded head remains
     assert sorted(cat.pins()) == ["merged"]
+
+
+def test_epochless_commit_preserves_applied_epoch(spark, tmp_path):
+    """The applied-epoch watermark is monotone: a maintenance commit with
+    no epoch (compaction, manual table update) interleaved with streaming
+    sinks carries the previous manifest's epoch forward instead of
+    clobbering it to None — otherwise a redelivered foreachBatch epoch
+    would re-apply (round-8 ADVICE, medium)."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"facts": _df(spark, 1)}, epoch=5)
+    assert cat.applied_epoch() == 5
+    cat.commit({"other": _df(spark, 2)})  # epoch-less maintenance commit
+    assert cat.applied_epoch() == 5
+    # an explicit newer epoch still advances the watermark
+    cat.commit({"facts": _df(spark, 3)}, epoch=6)
+    assert cat.applied_epoch() == 6

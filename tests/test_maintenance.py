@@ -993,3 +993,28 @@ def test_read_point_after_schema_evolution(spark, tmp_path):
     assert [(r.id, r.val, r.note) for r in t.read_point("id", 7).collect()] == [
         (7, 777, "upd")
     ]
+
+
+def test_read_point_null_fill_is_typed_after_narrowing_evolution(spark, tmp_path):
+    """When a column is absent from EVERY bloom-admitted part (here: the
+    insert store was written by a narrower evolved source and the point key
+    admits no base file), read_point's null-fill must carry the column's
+    TYPE from read(v)'s schema — a bare lit(None) is NullType (void) and
+    the schemas diverge, breaking downstream unions (round-8 ADVICE, low)."""
+    from realestatedeals_spark.io.maintenance import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(0, 3000).selectExpr(
+            "id", "id * 10 AS val", "CAST(id AS STRING) AS note"
+        ).repartition(6)
+    )
+    t.build_bloom_index("id")
+    narrow = spark.createDataFrame([(90001, 1)], "id long, val long")  # no note
+    t.merge_into(narrow, keys=["id"], allow_schema_evolution=True)
+    t.update_bloom_index("id")
+    got = t.read_point("id", 90001)
+    assert got.schema == t.read().schema  # typed fill, not NullType
+    assert [(r.id, r.val, r.note) for r in got.collect()] == [(90001, 1, None)]
+    # the filled frame unions cleanly with a full read (void would raise)
+    assert got.unionByName(t.read_point("id", 7)).count() == 2

@@ -111,3 +111,64 @@ def test_delta_fold_compaction_equals_one_shot(spark, tmp_path):
     assert {(r.w, r.c_w) for r in cat.read("uni").collect()} == {
         (r.w, r.c_w) for r in uni_b.collect()
     }
+
+
+def test_compaction_preserves_applied_epoch_watermark(spark, tmp_path):
+    """compact_lm runs between streaming commits (the production shape);
+    its epoch-less commit must carry the applied-epoch watermark forward —
+    if it reset to None, a redelivered foreachBatch epoch would pass the
+    skip check and double-count n-grams (round-8 ADVICE, medium)."""
+    from realestatedeals_spark.plans.streaming_lm import (
+        apply_lm_delta_batch,
+        compact_lm,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    b0 = _docs(spark, [(0, "a b c a b")])
+    b1 = _docs(spark, [(2, "b c a")])
+    assert apply_lm_delta_batch(cat, b0, 0) is True
+    assert apply_lm_delta_batch(cat, b1, 1) is True
+    compact_lm(cat)
+    assert cat.applied_epoch() == 1  # watermark survives the compaction
+    # the stream redelivers epochs 0 and 1 right after the compaction
+    assert apply_lm_delta_batch(cat, b0, 0) is False
+    assert apply_lm_delta_batch(cat, b1, 1) is False
+    tri = {(r.u, r.v, r.w): r.c_uvw for r in cat.read("tri").collect()}
+    assert tri[("a", "b", "c")] == 1  # not double-counted
+
+
+def test_compaction_ignores_nondelta_tables_containing_d(spark, tmp_path):
+    """A pinned table whose NAME merely contains "_d" (scores_daily,
+    big_data) is not a delta: compact_lm must neither fold it into a count
+    table nor drop it from the catalog (round-8 ADVICE, low)."""
+    from realestatedeals_spark.plans.streaming_lm import (
+        apply_lm_delta_batch,
+        compact_lm,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    assert apply_lm_delta_batch(cat, _docs(spark, [(0, "a b c")]), 0) is True
+    bystanders = spark.createDataFrame([(1, 10)], "k long, v long")
+    cat.commit({"scores_daily": bystanders, "big_data": bystanders})
+    compact_lm(cat)
+    pins = cat.pins()
+    assert "scores_daily" in pins and "big_data" in pins  # survived
+    assert sorted(n for n in pins if n not in ("scores_daily", "big_data")) == [
+        "big", "tri", "uni",
+    ]
+    assert {(r.u, r.v) for r in cat.read("big").collect()} == {
+        ("a", "b"), ("b", "c"),
+    }  # bystander rows never folded into a count table
+
+
+def test_compaction_with_nothing_to_fold_raises_typed(spark, tmp_path):
+    """No base and no deltas: compact_lm raises a typed ValueError instead
+    of an IndexError from an empty fold list."""
+    import pytest
+
+    from realestatedeals_spark.plans.streaming_lm import compact_lm
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"unrelated": spark.createDataFrame([(1,)], "k long")})
+    with pytest.raises(ValueError, match="nothing to compact"):
+        compact_lm(cat)
