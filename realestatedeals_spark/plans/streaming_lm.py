@@ -178,12 +178,19 @@ def c15_stream_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def apply_score_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int, model) -> bool:
+_SCORES_DELTA_RE = re.compile(r"scores_d\d+")
+
+
+def apply_score_delta_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int, model) -> bool:
     """Score one micro-batch of arriving documents against the pinned
-    model and fold the per-doc rows into the accumulated ``scores`` table,
-    exactly-once (same epoch/CAS protocol as the count fold). Documents
-    never span micro-batches, so the union of per-batch scores IS the
-    batch scorer's output — the oracle pins that equality bit-for-bit."""
+    model and commit ONLY this epoch's per-doc score rows as a delta table
+    (``scores_d<epoch>``), exactly-once (same epoch/CAS protocol as the
+    count fold). O(batch) per batch: nothing proportional to the
+    accumulated scores is read or written — the previous union-previous-pin
+    fold re-materialized the whole history every batch, the last O(history)
+    term in the streaming loop. Documents never span micro-batches, so the
+    union of the deltas IS the batch scorer's output — compact_scores folds
+    them and the oracle pins that equality bit-for-bit."""
     from realestatedeals_spark.plans.llm_lm import score_documents
 
     applied = cat.applied_epoch()
@@ -191,14 +198,34 @@ def apply_score_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int, model) -
         return False
     latest = cat.latest_version()
     scored = score_documents(batch_df, model)
-    if latest is not None:
-        scored = cat.read("scores", latest).unionByName(scored)
     cat.commit(
-        {"scores": scored.localCheckpoint(eager=True)},
+        {f"scores_d{epoch_id}": scored},
         expected_latest=latest,
         epoch=epoch_id,
     )
     return True
+
+
+def compact_scores(cat: Catalog) -> int:
+    """Fold every pending score delta into the compacted ``scores`` table
+    and retire the deltas in the same transaction (Catalog drops) — pure
+    union, no re-aggregation, because score rows are per-doc and docs never
+    span batches. The epoch-less commit preserves the applied-epoch
+    watermark (Catalog.commit carries it forward), so compaction can race
+    a live stream without re-opening the redelivery window."""
+    pins = cat.pins()
+    deltas = sorted(n for n in pins if _SCORES_DELTA_RE.fullmatch(n))
+    parts = [cat.read(n) for n in deltas]
+    if "scores" in pins:
+        parts.append(cat.read("scores"))
+    if not parts:
+        raise ValueError("nothing to compact for 'scores': no base and no deltas")
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return cat.commit(
+        {"scores": out.localCheckpoint(eager=True)}, drops=deltas
+    )
 
 
 @register(
@@ -213,10 +240,13 @@ def c16_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids) arrives as 3 micro-batches; each is scored against the
     STATIC trained model (the c15 fold's endpoint — here trained batch-
     side, the subject under test is scoring) through the SHARED scorer
-    (llm_lm.score_documents) and folded into the catalog exactly-once.
-    The accumulated table must hash-match x4_lm_backoff_score's oracle:
-    per-batch stream-static joins == whole-corpus batch joins, because
-    documents never span batches and counts are static."""
+    (llm_lm.score_documents), committed as an O(batch) per-epoch delta
+    exactly-once, then one transactional compaction folds the deltas and
+    retires them (the c15b pattern — per-batch cost is independent of the
+    accumulated-scores size). The compacted table must hash-match
+    x4_lm_backoff_score's oracle: per-batch stream-static joins ==
+    whole-corpus batch joins, because documents never span batches and
+    counts are static."""
     from realestatedeals_spark.plans.llm_lm import _model
 
     apply_session_conf(spark)
@@ -246,13 +276,15 @@ def c16_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (
             stream.writeStream.foreachBatch(
-                lambda bdf, eid: apply_score_batch(cat, bdf, eid, model)
+                lambda bdf, eid: apply_score_delta_batch(cat, bdf, eid, model)
             )
             .option("checkpointLocation", os.path.join(work, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        compact_scores(cat)
+        assert not [n for n in cat.pins() if _SCORES_DELTA_RE.fullmatch(n)]
         out = cat.read("scores")
         return spark.createDataFrame(out.collect(), out.schema)
     finally:

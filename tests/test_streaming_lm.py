@@ -58,9 +58,16 @@ def test_incremental_fold_equals_one_shot_counts(spark, tmp_path):
     assert head and all(r.p_micros <= 1_000_000 for r in head)
 
 
-def test_score_fold_redelivery_noop(spark, tmp_path):
+def test_score_delta_fold_redelivery_noop_and_compaction(spark, tmp_path):
+    """The O(batch) score fold: per-epoch delta commits skip redelivered
+    epochs (before AND after compaction — the watermark survives the
+    epoch-less compaction commit), and compact_scores unions the deltas
+    into one table, retiring them transactionally."""
     from realestatedeals_spark.plans.llm_lm import _model
-    from realestatedeals_spark.plans.streaming_lm import apply_score_batch
+    from realestatedeals_spark.plans.streaming_lm import (
+        apply_score_delta_batch,
+        compact_scores,
+    )
 
     sf_dir = str(tmp_path / "corpus")
     _docs(spark, [(0, "a b c a b"), (2, "b c a b c")]).selectExpr(
@@ -71,12 +78,21 @@ def test_score_fold_redelivery_noop(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "cat"))
     b0 = _docs(spark, [(1, "a b c d")])
     b1 = _docs(spark, [(3, "b c a")])
-    assert apply_score_batch(cat, b0, 0, model) is True
-    assert apply_score_batch(cat, b1, 1, model) is True
-    before = sorted((r.doc_id, r.score_sum_micros) for r in cat.read("scores").collect())
-    assert apply_score_batch(cat, b0, 0, model) is False  # redelivery
+    assert apply_score_delta_batch(cat, b0, 0, model) is True
+    assert apply_score_delta_batch(cat, b1, 1, model) is True
+    assert sorted(cat.pins()) == ["scores_d0", "scores_d1"]
+    assert apply_score_delta_batch(cat, b0, 0, model) is False  # redelivery
+    compact_scores(cat)
+    assert sorted(cat.pins()) == ["scores"]  # deltas retired
     after = sorted((r.doc_id, r.score_sum_micros) for r in cat.read("scores").collect())
-    assert after == before and len(after) == 2
+    assert len(after) == 2 and len({d for d, _ in after}) == 2
+    # redelivery AFTER compaction still skips (watermark preserved)
+    assert cat.applied_epoch() == 1
+    assert apply_score_delta_batch(cat, b1, 1, model) is False
+    # a second compaction folds new deltas INTO the existing base
+    assert apply_score_delta_batch(cat, _docs(spark, [(5, "c a b")]), 2, model) is True
+    compact_scores(cat)
+    assert cat.read("scores").count() == 3
 
 
 def test_delta_fold_compaction_equals_one_shot(spark, tmp_path):
