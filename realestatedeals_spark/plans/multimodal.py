@@ -1720,6 +1720,81 @@ def x5_multimodal_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in print space.
 # ---------------------------------------------------------------------------
 
+# Band layouts for the three print spaces (each references the aliased
+# column ``fp``): audio 3 x 10-bit, image 8 x 8-bit, video 3 structural
+# bands over the variable-length print — spatial bits of the first half of
+# frames, spatial bits of the second half, temporal delta bits — with
+# n_frames = (len+3) div 4 recovered from the print itself (len = 4n - 1).
+_AUDIO_BANDS_SQL = (
+    "transform(sequence(0, 2), k -> struct(k, substring(fp, k*10 + 1, 10) AS band))"
+)
+_IMAGE_BANDS_SQL = (
+    "transform(sequence(0, 7), k -> struct(k, substring(fp, k*8 + 1, 8) AS band))"
+)
+_VIDEO_BANDS_SQL = (
+    "array("
+    "struct(0 AS k, substring(fp, 1, 3 * (((length(fp) + 3) div 4) div 2)) AS band),"
+    "struct(1 AS k, substring(fp, 3 * (((length(fp) + 3) div 4) div 2) + 1,"
+    "       3 * ((length(fp) + 3) div 4) - 3 * (((length(fp) + 3) div 4) div 2)) AS band),"
+    "struct(2 AS k, substring(fp, 3 * ((length(fp) + 3) div 4) + 1,"
+    "       ((length(fp) + 3) div 4) - 1) AS band))"
+)
+
+
+def banded_print_pairs(
+    prints: DataFrame,
+    fp_col: str,
+    n_col: str,
+    bands_sql: str,
+    extra_keys: tuple = (),
+    max_hamming: int = 2,
+) -> DataFrame:
+    """The shared Hamming-tolerant banded-LSH core of the three media
+    matchers: DISTINCT prints band by ``bands_sql`` (a SQL expression over
+    the aliased column ``fp`` producing array<struct<k int, band string>>),
+    prints sharing any (extra_keys, k, band) bucket become candidates (one
+    shuffle on the band key — never all-pairs over prints, never any
+    pairing over documents), candidates verify by exact Hamming <=
+    ``max_hamming``. With B bands and max_hamming < B, <= max_hamming
+    flips can touch at most max_hamming bands, so at least one band is
+    shared — banded output EQUALS brute-force Hamming<=max_hamming over
+    the print space (pinned by tests/test_banded_matchers.py's planted
+    prints). Returns (fp_a, fp_b, hamming, n_a, n_b)."""
+    bands = (
+        prints.select(
+            F.col(fp_col).alias("fp"),
+            F.col(n_col).alias("n"),
+            *[F.col(c) for c in extra_keys],
+        )
+        .select("*", F.explode(F.expr(bands_sql)).alias("bk"))
+        .select("fp", "n", *extra_keys, "bk.k", "bk.band")
+    )
+    join_keys = [*extra_keys, "k", "band"]
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.select(
+                F.col("fp").alias("fp_b"), F.col("n").alias("n_b"), *join_keys
+            ).alias("c"),
+            join_keys,
+        )
+        .filter(F.col("fp") < F.col("fp_b"))
+        .select(
+            F.col("fp").alias("fp_a"), F.col("fp_b"),
+            F.col("n").alias("n_a"), F.col("n_b"),
+        )
+        .distinct()  # a pair may share several bands
+    )
+    hamming = F.expr(
+        "size(filter(sequence(1, length(fp_a)), i -> substring(fp_a, i, 1) != substring(fp_b, i, 1)))"
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("fp_a", "fp_b", "hamming", "n_a", "n_b")
+    )
+
+
 _X5_AUDIO_BANDED_ORACLE = """
 WITH b AS (SELECT DISTINCT doc_id % 40 AS base FROM documents),
 sig AS (
@@ -1802,39 +1877,7 @@ def x5_audio_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tracks"))
     )
-    bands = prints.select(
-        "fp",
-        "n_tracks",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 2), k -> struct(k, substring(fp, k*10 + 1, 10) AS band))"
-            )
-        ).alias("bk"),
-    ).select("fp", "n_tracks", "bk.k", "bk.band")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.select(
-                F.col("fp").alias("fp_b"),
-                F.col("n_tracks").alias("n_b"),
-                "k",
-                "band",
-            ).alias("c"),
-            ["k", "band"],
-        )
-        .filter(F.col("fp") < F.col("fp_b"))
-        .select(
-            F.col("fp").alias("fp_a"), F.col("fp_b"),
-            F.col("n_tracks").alias("n_a"), F.col("n_b"),
-        )
-        .distinct()  # a pair may share several bands
-    )
-    hamming = F.expr(
-        "size(filter(sequence(1, 30), i -> substring(fp_a, i, 1) != substring(fp_b, i, 1)))"
-    ).cast("long")
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 2).select(
-        "fp_a", "fp_b", "hamming", "n_a", "n_b"
-    )
+    return banded_print_pairs(prints, "fp", "n_tracks", _AUDIO_BANDS_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1917,36 +1960,7 @@ def x5_image_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dhash")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
-    bands = prints.select(
-        "dhash",
-        "n_docs",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 7), k -> struct(k, substring(dhash, k*8 + 1, 8) AS band))"
-            )
-        ).alias("bk"),
-    ).select("dhash", "n_docs", "bk.k", "bk.band")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.select(
-                F.col("dhash").alias("fp_b"), F.col("n_docs").alias("n_b"), "k", "band"
-            ).alias("c"),
-            ["k", "band"],
-        )
-        .filter(F.col("dhash") < F.col("fp_b"))
-        .select(
-            F.col("dhash").alias("fp_a"), F.col("fp_b"),
-            F.col("n_docs").alias("n_a"), F.col("n_b"),
-        )
-        .distinct()
-    )
-    hamming = F.expr(
-        "size(filter(sequence(1, 64), i -> substring(fp_a, i, 1) != substring(fp_b, i, 1)))"
-    ).cast("long")
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 2).select(
-        "fp_a", "fp_b", "hamming", "n_a", "n_b"
-    )
+    return banded_print_pairs(prints, "dhash", "n_docs", _IMAGE_BANDS_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -2055,42 +2069,8 @@ def x5_video_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_fingerprint(media)
         .groupBy("fp")
         .agg(F.count(F.lit(1)).cast("long").alias("n_clips"))
+        .withColumn("flen", F.length("fp"))
     )
-    # n = (len+3) div 4; bands: [1, 3*(n div 2)], (.., 3n], (3n, 3n + n-1]
-    bands = prints.select(
-        "fp",
-        "n_clips",
-        F.length("fp").alias("flen"),
-        F.explode(
-            F.expr(
-                "array("
-                "struct(0 AS k, substring(fp, 1, 3 * (((length(fp) + 3) div 4) div 2)) AS band),"
-                "struct(1 AS k, substring(fp, 3 * (((length(fp) + 3) div 4) div 2) + 1,"
-                "       3 * ((length(fp) + 3) div 4) - 3 * (((length(fp) + 3) div 4) div 2)) AS band),"
-                "struct(2 AS k, substring(fp, 3 * ((length(fp) + 3) div 4) + 1,"
-                "       ((length(fp) + 3) div 4) - 1) AS band))"
-            )
-        ).alias("bk"),
-    ).select("fp", "n_clips", "flen", "bk.k", "bk.band")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.select(
-                F.col("fp").alias("fp_b"), F.col("n_clips").alias("n_b"),
-                "flen", "k", "band",
-            ).alias("c"),
-            ["flen", "k", "band"],
-        )
-        .filter(F.col("fp") < F.col("fp_b"))
-        .select(
-            F.col("fp").alias("fp_a"), F.col("fp_b"),
-            F.col("n_clips").alias("n_a"), F.col("n_b"),
-        )
-        .distinct()
-    )
-    hamming = F.expr(
-        "size(filter(sequence(1, length(fp_a)), i -> substring(fp_a, i, 1) != substring(fp_b, i, 1)))"
-    ).cast("long")
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 2).select(
-        "fp_a", "fp_b", "hamming", "n_a", "n_b"
+    return banded_print_pairs(
+        prints, "fp", "n_clips", _VIDEO_BANDS_SQL, extra_keys=("flen",)
     )
