@@ -33,9 +33,11 @@ keep every version some catalog version still references —
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -281,16 +283,71 @@ class Catalog:
         return self.table(name).read(pins[name])
 
 
+    # -- scan leases: snapshot-consistent reads that survive retention ------
+    def scan(self, version: int | None = None, branch: str = "main"):
+        """Context manager for a retention-proof multi-table snapshot read:
+        leases the catalog version (``expire`` keeps its manifest) AND
+        every member-table version it pins (``expire_versions`` keeps their
+        files), yielding a reader ``lambda name: DataFrame`` over the
+        pinned snapshot. Retention contract: a leased snapshot is never
+        reclaimed for the life of the scan; an un-leased reader racing
+        ``expire`` gets the typed ``StaleVersionError``/``ValueError`` on
+        its next catalog read (``_manifest``'s FileNotFoundError→ValueError
+        pattern) instead of silent wrong data."""
+        v = self.latest_version(branch) if version is None else version
+        pins = self.pins(v, branch)  # typed error if the manifest is gone
+        cat_lease = os.path.join(self._dir(branch), f"_lease-v{v}-{uuid.uuid4().hex}")
+        with open(cat_lease, "w") as fh:
+            json.dump(pins, fh)
+        table_leases = []
+        try:
+            for name, pinned in sorted(pins.items()):
+                ctx = self.table(name).scan(pinned)
+                ctx.__enter__()
+                table_leases.append(ctx)
+        except BaseException:
+            for ctx in reversed(table_leases):
+                ctx.__exit__(None, None, None)
+            os.unlink(cat_lease)
+            raise
+
+        @contextlib.contextmanager
+        def _ctx():
+            try:
+                yield lambda name: self.read(name, v, branch)
+            finally:
+                for c in reversed(table_leases):
+                    c.__exit__(None, None, None)
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(cat_lease)
+
+        return _ctx()
+
+    def leased_catalog_versions(self, branch: str = "main") -> set[int]:
+        d = self._dir(branch)
+        if not os.path.isdir(d):
+            return set()
+        out = set()
+        for f in os.listdir(d):
+            if f.startswith("_lease-v"):
+                out.add(int(f[len("_lease-v"):].split("-", 1)[0]))
+        return out
+
     def expire(self, keep_last: int = 1) -> dict[str, list[int]]:
         """Retention across the whole catalog: drop all but the newest
-        ``keep_last`` catalog manifests, then expire member-table versions
-        that no SURVIVING manifest pins (each table also keeps its own
-        head: an unreferenced head is a harmless in-flight phase-1
-        version, not garbage to race with). Returns {table: removed}."""
+        ``keep_last`` catalog manifests — EXCEPT manifests under an active
+        ``scan()`` lease — then expire member-table versions that no
+        SURVIVING manifest pins (each table also keeps its own head: an
+        unreferenced head is a harmless in-flight phase-1 version, not
+        garbage to race with; leased table versions are protected by
+        ``expire_versions`` itself). Returns {table: removed}."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        leased = self.leased_catalog_versions()
         vs = self.versions()
         for v in vs[:-keep_last]:
+            if v in leased:
+                continue
             os.unlink(os.path.join(self._cat_dir, f"v={v}.json"))
         # enumerate member tables from DISK, not just surviving pins: a
         # table dropped from every surviving manifest still has versions

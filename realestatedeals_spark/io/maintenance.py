@@ -35,6 +35,7 @@ only ever executed by the claim winner, so it is contention-free.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import math
 import os
@@ -63,6 +64,19 @@ class ConstraintViolation(Exception):
 
     Raised before any version is claimed, so a violating writer leaves
     the table untouched (its stage directory is cleaned up)."""
+
+
+class StaleVersionError(ValueError):
+    """The requested version does not exist — either it never did, or a
+    retention pass (``expire_versions`` / ``Catalog.expire``) reclaimed it.
+
+    Every read entry point raises this TYPED error instead of letting
+    Spark fail wherever the missing files happen to surface. Retention
+    contract: a reader that must survive concurrent retention takes a
+    scan LEASE (``VersionedTable.scan`` / ``Catalog.scan``) — leased
+    versions are never reclaimed. An un-leased reader whose lazy plan
+    races an expire may still fail inside Spark's scan; re-entering any
+    read API then yields this error."""
 
 
 class ClaimStore:
@@ -259,6 +273,58 @@ class VersionedTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
+    def _require_version(self, version: int | None) -> int:
+        """Typed existence gate for every read entry point: raises
+        ``StaleVersionError`` (a ValueError) when ``version`` never
+        existed or retention reclaimed it, instead of letting Spark fail
+        mid-scan on missing files."""
+        if version is None or version not in self.versions():
+            raise StaleVersionError(
+                f"no such version {version!r} in {self.root} — it never "
+                "existed or expire_versions() reclaimed it; long-running "
+                "readers should hold a scan() lease"
+            )
+        return version
+
+    # -- scan leases: the reader side of the retention contract ------------
+    def scan(self, version: int | None = None):
+        """Context manager yielding ``read(version)`` with the version (and
+        its MoR base) LEASED for the duration: ``expire_versions`` treats
+        leased versions as protected, so a concurrent retention pass can
+        never delete files out from under the scan. This is the documented
+        way for a long-running reader to coexist with retention; readers
+        that skip the lease get the typed ``StaleVersionError`` on their
+        next read call after an expire (never silent wrong data)."""
+        v = self.latest_version() if version is None else version
+        self._require_version(v)
+        lease = os.path.join(self.root, f"v={v}", f"_lease-{uuid.uuid4().hex}")
+        with open(lease, "w") as fh:
+            fh.write(repr(self._clock()))
+
+        @contextlib.contextmanager
+        def _ctx():
+            try:
+                yield self.read(v)
+            finally:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(lease)
+
+        return _ctx()
+
+    def leased_versions(self) -> set[int]:
+        """Versions under an active scan lease (plus their MoR bases),
+        which retention must not reclaim."""
+        out = set()
+        for v in self.versions():
+            d = os.path.join(self.root, f"v={v}")
+            if any(e.startswith("_lease-") for e in os.listdir(d)):
+                out.add(v)
+                base_file = os.path.join(d, "_base")
+                if os.path.exists(base_file):
+                    with open(base_file) as fh:
+                        out.add(int(fh.read().strip()))
+        return out
+
     def _claimed_versions(self) -> list[int]:
         # every v=* dir (complete or not — a squatting junk dir must not be
         # silently overwritten, just skipped past) UNION the claim store's
@@ -382,9 +448,9 @@ class VersionedTable:
         return live
 
     def read(self, version: int | None = None) -> DataFrame:
-        v = self.latest_version() if version is None else version
-        if v is None or v not in self.versions():
-            raise ValueError(f"no such version {version!r} in {self.root}")
+        v = self._require_version(
+            self.latest_version() if version is None else version
+        )
         base, dv, ins = self._resolve(v)
         if dv is None:
             return self.spark.read.parquet(os.path.join(self.root, f"v={base}"))
@@ -772,9 +838,9 @@ class VersionedTable:
         commit protocol. Tight stats need clustered layout — run
         ``optimize(zorder_cols=...)`` first; merge-on-read versions must be
         compacted before stats can describe their files."""
-        v = self.latest_version() if version is None else version
-        if v is None or v not in self.versions():
-            raise ValueError(f"no such version {version!r} in {self.root}")
+        v = self._require_version(
+            self.latest_version() if version is None else version
+        )
         base, dv, ins = self._resolve(v)
         if dv is not None or ins is not None:
             raise ValueError(
@@ -802,7 +868,9 @@ class VersionedTable:
         file) — at 100 TB this is the catalog lookup that turns a
         full-table scan into a handful of files; the residual filter still
         reaches the parquet reader as a pushed predicate."""
-        v = self.latest_version() if version is None else version
+        v = self._require_version(
+            self.latest_version() if version is None else version
+        )
         man_path = os.path.join(self.root, "_manifest", f"v={v}")
         if not os.path.exists(man_path):
             raise ValueError(
@@ -949,7 +1017,9 @@ class VersionedTable:
 
         from realestatedeals_spark.operators.bloom import _positions
 
-        v = self.latest_version() if version is None else version
+        v = self._require_version(
+            self.latest_version() if version is None else version
+        )
         path = os.path.join(self.root, "_bloom", f"v={v}_col={column}")
         if not os.path.exists(path):
             raise ValueError(
@@ -1039,13 +1109,23 @@ class VersionedTable:
         versions — EXCEPT full snapshots still referenced as the base of a
         surviving merge-on-read version (dropping those would corrupt
         every DV read against them; the Iceberg expire-snapshots hazard),
-        and except anything in ``protect`` (a multi-table catalog passes
-        its pinned versions here — io/catalog.py). Returns the versions
-        actually removed."""
+        except anything in ``protect`` (a multi-table catalog passes
+        its pinned versions here — io/catalog.py), and except versions
+        under an ACTIVE SCAN LEASE (``scan()``). Retention contract: a
+        leased version is never reclaimed, so a leased reader can run as
+        long as it likes; an un-leased reader racing this pass gets the
+        typed ``StaleVersionError`` from its next read call (a lazy plan
+        already handed out may fail inside Spark's scan — the lease
+        exists precisely so long scans opt out of that race). Returns the
+        versions actually removed."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
-        keep = set(vs[-keep_last:]) | (set(protect) if protect else set())
+        keep = (
+            set(vs[-keep_last:])
+            | (set(protect) if protect else set())
+            | self.leased_versions()
+        )
         keep &= set(vs)
         # transitively protect bases of anything kept
         protected = set(keep)

@@ -279,3 +279,30 @@ def test_epochless_commit_preserves_applied_epoch(spark, tmp_path):
     # an explicit newer epoch still advances the watermark
     cat.commit({"facts": _df(spark, 3)}, epoch=6)
     assert cat.applied_epoch() == 6
+
+
+def test_catalog_scan_lease_protects_snapshot_from_expire(spark, tmp_path):
+    """Catalog.scan leases the manifest AND every pinned member-table
+    version: a concurrent Catalog.expire reclaims nothing the scan needs,
+    the mid-scan read stays intact, and once the scan exits the next
+    expire pass reclaims the old snapshot. An un-leased reader of the
+    expired catalog version gets the typed ValueError."""
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit({"facts": _df(spark, 1), "view": _df(spark, 2)})
+    v1 = cat.latest_version()
+    cat.commit({"facts": _df(spark, 3)})
+    cat.commit({"view": _df(spark, 4)})
+    with cat.scan(v1) as read:
+        cat.expire(keep_last=1)
+        # the leased manifest and its pinned table versions survived
+        assert [r.k for r in read("facts").collect()] == [1]
+        assert [r.k for r in read("view").collect()] == [2]
+    # lease released: the snapshot is reclaimable now
+    cat.expire(keep_last=1)
+    with pytest.raises(ValueError, match="no such catalog version"):
+        cat.pins(v1)
+    # and the head still reads consistently
+    assert [r.k for r in cat.read("facts").collect()] == [3]
+    assert [r.k for r in cat.read("view").collect()] == [4]
