@@ -415,6 +415,40 @@ def x3_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# The Gram accumulation — the ONLY distributed stage of PCA training — is
+# exact integer micros (floor(e_i*e_j*1e6) summed as int64, order-
+# independent), so it IS SQL-expressible even though the eigen-solve isn't:
+# this companion query pins the whole data-touching half of x3_pca_project
+# hash-exact against DuckDB, leaving only the O(d^2) driver-side power
+# iteration to the parity pytest (tests/test_pca.py).
+_X3_PCA_GRAM_ORACLE = """
+SELECT i, j,
+       CAST(SUM(CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                         * CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                         * 1000000) AS BIGINT)) AS BIGINT) AS g
+FROM embeddings, range(0, 64) t(i), range(0, 64) u(j)
+GROUP BY i, j
+"""
+
+
+@register(
+    "x3_pca_gram",
+    oracle=_X3_PCA_GRAM_ORACLE,
+    tags=("X3", "vectors", "ml"),
+)
+def x3_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact integer-micros Gram matrix PCA trains on (one Arrow pass,
+    int64 d*d partials per batch, order-independent addition) surfaced as
+    (i, j, g) rows — the hash-exact oracle anchor for x3_pca_project's
+    distributed stage."""
+    from realestatedeals_spark.operators.pca import exact_gram
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    G, _n = exact_gram(emb, dim=64)
+    rows = [(i, j, int(G[i, j])) for i in range(64) for j in range(64)]
+    return spark.createDataFrame(rows, "i long, j long, g long")
+
+
 @register("x3_pca_project", tags=("X3", "vectors", "ml", "iterative"))
 def x3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-4 principal directions of the embedding corpus + micros-floored
