@@ -25,6 +25,7 @@ in CI (SURVEY.md §7 step 5).
 from __future__ import annotations
 
 import re
+import time
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -32,6 +33,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 Fetcher = Callable[[str], str]
+
+# Deterministic retry schedule: attempt k (1-based) sleeps
+# backoff_s * 2**(k-1) before retrying — fixed, jitter-free, so tests can
+# assert the exact schedule. At the ingest edge retries happen INSIDE the
+# partition task (no Spark task retry, which would re-fetch every URL in
+# the partition for one bad page).
+_DEFAULT_MAX_ATTEMPTS = 3
+_DEFAULT_BACKOFF_S = 0.25
+
+
+def fetch_with_retry(
+    fetch: Fetcher,
+    url: str,
+    max_attempts: int = _DEFAULT_MAX_ATTEMPTS,
+    backoff_s: float = _DEFAULT_BACKOFF_S,
+    sleeper: Callable[[float], None] = time.sleep,
+) -> tuple[str | None, str | None]:
+    """(text, None) on success, (None, typed error string) after
+    ``max_attempts`` failures — the quarantine seam: a dead page becomes a
+    typed ``fetch_error`` row (the io_corrupt_scan pattern), never a task
+    failure that kills the whole partition's fetches. The error string is
+    deterministic (exception type + message + attempt count), so
+    quarantine rows are stable query output."""
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    last: Exception | None = None
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return fetch(url), None
+        except Exception as exc:  # requests and fakes raise hetero types
+            last = exc
+            if attempt < max_attempts:
+                sleeper(backoff_s * 2 ** (attempt - 1))
+    return None, (
+        f"FetchError after {max_attempts} attempts: "
+        f"{type(last).__name__}: {last}"
+    )
 
 # URL template with pushed-down predicates — parameter names follow the
 # public site's query interface the reference targets (hunter.py:20).
@@ -70,27 +108,48 @@ def fetch_pages(
     max_price: int = 15_000_000,
     min_sqft: int = 750,
     min_lot: float = 0.01,
+    max_attempts: int = _DEFAULT_MAX_ATTEMPTS,
+    backoff_s: float = _DEFAULT_BACKOFF_S,
+    sleeper: Callable[[float], None] = time.sleep,
 ) -> DataFrame:
     """S1 — fetch each task's page; empty pages yield no rows (the
     reference's stop-at-empty-page, ure_scraping.py:36-38, becomes
-    filter-at-source)."""
+    filter-at-source). Transient failures retry with deterministic
+    backoff inside the partition; a page still dead after ``max_attempts``
+    yields a QUARANTINE row (html null, typed ``fetch_error``) instead of
+    failing the task — the reference aborts its whole zip loop on one bad
+    GET (ure_scraping.py:29); at 100 TB one dead URL must not re-run a
+    partition of good ones. Filter ``fetch_error IS NULL`` for the happy
+    path; the quarantine rows are the retry queue."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetch = fetcher_factory()
         for pdf in batches:
-            htmls, zips_, pages = [], [], []
+            htmls, zips_, pages, errs = [], [], [], []
             for z, p in zip(pdf["zip"], pdf["page"]):
                 url = url_template.format(
                     page=p, zip=z, max_price=max_price, min_sqft=min_sqft, min_lot=min_lot
                 )
-                html = fetch(url)
-                if html and "listing-card" in html:
+                html, err = fetch_with_retry(
+                    fetch, url, max_attempts, backoff_s, sleeper
+                )
+                if err is not None:
+                    htmls.append(None)
+                    zips_.append(z)
+                    pages.append(p)
+                    errs.append(err)
+                elif html and "listing-card" in html:
                     htmls.append(html)
                     zips_.append(z)
                     pages.append(p)
-            yield pd.DataFrame({"zip": zips_, "page": pages, "html": htmls})
+                    errs.append(None)
+            yield pd.DataFrame(
+                {"zip": zips_, "page": pages, "html": htmls, "fetch_error": errs}
+            )
 
-    return tasks.mapInPandas(run, schema="zip string, page int, html string")
+    return tasks.mapInPandas(
+        run, schema="zip string, page int, html string, fetch_error string"
+    )
 
 
 # one listing card per match; fields extracted vectorized below
@@ -171,15 +230,26 @@ def fetch_details(
 ) -> DataFrame:
     """S3 — the reference's N+1 per-row detail GET (ure_scraping.py:213-253)
     as a separate batched fetch keyed on mls; join the result back instead of
-    blocking the row pipeline. Returns (mls, detail_html)."""
+    blocking the row pipeline. Returns (mls, detail_html, fetch_error) —
+    same retry-then-quarantine contract as ``fetch_pages``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetch = fetcher_factory()
         for pdf in batches:
-            htmls = [fetch(url_template.format(mls=m)) for m in pdf["mls"]]
-            yield pd.DataFrame({"mls": pdf["mls"], "detail_html": htmls})
+            htmls, errs = [], []
+            for m in pdf["mls"]:
+                html, err = fetch_with_retry(fetch, url_template.format(mls=m))
+                htmls.append(html)
+                errs.append(err)
+            yield pd.DataFrame(
+                {"mls": pdf["mls"], "detail_html": htmls, "fetch_error": errs}
+            )
 
-    return listings.select("mls").distinct().mapInPandas(run, schema="mls string, detail_html string")
+    return (
+        listings.select("mls")
+        .distinct()
+        .mapInPandas(run, schema="mls string, detail_html string, fetch_error string")
+    )
 
 
 def parse_details(details: DataFrame) -> DataFrame:
