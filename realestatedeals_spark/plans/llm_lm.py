@@ -236,10 +236,24 @@ def _score_held_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_documents(docs, (tri, big, uni, total))
 
 
-def score_documents(docs: DataFrame, model) -> DataFrame:
+def score_documents(docs: DataFrame, model, salt_unigrams: int | None = None) -> DataFrame:
     """Stupid-backoff scoring of ``docs`` (doc_id, text) against a trained
     model — ONE definition shared by the batch query and the streaming
-    scorer (c16), so their oracle equivalence is by construction."""
+    scorer (c16), so their oracle equivalence is by construction.
+
+    ``salt_unigrams``: the five count-table joins key on raw token
+    n-grams; natural language is Zipf-distributed, so the SINGLE-token
+    (unigram) joins have the hottest keys — at real corpus scale the head
+    token holds ~5-25% of all positions, and when the unigram table
+    outgrows the broadcast threshold the resulting sort-merge join puts
+    that whole key in one partition. Passing a salt count routes the two
+    unigram joins through ``operators/skew.salted_join`` (deterministic
+    hash salt, result row-identical — pinned exactly-equal by
+    tests/test_lm_skew.py on a Zipf corpus, and measured in SCALE.md
+    "Zipf skew"). Default None keeps the plain joins: at fixture scale
+    Catalyst broadcasts the count tables and no shuffle skew exists.
+    Higher-order n-gram keys flatten fast (the hot (the,the) bigram is
+    p²), so salting beyond the unigram joins buys little."""
     tri, big, uni, total = model
     held = _ngrams(_words(docs), 3).select(
         "doc_id", F.col("g0").alias("u"), F.col("g1").alias("v"), F.col("g2").alias("w")
@@ -255,12 +269,18 @@ def score_documents(docs: DataFrame, model) -> DataFrame:
             ["v", "w"],
             "left",
         )
-        .join(uni.select(F.col("w").alias("v"), F.col("c_w").alias("c_v")), ["v"], "left")
-        .join(uni, ["w"], "left")
-        # the model total is ONE row — broadcast cross is bounded by
-        # construction (whitelisted in tests/test_plan_quality.py)
-        .crossJoin(F.broadcast(total))
     )
+    uni_v = uni.select(F.col("w").alias("v"), F.col("c_w").alias("c_v"))
+    if salt_unigrams:
+        from realestatedeals_spark.operators.skew import salted_join
+
+        pos = salted_join(pos, uni_v, ["v"], "left", salt=salt_unigrams)
+        pos = salted_join(pos, uni, ["w"], "left", salt=salt_unigrams)
+    else:
+        pos = pos.join(uni_v, ["v"], "left").join(uni, ["w"], "left")
+    # the model total is ONE row — broadcast cross is bounded by
+    # construction (whitelisted in tests/test_plan_quality.py)
+    pos = pos.crossJoin(F.broadcast(total))
     lvl = (
         F.when(F.col("c_uvw").isNotNull(), F.lit(3))
         .when(F.col("c_bvw").isNotNull(), F.lit(2))

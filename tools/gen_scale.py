@@ -46,7 +46,13 @@ def _write(outdir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def generate(sf: float, outdir: str, seed: int = 42, boilerplate: bool = False) -> None:
+def generate(
+    sf: float,
+    outdir: str,
+    seed: int = 42,
+    boilerplate: bool = False,
+    zipf: bool = False,
+) -> None:
     """``boilerplate=True`` (round-7 verdict task #8) contaminates ~30% of
     documents with one of three shared 28-token site templates (header AND
     footer) — the corpus shape real web scrapes have and the plain
@@ -152,11 +158,24 @@ def generate(sf: float, outdir: str, seed: int = 42, boilerplate: bool = False) 
     }))
 
     # documents: 31-term vocab, ~8-105 tokens/doc, lang/source mix as observed;
-    # ~2% mutated near-dups + ~0.2% exact dups so dedup workloads stay realistic
+    # ~2% mutated near-dups + ~0.2% exact dups so dedup workloads stay realistic.
+    # ``zipf=True`` (round-8 verdict task #4) draws tokens with power-law
+    # weights p(rank r) ∝ 1/r instead of uniformly — the head token carries
+    # ~25% of all positions (natural language is Zipf; the uniform draw hides
+    # hot-key skew from every token-keyed join). Used to stress the LM
+    # scorer's n-gram joins.
     n_tok = rng.integers(8, 106, n_docs)
-    texts = [
-        " ".join(np.array(VOCAB)[rng.integers(0, len(VOCAB), k)]) for k in n_tok
-    ]
+    if zipf:
+        w = 1.0 / np.arange(1, len(VOCAB) + 1)
+        tok_p = w / w.sum()
+        texts = [
+            " ".join(np.array(VOCAB)[rng.choice(len(VOCAB), k, p=tok_p)])
+            for k in n_tok
+        ]
+    else:  # keep the exact uniform stream earlier rounds measured against
+        texts = [
+            " ".join(np.array(VOCAB)[rng.integers(0, len(VOCAB), k)]) for k in n_tok
+        ]
     for i in rng.integers(0, n_docs, int(n_docs * 0.02)):
         if i + 1 < n_docs:
             toks = texts[i].split(" ")
@@ -204,8 +223,10 @@ def generate(sf: float, outdir: str, seed: int = 42, boilerplate: bool = False) 
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--boilerplate"]
-    boiler = "--boilerplate" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    boiler = "--boilerplate" in flags
+    zipf = "--zipf" in flags
     sf = float(args[0]) if args else 1.0
     out = (
         args[1]
@@ -213,8 +234,8 @@ if __name__ == "__main__":
         else os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".scaledata",
-            f"sf{sf}" + ("-boiler" if boiler else ""),
+            f"sf{sf}" + ("-boiler" if boiler else "") + ("-zipf" if zipf else ""),
         )
     )
-    print(f"generating sf={sf} boilerplate={boiler} -> {out}")
-    generate(sf, out, boilerplate=boiler)
+    print(f"generating sf={sf} boilerplate={boiler} zipf={zipf} -> {out}")
+    generate(sf, out, boilerplate=boiler, zipf=zipf)
