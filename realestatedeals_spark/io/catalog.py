@@ -295,6 +295,8 @@ class Catalog:
         its next catalog read (``_manifest``'s FileNotFoundError→ValueError
         pattern) instead of silent wrong data."""
         v = self.latest_version(branch) if version is None else version
+        if v is None:
+            raise ValueError(f"cannot scan: no catalog versions on branch {branch!r}")
         pins = self.pins(v, branch)  # typed error if the manifest is gone
         cat_lease = os.path.join(self._dir(branch), f"_lease-v{v}-{uuid.uuid4().hex}")
         with open(cat_lease, "w") as fh:

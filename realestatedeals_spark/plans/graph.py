@@ -188,7 +188,7 @@ FROM deg d LEFT JOIN pern p ON d.node = p.node
 """
 
 
-@register("g4_triangle_count", oracle=_G4_TRIANGLES_ORACLE, tags=("graph", "triangles"))
+@register("g4_triangle_count", oracle=_G4_TRIANGLES_ORACLE, tags=("graph", "triangles"), bench=True)
 def g4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle count + local clustering coefficient on the
     co-purchase graph (edges = part pairs sharing an order). The edge build

@@ -246,7 +246,7 @@ GROUP BY clus.cluster_id
 """
 
 
-@register("er_golden_records", oracle=_ER_ORACLE, tags=("J5", "linkage", "dedup", "graph"))
+@register("er_golden_records", oracle=_ER_ORACLE, tags=("J5", "linkage", "dedup", "graph"), bench=True)
 def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden customer records: one survivor per transitively-closed match
     cluster, with member count, canonical (longest — a truncation always

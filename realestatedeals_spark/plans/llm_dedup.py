@@ -59,6 +59,7 @@ WHERE jaccard >= 0.9 AND (doc_a % 7 = 0 OR doc_b % 7 = 0)
     "x2_minhash_incremental",
     oracle=_X2_INCR_ORACLE,
     tags=("X2", "dedup", "incremental"),
+    bench=True,
 )
 def x2_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus ingestion (round-5 engine addition): dedup a new

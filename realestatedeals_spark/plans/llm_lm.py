@@ -131,7 +131,7 @@ LIMIT 100
 """
 
 
-@register("x4_lm_backoff_train", oracle=_LM_TRAIN_ORACLE, tags=("X4", "text", "lm"))
+@register("x4_lm_backoff_train", oracle=_LM_TRAIN_ORACLE, tags=("X4", "text", "lm"), bench=True)
 def x4_lm_backoff_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained model's head: top-100 trigrams by count with their
     relative-frequency score in micros. Counting is one explode + one
@@ -327,7 +327,7 @@ def score_documents(docs: DataFrame, model, salt_unigrams: int | None = None) ->
     )
 
 
-@register("x4_lm_backoff_score", oracle=_LM_SCORE_ORACLE, tags=("X4", "text", "lm"))
+@register("x4_lm_backoff_score", oracle=_LM_SCORE_ORACLE, tags=("X4", "text", "lm"), bench=True)
 def x4_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every held-out document against the trained model: per-doc
     position count, hits per backoff level, and the micros-exact summed /
@@ -337,7 +337,7 @@ def x4_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_held_out(spark, sf_dir)
 
 
-@register("x4_lm_perplexity_filter", oracle=_LM_FILTER_ORACLE, tags=("X4", "text", "lm"))
+@register("x4_lm_perplexity_filter", oracle=_LM_FILTER_ORACLE, tags=("X4", "text", "lm"), bench=True)
 def x4_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus filter on the LM score: keep held-out docs with
     no OOV positions, a ≥50% trigram hit rate, and an average position

@@ -435,6 +435,7 @@ GROUP BY i, j
     "x3_pca_gram",
     oracle=_X3_PCA_GRAM_ORACLE,
     tags=("X3", "vectors", "ml"),
+    bench=True,
 )
 def x3_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact integer-micros Gram matrix PCA trains on (one Arrow pass,

@@ -37,7 +37,7 @@ SELECT -1 AS doc_id, 'en' AS lang, 'appended row' AS text
 """
 
 
-@register("io_mor_delete", oracle=_MOR_ORACLE, tags=("io", "lakehouse", "dml"))
+@register("io_mor_delete", oracle=_MOR_ORACLE, tags=("io", "lakehouse", "dml"), bench=True)
 def io_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     work = tempfile.mkdtemp(prefix="mor_delete_")
@@ -660,7 +660,7 @@ GROUP BY o_orderpriority
 """
 
 
-@register("io_catalog_txn", oracle=_CATALOG_TXN_ORACLE, tags=("io", "lakehouse", "catalog", "txn"))
+@register("io_catalog_txn", oracle=_CATALOG_TXN_ORACLE, tags=("io", "lakehouse", "catalog", "txn"), bench=True)
 def io_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two multi-table transactions: (facts, view) load, then an urgent-
     order reprice with the view recomputed atomically alongside. Result =

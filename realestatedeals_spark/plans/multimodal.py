@@ -633,7 +633,7 @@ FROM documents
 """
 
 
-@register("x5_jpeg_roundtrip", oracle=_X5_JPEG_ORACLE, tags=("X5", "multimodal", "codec"))
+@register("x5_jpeg_roundtrip", oracle=_X5_JPEG_ORACLE, tags=("X5", "multimodal", "codec"), bench=True)
 def x5_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL transform-codec end-to-end (VERDICT r4 item 2): per document,
     encode a deterministic grayscale image as an actual baseline JFIF JPEG
@@ -1592,6 +1592,7 @@ FROM tex JOIN img USING (doc_id) JOIN aud USING (doc_id) JOIN vid USING (doc_id)
     "x5_multimodal_dedup_report",
     oracle=_X5_MM_REPORT_ORACLE,
     tags=("X5", "multimodal", "dedup", "capstone"),
+    bench=True,
 )
 def x5_multimodal_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal dedup report: per document, its near-dup group size
@@ -1843,6 +1844,7 @@ WHERE (substring(a.fp, 1, 10) = substring(c.fp, 1, 10)
     "x5_audio_near_dup_banded",
     oracle=_X5_AUDIO_BANDED_ORACLE,
     tags=("X5", "multimodal", "dedup", "lsh"),
+    bench=True,
 )
 def x5_audio_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-tolerant audio near-match: distinct fingerprints band into
@@ -1925,6 +1927,7 @@ SELECT fp_a, fp_b, hamming, n_a, n_b FROM pairs WHERE hamming <= 2
     "x5_image_near_dup_banded",
     oracle=_X5_IMAGE_BANDED_ORACLE,
     tags=("X5", "multimodal", "dedup", "lsh"),
+    bench=True,
 )
 def x5_image_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-tolerant image near-match: distinct dHash prints band into
@@ -2033,6 +2036,7 @@ WHERE (substring(a.fp, 1, 3 * (((length(a.fp) + 3) // 4) // 2))
     "x5_video_near_dup_banded",
     oracle=_X5_VIDEO_BANDED_ORACLE,
     tags=("X5", "multimodal", "dedup", "lsh"),
+    bench=True,
 )
 def x5_video_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-tolerant video near-match over the variable-length temporal

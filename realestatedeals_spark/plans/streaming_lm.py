@@ -234,6 +234,7 @@ def compact_scores(cat: Catalog) -> int:
     # scorer's — same oracle, by construction of the shared scorer
     oracle=_LM_SCORE_ORACLE,
     tags=("C16", "streaming", "catalog", "lm"),
+    bench=True,
 )
 def c16_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static LM scoring: the held-out half of the corpus (odd
@@ -366,6 +367,7 @@ def compact_lm(cat: Catalog) -> int:
     "c15b_stream_lm_delta_fold",
     oracle=_LM_TRAIN_ORACLE,
     tags=("C15", "streaming", "catalog", "lm"),
+    bench=True,
 )
 def c15b_stream_lm_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production variant of c15: each epoch commits ONLY its count

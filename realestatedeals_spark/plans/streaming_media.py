@@ -95,6 +95,7 @@ def apply_media_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int) -> bool:
     "c17_stream_media_dedup",
     oracle=_X5_AUDIO_FP_ORACLE,
     tags=("C17", "streaming", "multimodal", "dedup"),
+    bench=True,
 )
 def c17_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the corpus's tracks as 3 micro-batches, folding each batch's
