@@ -67,7 +67,13 @@ def scc_fwbw(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     )
     state = nodes.withColumn("pid", F.lit("r")).localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
+    # An EMPTY edge frame has an empty node set: the loop would break on
+    # round 1 with nothing accumulated. Legitimate input (e.g. a threshold
+    # filter that excluded every edge on a uniform corpus) — return the
+    # typed empty result, not an AssertionError.
     out: DataFrame | None = None
+    if state.isEmpty():
+        return state.select("node", F.col("node").alias("scc_id")).limit(0)
     for _ in range(max_rounds):
         if state.isEmpty():
             break
