@@ -409,12 +409,22 @@ def g7_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _G8_ORACLE = """
-WITH RECURSIVE pair AS (
-  SELECT c.c_nationkey AS u, s.s_nationkey AS v, count(*) AS n
-  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  WHERE c.c_nationkey <> s.s_nationkey
+WITH RECURSIVE
+-- MATERIALIZED pins the join order: on stats-less parquet views DuckDB's
+-- reorderer can pull the c_nationkey <> s_nationkey inequality forward
+-- into an early customer x supplier quasi-cross-join (1.4B rows at gen
+-- sf1.0, unbounded spill). Reducing each side to its nation key via the
+-- equi-joins FIRST keeps every intermediate linear in lineitem.
+onat AS MATERIALIZED (
+  SELECT o.o_orderkey, c.c_nationkey AS u
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+lnat AS MATERIALIZED (
+  SELECT l.l_orderkey, s.s_nationkey AS v
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+pair AS MATERIALIZED (
+  SELECT u, v, count(*) AS n
+  FROM onat JOIN lnat ON lnat.l_orderkey = onat.o_orderkey
+  WHERE u <> v
   GROUP BY 1, 2),
 tot AS (SELECT sum(n) AS total FROM pair),
 edges AS (SELECT u, v FROM pair, tot WHERE n >= total // 400),

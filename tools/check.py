@@ -28,6 +28,12 @@ TABLES = (
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle engine so a heavy oracle (all-pairs dedup at gen
+    # sf1.0) degrades to disk spill instead of taking the host down, and
+    # spills to a known location instead of filling an arbitrary tmp dir.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='60GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
@@ -123,6 +129,15 @@ def main() -> int:
             print(f"FAIL {name}: ORACLE ERROR\n{traceback.format_exc()}")
             n_fail += 1
             results[name] = {"status": "fail", "reason": "oracle_error"}
+            # a resource failure (OOM / disk-full spill) wedges the
+            # connection's memory accounting: every later oracle would fail
+            # on tiny allocations. Reconnect so one heavy oracle cannot
+            # poison the rest of the sweep.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = duck_connect(sf_dir)
             continue
         if len(sdf) != len(odf):
             print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
