@@ -87,3 +87,67 @@ def pagerank(
         if (it + 1) % 4 == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def pagerank_micros(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic INTEGER PageRank — the oracle-able companion of
+    ``pagerank`` (the x3_pca_gram / x3_kmeans pattern: surface the
+    distributed machinery in exact integer arithmetic so DuckDB can
+    recompute it hash-exactly, leaving only float accumulation to the
+    numpy parity test).
+
+    Ranks live in int64 at ``scale`` total mass; every step is integer:
+    per-edge contribution = r_src div out_deg (floor), inflow = exact
+    int64 sum (order-independent), dangling share = dangling_total div n,
+    r' = (15*scale) div (100*n) + (85 * (inflow + share)) div 100 — the
+    damping-0.85 update with floors. Identical formulas in the SQL oracle
+    (plans/graph.py:_G3B_ORACLE), so Spark and DuckDB are bit-equal.
+    Scale shape per iteration is exactly ``pagerank``'s: one join on src
+    + one groupBy dst + a 1-row dangling aggregate broadcast-crossed on."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e_deg = e.join(out_deg, "src").repartition("src").persist()
+    e_deg.count()
+
+    base = (15 * scale) // (100 * n)  # exact python int, same formula as SQL
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    for it in range(iters):
+        contribs = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select(F.col("dst").alias("node"), F.expr("r div out_deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"(85 * (coalesce(inflow, 0) + dang div {n})) div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+        if (it + 1) % 4 == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks

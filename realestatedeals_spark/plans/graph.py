@@ -152,6 +152,85 @@ def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g3b — deterministic INTEGER PageRank companion (round 9): the same
+# customer→supplier graph and the same join/agg machinery as g3, but every
+# step in exact int64 arithmetic (contribution = r div out_deg, damping
+# update with floors) so DuckDB recomputes the 3-iteration fixpoint
+# hash-exactly — PageRank's distributed half is now oracled; only g3's
+# float accumulation stays rows-only (numpy parity in tests/test_pagerank).
+# Node ids: custkey as-is, suppkey offset by 10^6 (disjoint integer spaces).
+# ---------------------------------------------------------------------------
+
+_G3B_SCALE = 1_000_000_000_000
+
+
+def _g3b_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum({prev}.r // od.d) AS BIGINT) AS inflow
+  FROM e JOIN od USING (src) JOIN {prev} ON {prev}.node = e.src
+  GROUP BY e.dst),
+dg{i} AS (
+  SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+  FROM {prev} WHERE node NOT IN (SELECT src FROM od)),
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST((15 * {_G3B_SCALE} // (100 * n))
+              + (85 * (coalesce(c{i}.inflow, 0) + dang // n)) // 100
+              AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn CROSS JOIN dg{i}
+  LEFT JOIN c{i} ON c{i}.node = nodes.node)"""
+
+
+_G3B_ORACLE = (
+    f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node, CAST({_G3B_SCALE} // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),"""
+    + ",".join(_g3b_iter_sql(i) for i in (1, 2, 3))
+    + """
+SELECT CAST(node AS BIGINT) AS node, r AS rank_micros
+FROM r3 ORDER BY r DESC, node LIMIT 100
+"""
+)
+
+
+@register(
+    "g3b_pagerank_micros",
+    oracle=_G3B_ORACLE,
+    tags=("graph", "iterative", "oracle-companion"),
+)
+def g3b_pagerank_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 nodes of the 3-iteration integer-micros PageRank over the
+    customer→supplier purchase graph — hash-exact against the unrolled
+    SQL fixpoint (operators/pagerank.pagerank_micros)."""
+    from realestatedeals_spark.operators.pagerank import pagerank_micros
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_micros(edges, iters=3, scale=_G3B_SCALE)
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .select("node", F.col("r").alias("rank_micros"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # g4 — triangle counting / clustering coefficient (engine addition) over the
 # part co-purchase graph: parts are adjacent iff some order contains both.
 # The oracle enumerates triangles with the simple id-orientation (a < b);

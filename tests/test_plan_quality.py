@@ -33,6 +33,7 @@ _BNLJ_WHITELIST = {
     "x4_tfidf_top_terms": "cross vs 1-row broadcast corpus-size frame",
     "x2_winnow_overlap_capped": "cross vs 1-row broadcast corpus-size frame",
     "g3_pagerank": "cross vs 1-row broadcast dangling-mass frame per iteration",
+    "g3b_pagerank_micros": "cross vs 1-row broadcast dangling-mass frame per iteration (integer twin of g3)",
     "x6_cms_heavy_hitters": "cross vs 1-row broadcast global-total frame (via heavy_hitters)",
     "e11_gap_fill_forward": "cross vs 1-row broadcast date-bounds frame (spine generation)",
     "x3_pq_topk": "ADC scan crosses codes vs the bounded broadcast query-LUT frame",
