@@ -288,7 +288,72 @@ def g4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_triangles(edges).withColumnRenamed("node", "partkey")
 
 
-@register("g5_kcore_parts", tags=("graph", "kcore"))
+# DuckDB CAN oracle iterated deletion (round 9): its recursive CTEs allow
+# multiple references to the working table plus aggregation in the recursive
+# term, so one peel round is "keep edges whose both endpoints have degree>=k
+# in the previous iteration's edge set", guarded by EXISTS(weak node) for
+# termination. The recursion stops in exactly two states: (a) fixpoint (no
+# weak node → recursive term emits nothing) or (b) the kept set went empty.
+# In BOTH cases one extra keep-filter applied to the max(it) snapshot yields
+# the true k-core — if fixpoint, keep(S)=S; if empty-stop, keep(S)=∅ — so
+# core{k} below is exact without knowing which way the recursion ended.
+# Chaining the k=2,3,4 peels needs MATERIALIZED on the intermediate cores:
+# un-materialized, each of the five working-table references in peel{k+1}
+# re-expands the entire peel{k} recursion per iteration (measured hang).
+# Validated against the pure-Python reference decomposition on 25 random
+# graphs + chain/clique/star adversarial shapes before registration.
+
+_G5_PEEL_CTE = """
+peel{k}(a, b, it) AS (
+    SELECT a, b, 0 FROM {src}
+  UNION ALL
+    SELECT p.a, p.b, p.it + 1
+    FROM peel{k} p
+    JOIN (SELECT node FROM (SELECT a AS node FROM peel{k} UNION ALL SELECT b FROM peel{k})
+          GROUP BY node HAVING count(*) >= {k}) ka ON p.a = ka.node
+    JOIN (SELECT node FROM (SELECT a AS node FROM peel{k} UNION ALL SELECT b FROM peel{k})
+          GROUP BY node HAVING count(*) >= {k}) kb ON p.b = kb.node
+    WHERE EXISTS (SELECT 1 FROM (SELECT a AS node FROM peel{k} UNION ALL SELECT b FROM peel{k})
+                  GROUP BY node HAVING count(*) < {k})
+),
+last{k} AS MATERIALIZED (SELECT a, b FROM peel{k} WHERE it = (SELECT max(it) FROM peel{k})),
+core{k} AS MATERIALIZED (
+    SELECT l.a, l.b FROM last{k} l
+    JOIN (SELECT node FROM (SELECT a AS node FROM last{k} UNION ALL SELECT b FROM last{k})
+          GROUP BY node HAVING count(*) >= {k}) ka ON l.a = ka.node
+    JOIN (SELECT node FROM (SELECT a AS node FROM last{k} UNION ALL SELECT b FROM last{k})
+          GROUP BY node HAVING count(*) >= {k}) kb ON l.b = kb.node
+)"""
+
+_G5_KCORE_ORACLE = (
+    """
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2),"""
+    + ",".join(
+        _G5_PEEL_CTE.format(k=k, src=src)
+        for k, src in ((2, "e0"), (3, "core2"), (4, "core3"))
+    )
+    + """,
+n0 AS (SELECT DISTINCT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)),
+n2 AS (SELECT DISTINCT node FROM (SELECT a AS node FROM core2 UNION ALL SELECT b FROM core2)),
+n3 AS (SELECT DISTINCT node FROM (SELECT a AS node FROM core3 UNION ALL SELECT b FROM core3)),
+n4 AS (SELECT DISTINCT node FROM (SELECT a AS node FROM core4 UNION ALL SELECT b FROM core4)),
+coreness AS (
+  SELECT node, 1 AS coreness FROM n0 WHERE node NOT IN (SELECT node FROM n2)
+  UNION ALL SELECT node, 2 FROM n2 WHERE node NOT IN (SELECT node FROM n3)
+  UNION ALL SELECT node, 3 FROM n3 WHERE node NOT IN (SELECT node FROM n4)
+  UNION ALL SELECT node, 4 FROM n4
+)
+SELECT CAST(coreness AS INT) AS coreness, count(*) AS n_parts
+FROM coreness GROUP BY coreness
+"""
+)
+
+
+@register("g5_kcore_parts", oracle=_G5_KCORE_ORACLE, tags=("graph", "kcore"))
 def g5_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coreness histogram of the support-thresholded part co-purchase graph
     (edges = part pairs co-purchased in >= 2 orders), peeling capped at
@@ -298,10 +363,12 @@ def g5_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.01 but vanishes at sf0.1 where support-2 edges thin out), while
     shell counts stay informative at every SF. Iterated peeling — degree
     aggregate + anti-join per round, lineage truncated per round, phase
-    count bounded by max_k (operators/kcore.py). No SQL oracle: peeling is
-    iterated deletion, beyond monotone recursive CTEs; tests/test_kcore.py
-    pins the operator against a pure-Python reference decomposition on
-    random graphs, planted cliques, AND this exact fixture graph."""
+    count bounded by max_k (operators/kcore.py). Oracled hash-exact since
+    round 9: the peel-to-fixpoint replays as a DuckDB recursive CTE per k
+    (see _G5_PEEL_CTE — multi-reference recursive terms make iterated
+    deletion expressible after all); tests/test_kcore.py additionally pins
+    the operator against a pure-Python reference decomposition on random
+    graphs, planted cliques, AND this exact fixture graph."""
     from realestatedeals_spark.operators.kcore import core_numbers
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
