@@ -532,6 +532,112 @@ def simhash_near_duplicates(
     )
 
 
+def simhash_arith_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Engine-portable SimHash companion: same sign-aggregation + 4×16-band
+    blocking + Hamming-≤3 verify as ``simhash_near_duplicates``, but the
+    per-token 64-bit pattern comes from double polynomial hashing over
+    codepoints (h1 mod 1e9+7, h2 mod 998244353; bit i = parity of
+    (h1 + (i+1)·h2 + i²·12345) mod 1e9+7) instead of xxhash64 — pure int64
+    arithmetic a SQL oracle recomputes bit-for-bit, so the whole distributed
+    mechanism is hash-exact checkable. The xxhash64 variant stays the
+    production path (better bit mixing); this one oracles the machinery.
+
+    Scale shape: token counts are aggregated per (doc, token) BEFORE the
+    64-bit expansion, so the wide shuffle carries distinct doc-token pairs
+    (vocabulary-bounded per doc), not raw token instances. The signature is
+    carried as two uint32 halves in BIGINTs (hi/lo) — band keys and Hamming
+    split cleanly across halves and no sign bit is ever touched.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = tok.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    h1 = F.aggregate(
+        F.split(F.col("tok"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % 1000000007,
+    )
+    h2 = F.aggregate(
+        F.split(F.col("tok"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 131 + F.ascii(ch)) % 998244353,
+    )
+    hashed = cnt.select("_id", "cnt", h1.alias("h1"), h2.alias("h2"))
+    contrib = F.expr(
+        "transform(sequence(0, 63), i -> CASE WHEN"
+        " ((h1 + (CAST(i AS BIGINT) + 1) * h2 + CAST(i AS BIGINT) * i * 12345)"
+        "  % 1000000007) % 2 = 1"
+        " THEN cnt ELSE -cnt END)"
+    )
+    per_bit = (
+        hashed.select("_id", F.posexplode(contrib).alias("bit", "c"))
+        .groupBy("_id", "bit")
+        .agg(F.sum("c").alias("s"))
+    )
+    # shift amounts are columns → SQL expression syntax (the Python shiftleft
+    # wrapper only takes int shift amounts), same as simhash64 above
+    sig = per_bit.groupBy("_id").agg(
+        F.sum(
+            F.when(
+                (F.col("s") > 0) & (F.col("bit") < 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("lo"),
+        F.sum(
+            F.when(
+                (F.col("s") > 0) & (F.col("bit") >= 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit - 32)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("hi"),
+    )
+    mask = F.lit(0xFFFF).cast("long")
+    bands = sig.select(
+        "_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("lo").bitwiseAND(mask).alias("key")),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright(F.col("lo"), 16).bitwiseAND(mask).alias("key"),
+                ),
+                F.struct(F.lit(2).alias("band"), F.col("hi").bitwiseAND(mask).alias("key")),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.shiftright(F.col("hi"), 16).bitwiseAND(mask).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", "lo", "hi", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            (
+                F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+                + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def dup_substring_spans(docs: DataFrame, k: int = 8) -> DataFrame:
     """Exact duplicated-substring spans via rolling k-gram hashes (the
     distributed re-expression of the ExactSubstr pass in Lee et al.,

@@ -192,10 +192,81 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("x2_simhash_near_dup", tags=("X2", "dedup"))
 def x2_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤3 pairs. No SQL oracle (bit-level signature has no
-    clean ANSI equivalent); brute-force-checked in tests/test_dedup.py."""
+    """SimHash Hamming-≤3 pairs. No SQL oracle for THIS variant (Spark's
+    xxhash64 bit pattern is not reproducible in DuckDB); brute-force-checked
+    in tests/test_dedup.py. The distributed mechanism itself — sign
+    aggregation, 4×16 banding, Hamming verify — is hash-exact oracled by
+    x2_simhash_arith_near_dup below, which differs only in the token-hash
+    primitive."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_duplicates(docs, max_hamming=3)
+
+
+# Mirrors operators/dedup.py:simhash_arith_near_duplicates step for step:
+# per-(doc, token) counts → double polynomial hash over codepoints (computed
+# once per DISTINCT token — hash depends only on the token string) → 64
+# parity bits → count-weighted sign sums → uint32 hi/lo signature halves →
+# 4×16-bit band equi-join → Hamming ≤ 3. All int64 arithmetic; parities of
+# (h1 + (i+1)·h2 + i²·12345) mod 1e9+7 are identical in both engines.
+_X2_SIMHASH_ARITH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t AS tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+cnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id, tok),
+vocab AS (
+  SELECT tok,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) AS h1,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                (acc, c) -> (acc * 131 + c) % 998244353) AS h2
+  FROM (SELECT DISTINCT tok FROM cnt)
+),
+per_bit AS (
+  SELECT c.doc_id, r.range AS bit,
+         sum(CASE WHEN ((v.h1 + (r.range + 1) * v.h2 + r.range * r.range * 12345)
+                        % 1000000007) % 2 = 1
+                  THEN c.cnt ELSE -c.cnt END) AS s
+  FROM cnt c JOIN vocab v USING (tok) CROSS JOIN range(0, 64) r
+  GROUP BY c.doc_id, r.range
+),
+sig AS (
+  SELECT doc_id,
+    CAST(coalesce(sum(CASE WHEN s > 0 AND bit < 32
+                           THEN CAST(1 AS BIGINT) << CAST(bit AS INT) END), 0) AS BIGINT) AS lo,
+    CAST(coalesce(sum(CASE WHEN s > 0 AND bit >= 32
+                           THEN CAST(1 AS BIGINT) << CAST(bit - 32 AS INT) END), 0) AS BIGINT) AS hi
+  FROM per_bit GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, lo, hi, b.band,
+         CASE b.band WHEN 0 THEN lo % 65536
+                     WHEN 1 THEN lo // 65536
+                     WHEN 2 THEN hi % 65536
+                     ELSE hi // 65536 END AS key
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+"""
+
+
+@register("x2_simhash_arith_near_dup", oracle=_X2_SIMHASH_ARITH_ORACLE, tags=("X2", "dedup"))
+def x2_simhash_arith_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with an engine-portable arithmetic token hash —
+    the hash-exact companion that oracles the full distributed SimHash
+    mechanism (sign aggregation, hi/lo signature halves, 4×16 banding,
+    Hamming-≤3 verify); see operators/dedup.py:simhash_arith_near_duplicates."""
+    from realestatedeals_spark.operators.dedup import simhash_arith_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_arith_near_duplicates(docs, max_hamming=3)
 
 
 # array_cosine_similarity over DOUBLE[64] is bit-identical to the explicit
