@@ -243,3 +243,97 @@ def kmv_intersect_estimate(mins_a, cnt_a, mins_b, cnt_b, k: int = KMV_K) -> F.Co
     theta = F.least(kmv_theta(mins_a, cnt_a, k), kmv_theta(mins_b, cnt_b, k))
     common = F.size(F.filter(F.array_intersect(mins_a, mins_b), lambda x: x < theta))
     return common.cast("double") / theta
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable sketch companions (round 9). HLL registers and CMS cells
+# are DETERMINISTIC given the hash function — only the hash primitive makes
+# them un-oracle-able (Spark's HLL++ binary / xxhash64 have no DuckDB
+# equivalent). These variants swap in arithmetic hashes both engines compute
+# bit-for-bit (the KMV md5-prefix trick above, and an affine family over the
+# polynomial fingerprint), so the *distributed sketch machinery* — register
+# max-merge, cell count-merge, min-over-rows point queries — carries an
+# exact value-hash oracle. The production xxhash/HLL++ variants stay the
+# primary paths (better mixing, native speed); tests pin those within error
+# bounds, the oracle pins these exactly.
+# ---------------------------------------------------------------------------
+
+HLL_ARITH_BUCKETS = 256  # b=8 bucket bits out of the 48-bit md5 prefix
+_HLL_ARITH_VALUE_BITS = 40  # 48 - 8; rho ∈ [1, 41]
+
+
+def hll_arith_registers(df: DataFrame, tag_col: str, value_col: str) -> DataFrame:
+    """Per-tag HLL register state (tag, bucket, register) over DISTINCT
+    hashed values: bucket = low 8 bits of the 48-bit md5-prefix hash,
+    register = max over values of (leading-zeros-of-remaining-40-bits + 1).
+    bit-length comes from length(bin(r)) — exact integer in both engines.
+    Empty buckets are implicit (register 0). The state is the mergeable
+    sketch: union of tags = elementwise max of registers (plain groupBy),
+    which is how a 100 TB corpus rolls partition sketches into any rollup
+    without re-scanning."""
+    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 12), 16, 10).cast("long")
+    r = F.shiftright(h, 8)
+    rho = F.when(r == 0, F.lit(_HLL_ARITH_VALUE_BITS + 1)).otherwise(
+        F.lit(_HLL_ARITH_VALUE_BITS + 1) - F.length(F.bin(r))
+    )
+    return (
+        df.select(
+            F.col(tag_col).alias("tag"),
+            F.pmod(h, F.lit(HLL_ARITH_BUCKETS)).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("tag", "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+# Affine CMS hash family over the polynomial fingerprint: bucket_row =
+# ((A_row·fp + B_row) mod 1e9+7) mod width. fp < 1e9+7 and A ≤ 65537 keep
+# every intermediate < 2^47 — exact int64 in both engines.
+CMS_ARITH_A = (31, 131, 257, 65537)
+CMS_ARITH_B = (7, 11, 13, 17)
+CMS_ARITH_MOD = 1_000_000_007
+
+
+def _poly_fingerprint(col: F.Column) -> F.Column:
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % CMS_ARITH_MOD,
+    )
+
+
+def _cms_arith_buckets(fp: F.Column, width: int) -> F.Column:
+    return F.array(
+        *[
+            ((F.lit(a).cast("long") * fp + F.lit(b)) % CMS_ARITH_MOD % width).cast("int")
+            for a, b in zip(CMS_ARITH_A, CMS_ARITH_B)
+        ]
+    )
+
+
+def cms_arith_table(tokens: DataFrame, col: str, width: int = 2048) -> DataFrame:
+    """Count-Min sketch (row, bucket, cnt) with the arithmetic hash family —
+    same one-scan bounded-shuffle build shape as cms_table (map-side partial
+    agg caps surviving rows at depth·width per task)."""
+    fp = _poly_fingerprint(F.col(col))
+    return (
+        tokens.select(F.posexplode(_cms_arith_buckets(fp, width)).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_arith_estimate(
+    cms: DataFrame, terms: DataFrame, col: str, width: int = 2048
+) -> DataFrame:
+    """min-over-rows point query, broadcast sketch side — as cms_estimate."""
+    fp = _poly_fingerprint(F.col(col))
+    probes = terms.select(
+        F.col(col), F.posexplode(_cms_arith_buckets(fp, width)).alias("row", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -171,9 +171,11 @@ def x6_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate by MERGING the sketches — never re-scanning the corpus. This is
     the 100 TB profiling primitive: sketch each partition/day once, answer
     any rollup (per source, per day, global) by union of sketches. No SQL
-    oracle (the sketch binary is engine-specific); tests pin the estimates
-    against exact distincts within HLL error bounds and pin
-    merge-vs-rescan equivalence."""
+    oracle for THIS variant (the HLL++ sketch binary is engine-specific);
+    tests pin the estimates against exact distincts within HLL error bounds
+    and pin merge-vs-rescan equivalence. The register/merge machinery itself
+    is hash-exact oracled by x6_hll_arith_state below, which differs only in
+    the hash primitive."""
     docs = load_table(spark, sf_dir, "documents")
     hashed = docs.select("source", F.xxhash64("text").alias("h"))
     per_source = hashed.groupBy("source").agg(
@@ -238,7 +240,9 @@ def x6_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # depth·width per task); point queries probe min-over-rows. CMS never
 # undercounts; overshoot is ≤ 2n/width with prob ≥ 1−2^-depth per query.
 # Rows-only: the sketch's collisions are hash-family-specific; tests pin
-# the one-sided error and the ε-bound against exact counts.
+# the one-sided error and the ε-bound against exact counts. The
+# build/merge/probe machinery is hash-exact oracled by
+# x6_cms_arith_heavy_hitters below (arithmetic hash family).
 # ---------------------------------------------------------------------------
 
 
@@ -409,4 +413,207 @@ def x6_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").alias("exact_b"),
         F.col("ni").alias("exact_inter"),
         F.col("no_").alias("exact_union"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6 — engine-portable sketch companions (round 9): the HLL register state
+# and the CMS counter table are deterministic given the hash primitive, so
+# swapping Spark-internal hashes (HLL++ binary, xxhash64) for arithmetic
+# ones (48-bit md5 prefix; affine family over the polynomial fingerprint)
+# makes the ENTIRE distributed sketch machinery hash-exact oracle-checkable:
+# register max-merge, cell count-merge, min-over-rows point queries. The
+# production variants above stay primary (better mixing, native speed) with
+# their error-bound pytests; these pin the mechanism bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_X6_HLL_ARITH_ORACLE = """
+WITH h AS (
+  SELECT source, ('0x' || substr(md5(text), 1, 12))::BIGINT AS h48
+  FROM documents),
+rho AS (
+  SELECT source, CAST(h48 % 256 AS INT) AS bucket,
+         CAST(CASE WHEN h48 // 256 = 0 THEN 41
+                   ELSE 41 - length(bin(h48 // 256)) END AS INT) AS rho
+  FROM h),
+state AS (
+  SELECT source, bucket, max(rho) AS register FROM rho GROUP BY source, bucket)
+SELECT source, bucket, CAST(register AS INT) AS register FROM state
+UNION ALL
+SELECT '__global__' AS source, bucket, CAST(max(register) AS INT) AS register
+FROM state GROUP BY bucket
+"""
+
+
+@register(
+    "x6_hll_arith_state", oracle=_X6_HLL_ARITH_ORACLE, tags=("X6", "profile", "sketch")
+)
+def x6_hll_arith_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL register state per source + '__global__' over content
+    hashes. The global sketch is computed by MERGING the per-source states
+    (elementwise register max — one groupBy over ≤ sources·256 rows), never
+    by re-scanning the corpus: exactly the 100 TB rollup shape, and the merge
+    itself is what the oracle hash-checks. operators/sketches.py:
+    hll_arith_registers."""
+    from realestatedeals_spark.operators.sketches import hll_arith_registers
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = hll_arith_registers(docs, "source", "text")
+    merged = (
+        state.groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .select(F.lit("__global__").alias("tag"), "bucket", "register")
+    )
+    return state.unionByName(merged).withColumnRenamed("tag", "source")
+
+
+_X6_CMS_ARITH_ORACLE = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+clean AS (SELECT term FROM toks WHERE term <> ''),
+tot AS (SELECT count(*) AS n FROM clean),
+fp AS (
+  SELECT term,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(term, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                     (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+  FROM (SELECT DISTINCT term FROM clean)),
+ab AS (SELECT * FROM (VALUES (0, 31, 7), (1, 131, 11), (2, 257, 13), (3, 65537, 17)) t(row, a, b)),
+cells AS (
+  SELECT ab.row, CAST((ab.a * f.fp + ab.b) % 1000000007 % 2048 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM clean c JOIN fp f USING (term) CROSS JOIN ab
+  GROUP BY ab.row, bucket),
+hh AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+  FROM clean, tot GROUP BY term, n HAVING count(*) * 100 > n),
+probe AS (
+  SELECT h.term, h.cnt, min(cl.cnt) AS cms_est
+  FROM hh h JOIN fp f USING (term) CROSS JOIN ab
+  JOIN cells cl ON cl.row = ab.row
+              AND cl.bucket = CAST((ab.a * f.fp + ab.b) % 1000000007 % 2048 AS INT)
+  GROUP BY h.term, h.cnt)
+SELECT term, cnt, cms_est, cms_est - cnt AS overshoot FROM probe
+"""
+
+
+@register(
+    "x6_cms_arith_heavy_hitters",
+    oracle=_X6_CMS_ARITH_ORACLE,
+    tags=("X6", "profile", "sketch"),
+)
+def x6_cms_arith_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (share > 1/100) annotated with their Count-Min
+    estimate from the arithmetic-hash sketch — build, merge, and point-query
+    all hash-exact against the oracle. Same candidate-prune + exact-recount
+    heavy-hitter pass as x6_heavy_hitters; same one-scan CMS build shape as
+    x6_cms_heavy_hitters."""
+    from realestatedeals_spark.operators.sketches import (
+        cms_arith_estimate,
+        cms_arith_table,
+        heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    hh = heavy_hitters(tokens, col="term", k=100)
+    cms = cms_arith_table(tokens, "term")
+    est = cms_arith_estimate(cms, hh.select("term"), "term")
+    return hh.join(est, "term").select(
+        "term", "cnt", "cms_est", (F.col("cms_est") - F.col("cnt")).alias("overshoot")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6 — mergeable binned-quantile sketch: fixed-width histogram over a shared
+# global [min, max] grid, quantile = lower bound of the first bin whose
+# cumulative count reaches ceil(p·n). Unlike GK/t-digest the state is
+# deterministic (bin counts), merges by plain summation, and every step is
+# integer arithmetic — the oracle-able member of the quantile family beside
+# the rows-only percentile_approx variant. Estimate error is bounded by one
+# bin width = (max-min+1)/1024.
+# ---------------------------------------------------------------------------
+
+_X6_BINQ_ORACLE = """
+WITH bounds AS (
+  SELECT min(n_chars) AS lo,
+         (max(n_chars) - min(n_chars) + 1 + 1023) // 1024 AS w
+  FROM documents),
+bins AS (
+  SELECT d.source, (d.n_chars - b.lo) // b.w AS bin, count(*) AS cnt
+  FROM documents d, bounds b GROUP BY d.source, bin),
+tagged AS (
+  SELECT source, bin, cnt FROM bins
+  UNION ALL
+  SELECT '__global__', bin, sum(cnt) FROM bins GROUP BY bin),
+cum AS (
+  SELECT source, bin, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS c,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM tagged)
+SELECT source, CAST(max(n) AS BIGINT) AS n,
+       CAST(b.lo + min(CASE WHEN c >= (n + 1) // 2 THEN bin END) * b.w AS BIGINT) AS p50_est,
+       CAST(b.lo + min(CASE WHEN c >= (9 * n + 9) // 10 THEN bin END) * b.w AS BIGINT) AS p90_est,
+       CAST(b.lo + min(CASE WHEN c >= (99 * n + 99) // 100 THEN bin END) * b.w AS BIGINT) AS p99_est
+FROM cum, bounds b
+GROUP BY source, b.lo, b.w
+"""
+
+
+@register(
+    "x6_binned_quantiles", oracle=_X6_BINQ_ORACLE, tags=("X6", "profile", "sketch")
+)
+def x6_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of document length per source + '__global__' from the
+    binned sketch. The global row is the MERGE of the per-source bin counts
+    (plain sum over ≤ 1024-row states); quantile selection is a window
+    cumsum over bins, never a sort of raw values. Integer ranks
+    ceil(p·n) = (p_num·n + p_den - 1) // p_den keep both engines exact."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("n_chars").alias("lo"),
+        ((F.max("n_chars") - F.min("n_chars") + 1 + 1023) / 1024)
+        .cast("long")
+        .alias("w"),
+    )
+    bins = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            "source",
+            ((F.col("n_chars") - F.col("lo")) / F.col("w")).cast("long").alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tagged = bins.unionByName(
+        bins.groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("__global__").alias("source"), "bin", "cnt")
+    )
+    cum = tagged.select(
+        "source",
+        "bin",
+        F.sum("cnt").over(W.partitionBy("source").orderBy("bin")).alias("c"),
+        F.sum("cnt").over(W.partitionBy("source")).alias("n"),
+    )
+    # ranks are INTEGER floor-divisions — (num·n + den - 1) // den — so the
+    # double `/` must be floored before comparing, or n=4 gives 2.5 vs the
+    # oracle's 2 and the picked bin drifts by one
+    pick = lambda rank: F.min(F.when(F.col("c") >= rank, F.col("bin")))  # noqa: E731
+    n = F.col("n")
+    out = cum.groupBy("source").agg(
+        F.max("n").alias("n"),
+        pick(F.floor((n + 1) / 2)).alias("b50"),
+        pick(F.floor((9 * n + 9) / 10)).alias("b90"),
+        pick(F.floor((99 * n + 99) / 100)).alias("b99"),
+    )
+    return out.crossJoin(F.broadcast(bounds)).select(
+        "source",
+        "n",
+        (F.col("lo") + F.col("b50") * F.col("w")).cast("long").alias("p50_est"),
+        (F.col("lo") + F.col("b90") * F.col("w")).cast("long").alias("p90_est"),
+        (F.col("lo") + F.col("b99") * F.col("w")).cast("long").alias("p99_est"),
     )
