@@ -20,6 +20,23 @@ from realestatedeals_spark.operators.multimodal import (
 from realestatedeals_spark.plans.registry import register
 
 
+def _codec_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """Documents seed columns, repartitioned to the session's parallelism.
+
+    Every codec query below synthesizes media from these seeds and runs
+    CPU-bound encode/decode inside mapInPandas — but the driver fixture
+    arrives as ONE parquet split, so without an explicit repartition the
+    whole codec stage runs on a single core regardless of cluster size
+    (measured: x5_jpeg_roundtrip at sf0.1 went 5.8s → 1.4s on local[8]
+    from this alone). The shuffle carries only the tiny seed columns
+    (doc_id / n_chars / text), never encoded media; hash-partitioning on
+    doc_id keeps the exchange deterministic under task retries (round-robin
+    repartition is not). At cluster scale this is the standard
+    align-partitions-to-cores move in front of a compute-bound stage."""
+    df = load_table(spark, sf_dir, "documents").select(*cols)
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+
+
 def _feat(j: int) -> str:
     return (
         f"CAST(CAST(CAST(('0x' || substr(sha256(text), {8 * j + 1}, 8)) AS UBIGINT)"
@@ -125,7 +142,7 @@ def x5_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from realestatedeals_spark.operators.multimodal import encode_png_gray
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -141,6 +158,10 @@ def x5_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    # media feeds BOTH the header-parse and the pixel-decode branch: a lazy
+    # localCheckpoint materializes the encoded bytes once instead of running
+    # the encoder twice (once per join side)
+    media = media.localCheckpoint(eager=False)
     meta = decode_media_meta(media)
     feats = image_features(media, use_real_codec=True)
     return (
@@ -248,7 +269,7 @@ def x5_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_pcm16,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -318,7 +339,7 @@ def x5_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_g711,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -372,7 +393,7 @@ def x5_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.operators.flac import encode_flac
     from realestatedeals_spark.operators.multimodal import audio_features
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -472,7 +493,7 @@ def x5_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_ima_adpcm,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -520,7 +541,7 @@ def x5_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from realestatedeals_spark.operators.multimodal import encode_gif_gray
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -536,6 +557,10 @@ def x5_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    # media feeds BOTH the header-parse and the pixel-decode branch: a lazy
+    # localCheckpoint materializes the encoded bytes once instead of running
+    # the encoder twice (once per join side)
+    media = media.localCheckpoint(eager=False)
     meta = decode_media_meta(media)
     feats = image_features(media, use_real_codec=True)
     return meta.join(feats.select("media_id", "features"), "media_id").select(
@@ -584,7 +609,7 @@ def x5_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_gif_animation,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -657,7 +682,7 @@ def x5_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from realestatedeals_spark.operators.multimodal import encode_jpeg_gray
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -674,6 +699,10 @@ def x5_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    # media feeds BOTH the header-parse and the pixel-decode branch: a lazy
+    # localCheckpoint materializes the encoded bytes once instead of running
+    # the encoder twice (once per join side)
+    media = media.localCheckpoint(eager=False)
     meta = decode_media_meta(media)
     feats = image_features(media, use_real_codec=True)
     return meta.join(feats.select("media_id", "features"), "media_id").select(
@@ -708,7 +737,7 @@ def x5_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from realestatedeals_spark.operators.multimodal import encode_jpeg_progressive
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -725,6 +754,10 @@ def x5_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    # media feeds BOTH the header-parse and the pixel-decode branch: a lazy
+    # localCheckpoint materializes the encoded bytes once instead of running
+    # the encoder twice (once per join side)
+    media = media.localCheckpoint(eager=False)
     meta = decode_media_meta(media)
     feats = image_features(media, use_real_codec=True)
     return meta.join(feats.select("media_id", "features"), "media_id").select(
@@ -785,7 +818,7 @@ def x5_image_near_dup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_docs(spark, sf_dir, "doc_id")
 
     def encode(batches):
         R = np.arange(16, dtype=np.int64)[:, None]
@@ -835,7 +868,7 @@ def x5_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from realestatedeals_spark.operators.multimodal import encode_tiff_gray
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -851,6 +884,10 @@ def x5_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    # media feeds BOTH the header-parse and the pixel-decode branch: a lazy
+    # localCheckpoint materializes the encoded bytes once instead of running
+    # the encoder twice (once per join side)
+    media = media.localCheckpoint(eager=False)
     meta = decode_media_meta(media)
     feats = image_features(media, use_real_codec=True)
     return meta.join(feats.select("media_id", "features"), "media_id").select(
@@ -903,7 +940,7 @@ def x5_avi_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_gray,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -975,7 +1012,7 @@ def x5_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_bmp_rgb,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -1042,7 +1079,7 @@ def x5_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_exif,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_docs(spark, sf_dir, "doc_id")
 
     def encode(batches):
         base_px = np.full((8, 8), 128, np.uint8)
@@ -1114,7 +1151,7 @@ def x5_qoi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from realestatedeals_spark.operators.qoi import decode_qoi, encode_qoi
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -1180,7 +1217,7 @@ def x5_aiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_aiff_pcm16,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -1255,7 +1292,7 @@ def x5_y4m_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from realestatedeals_spark.operators.y4m import decode_y4m, encode_y4m
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
@@ -1365,7 +1402,7 @@ def x5_audio_near_dup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_pcm16,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_docs(spark, sf_dir, "doc_id")
 
     def encode(batches):
         i = np.arange(1600, dtype=np.int64)
@@ -1457,7 +1494,7 @@ def x5_video_near_dup_tfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.operators.multimodal import video_fingerprint
     from realestatedeals_spark.operators.y4m import encode_y4m
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_docs(spark, sf_dir, "doc_id")
 
     def encode(batches):
         r = np.arange(16, dtype=np.int64)[:, None]
@@ -1616,7 +1653,7 @@ def x5_multimodal_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from realestatedeals_spark.operators.y4m import encode_y4m
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "text")
 
     tfp = F.array_join(
         F.array_sort(
@@ -1861,7 +1898,7 @@ def x5_audio_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_pcm16,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_docs(spark, sf_dir, "doc_id")
 
     def encode(batches):
         i = np.arange(1600, dtype=np.int64)
@@ -1944,7 +1981,7 @@ def x5_image_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_docs(spark, sf_dir, "doc_id")
 
     def encode(batches):
         r = np.arange(16, dtype=np.int64)[:, None]
@@ -2052,7 +2089,7 @@ def x5_video_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.operators.multimodal import video_fingerprint
     from realestatedeals_spark.operators.y4m import encode_y4m
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_docs(spark, sf_dir, "doc_id")
 
     def encode(batches):
         r = np.arange(16, dtype=np.int64)[:, None]
