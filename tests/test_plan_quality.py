@@ -35,7 +35,9 @@ _BNLJ_WHITELIST = {
     "g3_pagerank": "cross vs 1-row broadcast dangling-mass frame per iteration",
     "g3b_pagerank_micros": "cross vs 1-row broadcast dangling-mass frame per iteration (integer twin of g3)",
     "x6_cms_heavy_hitters": "cross vs 1-row broadcast global-total frame (via heavy_hitters)",
+    "x6_cms_arith_heavy_hitters": "cross vs 1-row broadcast global-total frame (via heavy_hitters)",
     "e11_gap_fill_forward": "cross vs 1-row broadcast date-bounds frame (spine generation)",
+    "x6_binned_quantiles": "cross vs the 1-row broadcast global bin-grid bounds frame (twice: binning + estimate)",
     "x3_pq_topk": "ADC scan crosses codes vs the bounded broadcast query-LUT frame",
     "x9_rag_retrieval": "linear scan crosses corpus chunks vs the bounded broadcast query-chunk frame",
     "x9_hybrid_retrieval": "linear scan crosses corpus docs vs the bounded broadcast 5-query frame; both retrievers share it",
