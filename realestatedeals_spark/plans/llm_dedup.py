@@ -257,7 +257,12 @@ WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
 """
 
 
-@register("x2_simhash_arith_near_dup", oracle=_X2_SIMHASH_ARITH_ORACLE, tags=("X2", "dedup"))
+@register(
+    "x2_simhash_arith_near_dup",
+    oracle=_X2_SIMHASH_ARITH_ORACLE,
+    tags=("X2", "dedup"),
+    bench=True,
+)
 def x2_simhash_arith_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with an engine-portable arithmetic token hash —
     the hash-exact companion that oracles the full distributed SimHash

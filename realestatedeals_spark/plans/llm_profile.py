@@ -562,7 +562,10 @@ GROUP BY source, b.lo, b.w
 
 
 @register(
-    "x6_binned_quantiles", oracle=_X6_BINQ_ORACLE, tags=("X6", "profile", "sketch")
+    "x6_binned_quantiles",
+    oracle=_X6_BINQ_ORACLE,
+    tags=("X6", "profile", "sketch"),
+    bench=True,
 )
 def x6_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 of document length per source + '__global__' from the
