@@ -484,6 +484,53 @@ def hamming64(a: F.Column, b: F.Column) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def banded_hamming_pairs(
+    sig: DataFrame,
+    sig_cols: list[str],
+    band_keys: list[F.Column],
+    hamming,
+    max_hamming: int,
+) -> DataFrame:
+    """Shared banded-candidate tail for every SimHash flavor: explode the
+    signature into (band, key) rows, equi-join on them (never a cross
+    product), score Hamming, dedup pairs that share several bands, filter.
+
+    ``sig`` carries ``_id`` plus ``sig_cols`` (the signature columns the
+    Hamming needs); ``band_keys`` are the per-band key expressions over
+    those columns; ``hamming(a_prefix, b_prefix)`` builds the distance
+    column from the two join sides. One copy of the banding semantics
+    (pair orientation ``_id < _id``, distinct-before-filter) so the
+    xxhash and arithmetic variants cannot drift apart."""
+    bands = sig.select(
+        "_id",
+        *sig_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), k.alias("key"))
+                    for i, k in enumerate(band_keys)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", *sig_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            hamming("a", "b").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -497,38 +544,15 @@ def simhash_near_duplicates(
     equi-join, never a cross product.
     """
     sig = simhash64(docs, id_col, text_col)
-    bands = sig.select(
-        "_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    keys = [
+        F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)) for b in range(4)
+    ]
+    return banded_hamming_pairs(
+        sig,
+        ["simhash"],
+        keys,
+        lambda a, b: hamming64(F.col(f"{a}.simhash"), F.col(f"{b}.simhash")),
+        max_hamming,
     )
 
 
@@ -596,46 +620,20 @@ def simhash_arith_near_duplicates(
         ).alias("hi"),
     )
     mask = F.lit(0xFFFF).cast("long")
-    bands = sig.select(
-        "_id",
-        "lo",
-        "hi",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), F.col("lo").bitwiseAND(mask).alias("key")),
-                F.struct(
-                    F.lit(1).alias("band"),
-                    F.shiftright(F.col("lo"), 16).bitwiseAND(mask).alias("key"),
-                ),
-                F.struct(F.lit(2).alias("band"), F.col("hi").bitwiseAND(mask).alias("key")),
-                F.struct(
-                    F.lit(3).alias("band"),
-                    F.shiftright(F.col("hi"), 16).bitwiseAND(mask).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("_id", "lo", "hi", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            (
-                F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
-                + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
-            )
-            .cast("int")
-            .alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    keys = [
+        F.col("lo").bitwiseAND(mask),
+        F.shiftright(F.col("lo"), 16).bitwiseAND(mask),
+        F.col("hi").bitwiseAND(mask),
+        F.shiftright(F.col("hi"), 16).bitwiseAND(mask),
+    ]
+
+    def ham(a: str, b: str) -> F.Column:
+        return (
+            F.bit_count(F.col(f"{a}.lo").bitwiseXOR(F.col(f"{b}.lo")))
+            + F.bit_count(F.col(f"{a}.hi").bitwiseXOR(F.col(f"{b}.hi")))
+        ).cast("int")
+
+    return banded_hamming_pairs(sig, ["lo", "hi"], keys, ham, max_hamming)
 
 
 def dup_substring_spans(docs: DataFrame, k: int = 8) -> DataFrame:

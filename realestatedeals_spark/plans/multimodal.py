@@ -37,6 +37,16 @@ def _codec_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
 
 
+
+def _meta_and_features(media: DataFrame):
+    """Header-parse + real pixel-decode branches over ONE materialized copy
+    of the encoded frame: the lazy localCheckpoint runs the encoder once
+    instead of once per join side. Every meta+features roundtrip goes
+    through here so the materialize-once idiom lives in one place."""
+    media = media.localCheckpoint(eager=False)
+    return decode_media_meta(media), image_features(media, use_real_codec=True)
+
+
 def _feat(j: int) -> str:
     return (
         f"CAST(CAST(CAST(('0x' || substr(sha256(text), {8 * j + 1}, 8)) AS UBIGINT)"
@@ -158,12 +168,7 @@ def x5_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(encode, schema="media_id long, content binary")
-    # media feeds BOTH the header-parse and the pixel-decode branch: a lazy
-    # localCheckpoint materializes the encoded bytes once instead of running
-    # the encoder twice (once per join side)
-    media = media.localCheckpoint(eager=False)
-    meta = decode_media_meta(media)
-    feats = image_features(media, use_real_codec=True)
+    meta, feats = _meta_and_features(media)
     return (
         meta.join(feats.select("media_id", "features"), "media_id")
         .select(
@@ -557,12 +562,7 @@ def x5_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(encode, schema="media_id long, content binary")
-    # media feeds BOTH the header-parse and the pixel-decode branch: a lazy
-    # localCheckpoint materializes the encoded bytes once instead of running
-    # the encoder twice (once per join side)
-    media = media.localCheckpoint(eager=False)
-    meta = decode_media_meta(media)
-    feats = image_features(media, use_real_codec=True)
+    meta, feats = _meta_and_features(media)
     return meta.join(feats.select("media_id", "features"), "media_id").select(
         "media_id",
         "format",
@@ -699,12 +699,7 @@ def x5_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(encode, schema="media_id long, content binary")
-    # media feeds BOTH the header-parse and the pixel-decode branch: a lazy
-    # localCheckpoint materializes the encoded bytes once instead of running
-    # the encoder twice (once per join side)
-    media = media.localCheckpoint(eager=False)
-    meta = decode_media_meta(media)
-    feats = image_features(media, use_real_codec=True)
+    meta, feats = _meta_and_features(media)
     return meta.join(feats.select("media_id", "features"), "media_id").select(
         "media_id",
         "format",
@@ -754,12 +749,7 @@ def x5_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(encode, schema="media_id long, content binary")
-    # media feeds BOTH the header-parse and the pixel-decode branch: a lazy
-    # localCheckpoint materializes the encoded bytes once instead of running
-    # the encoder twice (once per join side)
-    media = media.localCheckpoint(eager=False)
-    meta = decode_media_meta(media)
-    feats = image_features(media, use_real_codec=True)
+    meta, feats = _meta_and_features(media)
     return meta.join(feats.select("media_id", "features"), "media_id").select(
         "media_id",
         "format",
@@ -884,12 +874,7 @@ def x5_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(encode, schema="media_id long, content binary")
-    # media feeds BOTH the header-parse and the pixel-decode branch: a lazy
-    # localCheckpoint materializes the encoded bytes once instead of running
-    # the encoder twice (once per join side)
-    media = media.localCheckpoint(eager=False)
-    meta = decode_media_meta(media)
-    feats = image_features(media, use_real_codec=True)
+    meta, feats = _meta_and_features(media)
     return meta.join(feats.select("media_id", "features"), "media_id").select(
         "media_id",
         "format",

@@ -6,8 +6,6 @@ planted near-dup recall for the arithmetic SimHash."""
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import functions as F
 
 from realestatedeals_spark.operators.dedup import simhash_arith_near_duplicates
