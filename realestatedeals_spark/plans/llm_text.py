@@ -854,14 +854,145 @@ def x4_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X4 — model-based quality filtering TRAINED IN-ENGINE (round 7): full-batch
 # gradient descent where each iteration is one map-side-combinable
 # aggregation of integer-micros gradient contributions — bit-deterministic
-# under any partitioning (operators/classifier.py). Iterative training has
-# no single-statement SQL form, so this registers rows-only; the exact
-# cross-engine pin lives in tests/test_classifier.py (pandas reference
-# reproduces weights and every score to the last bit).
+# under any partitioning (operators/classifier.py).
+#
+# Oracled hash-exact since round 9: the training loop was DESIGNED
+# bit-deterministic (integer-micros gradient sums, exp-free rational
+# sigmoid, fixed driver-side float op sequence), which means the entire
+# 12-iteration GD unrolls into SQL — one MATERIALIZED gradient-aggregate
+# CTE plus one 1-row weight-update CTE per iteration, every float
+# expression tree mirrored exactly (left-nested linear fold, the same
+# (g/1e6)/n + l2·w update shape, power(var, 0.5) rather than sqrt so the
+# std-dev takes the same libm path as Python's var**0.5). The oracle
+# trains the model from scratch in DuckDB and reproduces every score to
+# the bit — a full distributed ML training loop under a value-hash oracle.
+# tests/test_classifier.py additionally pins weights and scores against an
+# independent pandas implementation.
 # ---------------------------------------------------------------------------
 
+_CLF_LR, _CLF_L2, _CLF_ITERS = 6.0, 1e-4, 12
 
-@register("x4_quality_classifier", tags=("X4", "text", "quality", "ml"))
+
+def _classifier_train_oracle() -> str:
+    from realestatedeals_spark.operators.classifier import FEATURES
+
+    sw = _sw_sql_list()
+    raw = {
+        "f_stop": (
+            f"CAST(len(list_filter(string_split(text, ' '), x -> x IN {sw})) AS DOUBLE)"
+            " / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        ),
+        "f_cpt": (
+            "least(CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE),"
+            " 12.0) / 12.0"
+        ),
+        "f_len": "least(CAST(n_chars AS DOUBLE), 1000.0) / 1000.0",
+        "f_digit": (
+            "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+            " / CAST(n_chars AS DOUBLE)"
+        ),
+        "f_space": (
+            "CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)"
+            " / CAST(n_chars AS DOUBLE)"
+        ),
+    }
+    # weak label: (8·f_stop − 1.5·f_len) + 0.2·(u − 0.5) > 0.02, u from the
+    # first 8 md5 hex chars of the doc_id string — same tree as
+    # operators/classifier.weak_quality_label
+    u = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
+    )
+    y = (
+        f"CAST(((8.0 * ({raw['f_stop']}) - 1.5 * ({raw['f_len']}))"
+        f" + 0.2 * (({u}) - 0.5)) > 0.02 AS DOUBLE)"
+    )
+    feats = ",\n         ".join(f"({e}) AS {n}" for n, e in raw.items())
+    # standardization: micros-floored BIGINT sums, driver float finish
+    sums = ",\n         ".join(
+        f"CAST(sum(CAST(floor({n} * 1000000.0) AS BIGINT)) AS BIGINT) AS s_{n},\n"
+        f"         CAST(sum(CAST(floor(({n} * {n}) * 1000000.0) AS BIGINT)) AS BIGINT)"
+        f" AS q_{n}"
+        for n in FEATURES
+    )
+    consts = ",\n         ".join(
+        f"(CAST(s_{n} AS DOUBLE) / 1000000.0) / n AS mu_{n},\n"
+        f"         CASE WHEN (CAST(q_{n} AS DOUBLE) / 1000000.0) / n"
+        f" - ((CAST(s_{n} AS DOUBLE) / 1000000.0) / n)"
+        f" * ((CAST(s_{n} AS DOUBLE) / 1000000.0) / n) > 1e-12"
+        f" THEN power((CAST(q_{n} AS DOUBLE) / 1000000.0) / n"
+        f" - ((CAST(s_{n} AS DOUBLE) / 1000000.0) / n)"
+        f" * ((CAST(s_{n} AS DOUBLE) / 1000000.0) / n), 0.5)"
+        f" ELSE 1.0 END AS sd_{n}"
+        for n in FEATURES
+    )
+    std = ",\n         ".join(f"(f.{n} - c.mu_{n}) / c.sd_{n} AS {n}" for n in FEATURES)
+
+    def linear(wp: str) -> str:
+        z = f"{wp}.w0"
+        for j, n in enumerate(FEATURES):
+            z = f"({z}) + {wp}.w{j + 1} * s.{n}"
+        return z
+
+    its = []
+    for k in range(1, _CLF_ITERS + 1):
+        z = linear(f"w{k - 1}")
+        p = f"(1.0 + ({z}) / (1.0 + abs({z}))) / 2.0"
+        r = f"(({p}) - s.y)"
+        gs = [f"CAST(sum(CAST(floor({r} * 1000000.0) AS BIGINT)) AS BIGINT) AS g0"]
+        gs += [
+            f"CAST(sum(CAST(floor(({r} * s.{n}) * 1000000.0) AS BIGINT)) AS BIGINT)"
+            f" AS g{j + 1}"
+            for j, n in enumerate(FEATURES)
+        ]
+        upd = ",\n         ".join(
+            f"w{k - 1}.w{j} - {_CLF_LR!r} * ((CAST(g.g{j} AS DOUBLE) / 1000000.0)"
+            f" / a.n + {_CLF_L2!r} * w{k - 1}.w{j}) AS w{j}"
+            for j in range(len(FEATURES) + 1)
+        )
+        its.append(
+            f"g{k} AS MATERIALIZED (\n  SELECT {', '.join(gs)}"
+            f" FROM sfeats s CROSS JOIN w{k - 1}),\n"
+            f"w{k} AS MATERIALIZED (\n  SELECT {upd}\n"
+            f"  FROM w{k - 1} CROSS JOIN g{k} g CROSS JOIN agg a)"
+        )
+    zf = linear(f"w{_CLF_ITERS}")
+    pf = f"(1.0 + ({zf}) / (1.0 + abs({zf}))) / 2.0"
+    w0_init = ", ".join(f"0.0 AS w{j}" for j in range(len(FEATURES) + 1))
+    return f"""
+WITH feats AS MATERIALIZED (
+  SELECT doc_id,
+         {feats},
+         {y} AS y
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0),
+agg AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {sums}
+  FROM feats),
+consts AS MATERIALIZED (
+  SELECT {consts}
+  FROM agg),
+sfeats AS MATERIALIZED (
+  SELECT f.doc_id,
+         {std},
+         f.y
+  FROM feats f CROSS JOIN consts c),
+w0 AS (SELECT {w0_init}),
+{','.join(its)}
+SELECT s.doc_id,
+       CAST(floor(({pf}) * 1000000.0) AS BIGINT) AS score_micros,
+       ({pf}) >= 0.5 AS keep,
+       CAST(s.y AS BIGINT) AS label
+FROM sfeats s CROSS JOIN w{_CLF_ITERS}
+"""
+
+
+@register(
+    "x4_quality_classifier",
+    oracle=_classifier_train_oracle(),
+    tags=("X4", "text", "quality", "ml"),
+)
 def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distill a noisy weak-supervision labeling rule into a linear scorer
     (exp-free logistic link, one-aggregation standardization, 12 GD
