@@ -109,8 +109,9 @@ _X2_CLUSTERS_ORACLE = (
     "WITH RECURSIVE "
     + _BRUTE_JACCARD.replace("WITH toks", "toks", 1).lstrip()
     + """,
-pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
-edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+-- MATERIALIZED: the recursive reach term re-evaluates edges every round;
+pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
+edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
 reach(a, b) AS (
   SELECT a, b FROM edges
   UNION

@@ -524,7 +524,7 @@ dedup AS (
     FROM qual)
   WHERE rn = 1),
 ndt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-ndsh AS (
+ndsh AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, greatest(len(t) - 2, 0) + 1),
            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
@@ -537,8 +537,14 @@ ndinter AS (
 ndjac AS (
   SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
   FROM ndinter JOIN ndcnt ca ON doc_a = ca.doc_id JOIN ndcnt cb ON doc_b = cb.doc_id),
-ndp AS (SELECT doc_a, doc_b FROM ndjac WHERE jaccard >= 0.9),
-ndedges AS (SELECT doc_a AS a, doc_b AS b FROM ndp UNION SELECT doc_b, doc_a FROM ndp),
+-- MATERIALIZED is load-bearing on ndp/ndsh/ndedges: the recursive
+-- ndreach term re-evaluates its inputs EVERY iteration, and un-pinned
+-- they inline all the way down to the quadratic shingle self-join -- at
+-- gen sf1.0 that re-ran a ~95 s / tens-of-GB-spill subplan per closure
+-- round and blew the oracle's 60 GB spill cap (measured; same class as
+-- the g8 and k-core oracle fixes).
+ndp AS MATERIALIZED (SELECT doc_a, doc_b FROM ndjac WHERE jaccard >= 0.9),
+ndedges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM ndp UNION SELECT doc_b, doc_a FROM ndp),
 ndreach(a, b) AS (
   SELECT a, b FROM ndedges
   UNION

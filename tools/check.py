@@ -31,9 +31,17 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # Bound the oracle engine so a heavy oracle (all-pairs dedup at gen
     # sf1.0) degrades to disk spill instead of taking the host down, and
     # spills to a known location instead of filling an arbitrary tmp dir.
-    con.execute("SET memory_limit='24GB'")
+    # Both caps are env-overridable: the brute-Jaccard decontamination
+    # oracle at gen sf1.0 sits right at the 60GB default (measured 55.8GiB
+    # before failing to place one more block), so a remainder re-run on an
+    # otherwise idle host legitimately wants a bigger budget — without
+    # changing what a default sweep can consume.
+    con.execute(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '24GB')}'")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
-    con.execute("SET max_temp_directory_size='60GB'")
+    con.execute(
+        "SET max_temp_directory_size="
+        f"'{os.environ.get('SPARK_GRAFT_DUCK_SPILL', '60GB')}'"
+    )
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
