@@ -49,6 +49,7 @@ from . import llm_vectors  # noqa: E402,F401
 from . import llm_lm  # noqa: E402,F401
 from . import streaming_lm  # noqa: E402,F401
 from . import streaming_media  # noqa: E402,F401
+from . import streaming_hll  # noqa: E402,F401
 
 
 def flagship(spark, sf_dir):

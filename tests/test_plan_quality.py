@@ -63,6 +63,7 @@ _SKIP = {"c3_streaming_cdc", "c4_stateful_user_stats", "c5_stream_dedup",
          "c13_stream_transition_matrix", "c14_stream_catalog_txn",
          "c15_stream_lm_counts", "c16_stream_lm_score",
          "c15b_stream_lm_delta_fold", "c17_stream_media_dedup",
+         "c18_stream_hll_state",
          "c6_incremental_agg_view", "c7_streaming_sessions",
          "c8_stream_static_enrich"}
 
