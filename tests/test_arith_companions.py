@@ -194,3 +194,61 @@ def test_binned_quantiles_error_bounded_by_bin_width(spark, sf_dir):
             # est is the LOWER BOUND of the bin holding the rank-th value
             assert est <= exact < est + w, (src, col, est, exact, w)
             assert got[src].n == n
+
+
+# ---------------------------------------------------------------------------
+# banding completeness: operator output == pure-Python brute force
+# ---------------------------------------------------------------------------
+
+
+def _py_simhash_bits(counts):
+    """Pure-Python replica of the arithmetic SimHash signature (same
+    constants as operators/dedup.simhash_arith_near_duplicates)."""
+
+    def h(tok, base, mod):
+        a = 0
+        for ch in tok:
+            a = (a * base + ord(ch)) % mod
+        return a
+
+    s = [0] * 64
+    for tok, c in counts.items():
+        a, b = h(tok, 31, 1000000007), h(tok, 131, 998244353)
+        for i in range(64):
+            bit = ((a + (i + 1) * b + i * i * 12345) % 1000000007) % 2
+            s[i] += c if bit == 1 else -c
+    return [1 if x > 0 else 0 for x in s]
+
+
+def test_simhash_arith_equals_bruteforce_on_random_corpora(spark):
+    """For random small corpora the operator's pair set must EQUAL the
+    brute-force all-pairs Hamming-≤3 filter over the replica signatures:
+    ⊇ is the 4×16-band pigeonhole guarantee, ⊆ is the exact verify. Checked
+    with per-pair hamming values, across several seeded corpora."""
+    import collections
+    import random
+
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "zeta"]
+    for seed in (3, 11, 42):
+        rng = random.Random(seed)
+        docs = []
+        for did in range(8):
+            n = rng.randint(5, 30)
+            docs.append((did, " ".join(rng.choice(words) for _ in range(n))))
+        bits = {
+            did: _py_simhash_bits(collections.Counter(t for t in text.split(" ") if t))
+            for did, text in docs
+        }
+        want = {}
+        for a in range(8):
+            for b in range(a + 1, 8):
+                ham = sum(x != y for x, y in zip(bits[a], bits[b]))
+                if ham <= 3:
+                    want[(a, b)] = ham
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_arith_near_duplicates(
+                spark.createDataFrame(docs, "doc_id long, text string")
+            ).collect()
+        }
+        assert got == want, f"seed {seed}: {got} != {want}"
