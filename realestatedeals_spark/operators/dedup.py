@@ -583,7 +583,12 @@ def simhash_arith_near_duplicates(
     tok = docs.select(
         F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
-    cnt = tok.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # Materialize the (doc, token) counts once (lazy checkpoint): both the
+    # vocab branch and the join below read it, and without this the
+    # tokenize+explode+groupBy would run twice.
+    cnt = tok.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=False
+    )
     h1 = F.aggregate(
         F.split(F.col("tok"), ""),
         F.lit(0).cast("long"),
@@ -594,7 +599,13 @@ def simhash_arith_near_duplicates(
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 131 + F.ascii(ch)) % 998244353,
     )
-    hashed = cnt.select("_id", "cnt", h1.alias("h1"), h2.alias("h2"))
+    # The per-character polynomial fold runs once per DISTINCT token (the
+    # vocab frame), not once per (doc, token) pair — mirroring the oracle's
+    # vocab CTE. At corpus scale the character fold dominates per-row cost
+    # and distinct-tokens ≪ doc-token pairs; AQE broadcasts the vocab side
+    # of the join-back when it is small.
+    vocab = cnt.select("tok").distinct().select("tok", h1.alias("h1"), h2.alias("h2"))
+    hashed = cnt.join(vocab, "tok").select("_id", "cnt", "h1", "h2")
     # 64 aggregate expressions in ONE groupBy instead of a posexplode to
     # (doc, bit) rows: the shuffle then carries one row per document (wide)
     # rather than 64× the distinct doc-token pairs — measured 4.5 s → ~2 s

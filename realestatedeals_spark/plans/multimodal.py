@@ -28,9 +28,13 @@ def _codec_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     arrives as ONE parquet split, so without an explicit repartition the
     whole codec stage runs on a single core regardless of cluster size
     (measured: x5_jpeg_roundtrip at sf0.1 went 5.8s → 1.4s on local[8]
-    from this alone). The shuffle carries only the tiny seed columns
-    (doc_id / n_chars / text), never encoded media; hash-partitioning on
-    doc_id keeps the exchange deterministic under task retries (round-robin
+    from this alone). The shuffle must carry only NARROW seed columns
+    (doc_id / n_chars), never encoded media and never the wide text
+    column — shuffling text here costs more than the single-split scan
+    serialization saves (measured in dedup.py's simhash round-9 A/B and
+    again for x5_multimodal_dedup_report in round 10, which now splits
+    its text branch off this helper). Hash-partitioning on doc_id keeps
+    the exchange deterministic under task retries (round-robin
     repartition is not). At cluster scale this is the standard
     align-partitions-to-cores move in front of a compute-bound stage."""
     df = load_table(spark, sf_dir, "documents").select(*cols)
@@ -1638,7 +1642,12 @@ def x5_multimodal_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from realestatedeals_spark.operators.y4m import encode_y4m
 
-    docs = _codec_docs(spark, sf_dir, "doc_id", "text")
+    # Text branch reads the raw scan: its COUNT window shuffles by the
+    # text fingerprint anyway, so a doc_id repartition in front would only
+    # add a shuffle of the wide text column (measured sf0.1: routing text
+    # through _codec_docs cost ~0.3 s over this split form). Only the
+    # doc_id seed of the three codec branches goes through _codec_docs.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     tfp = F.array_join(
         F.array_sort(
@@ -1651,7 +1660,7 @@ def x5_multimodal_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy(tfp)).cast("long").alias("text_dups"),
     )
 
-    ids = docs.select("doc_id")
+    ids = _codec_docs(spark, sf_dir, "doc_id")
 
     def enc_img(batches):
         r = np.arange(16, dtype=np.int64)[:, None]

@@ -83,7 +83,10 @@ def c18_stream_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(in_dir)
         for i in (0, 1, 2):
             d = os.path.join(in_dir, f"b{i}")
-            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(d)
+            # pmod, not %: Java remainder is negative for negative ids,
+            # which would drop such rows from EVERY batch (exactly-one-batch
+            # coverage is what the stream-vs-batch oracle match relies on).
+            docs.filter(F.pmod(F.col("doc_id"), 3) == i).coalesce(1).write.parquet(d)
             for fname in os.listdir(d):
                 t = 1_700_000_000 + i * 10
                 os.utime(os.path.join(d, fname), (t, t))

@@ -149,7 +149,10 @@ def c15_stream_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(in_dir)
         for i in (0, 1, 2):
             d = os.path.join(in_dir, f"b{i}")
-            docs.filter(F.col("doc_id") % 6 == 2 * i).coalesce(1).write.parquet(d)
+            # pmod, not %: Java remainder is negative for negative ids,
+            # which would drop such rows from EVERY batch (exactly-one-batch
+            # coverage is what the stream-vs-batch oracle match relies on).
+            docs.filter(F.pmod(F.col("doc_id"), 6) == 2 * i).coalesce(1).write.parquet(d)
             for fname in os.listdir(d):
                 t = 1_700_000_000 + i * 10
                 os.utime(os.path.join(d, fname), (t, t))
@@ -264,7 +267,10 @@ def c16_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(in_dir)
         for i in (0, 1, 2):
             d = os.path.join(in_dir, f"b{i}")
-            held.filter(F.col("doc_id") % 6 == 2 * i + 1).coalesce(1).write.parquet(d)
+            # pmod, not %: Java remainder is negative for negative ids,
+            # which would drop such rows from EVERY batch (exactly-one-batch
+            # coverage is what the stream-vs-batch oracle match relies on).
+            held.filter(F.pmod(F.col("doc_id"), 6) == 2 * i + 1).coalesce(1).write.parquet(d)
             for fname in os.listdir(d):
                 t = 1_700_000_000 + i * 10
                 os.utime(os.path.join(d, fname), (t, t))
@@ -389,7 +395,10 @@ def c15b_stream_lm_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(in_dir)
         for i in (0, 1, 2):
             d = os.path.join(in_dir, f"b{i}")
-            docs.filter(F.col("doc_id") % 6 == 2 * i).coalesce(1).write.parquet(d)
+            # pmod, not %: Java remainder is negative for negative ids,
+            # which would drop such rows from EVERY batch (exactly-one-batch
+            # coverage is what the stream-vs-batch oracle match relies on).
+            docs.filter(F.pmod(F.col("doc_id"), 6) == 2 * i).coalesce(1).write.parquet(d)
             for fname in os.listdir(d):
                 t = 1_700_000_000 + i * 10
                 os.utime(os.path.join(d, fname), (t, t))
