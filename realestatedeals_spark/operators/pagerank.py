@@ -148,6 +148,12 @@ def pagerank_micros(
                 ).cast("long").alias("r"),
             )
         )
-        if (it + 1) % 4 == 0 and it + 1 < iters:
-            ranks = ranks.localCheckpoint()
+        # Truncate the rank lineage EVERY iteration (lazy checkpoint: the
+        # frame becomes a LogicalRDD at plan level, materialized on first
+        # use). Without this the unrolled 3-iteration plan re-derived every
+        # iteration from the base scans — 153 shuffles / 146 scans printed
+        # vs ~per-iteration counts now; integer arithmetic is unaffected,
+        # so the SQL fixpoint oracle stays hash-exact.
+        if it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
