@@ -207,6 +207,100 @@ def train_unigram(
     return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
 
 
+def lattice_count_table(
+    docs: DataFrame,
+    max_seed: int = 192,
+    text_col: str = "text",
+    max_len: int = 6,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Hash-exact companion of the EM E-step (the x3_pca_gram / g3b
+    pattern): the SAME distributed machinery — one corpus word-frequency
+    shuffle, a per-word lattice forward-backward in ``mapInPandas`` over
+    distinct words, one piece-keyed groupBy sum — but with every piece
+    probability ≡ 1, so alpha/beta become INTEGER segmentation-path
+    counts and each piece's aggregate is the exact number of
+    (word-weighted) segmentation paths through its occurrences. A SQL
+    oracle replays the DP bit-for-bit with a sliding-window recursive CTE
+    (plans/llm_clean.py:_X4_UNIGRAM_LATTICE_ORACLE), which the log-space
+    EM E-step (libm exp/log) cannot offer.
+
+    Overflow bound: per-edge path count alpha[j]·beta[i] ≤ total
+    segmentations ≤ 2^(n-1) with n ≤ ``max_word_len`` (=32 → ≤ 2^31);
+    summed over ≤ n·max_len occurrences and weighted by corpus frequency
+    the corpus total stays < 2^63 for any corpus under ~10^7 tokens per
+    distinct 32-char word — int64-safe at every tested SF, and the
+    ``max_word_len`` filter (mirrored in the oracle) is the documented
+    guard. Seed vocabulary = every observed char + top ``max_seed``
+    multi-char substrings by exact integer weight (ties piece asc) —
+    integer-deterministic, unlike the log-prob seed."""
+    words = (
+        word_freq_table(docs, text_col)
+        .filter(F.length("word") <= max_word_len)
+        .localCheckpoint()
+    )
+    sub_weights = words.select(
+        F.expr(
+            "explode(flatten(transform(sequence(0, length(word) - 1), "
+            f"j -> transform(sequence(1, least({max_len}, length(word) - j)), "
+            "l -> substr(word, j + 1, l))))) AS piece"
+        ),
+        "weight",
+    ).groupBy("piece").agg(F.sum("weight").alias("w"))
+    chars = [r.piece for r in sub_weights.filter(F.length("piece") == 1).collect()]
+    multi = [
+        r.piece
+        for r in sub_weights.filter(F.length("piece") > 1)
+        .orderBy(F.desc("w"), F.asc("piece"))
+        .limit(max_seed)
+        .collect()
+    ]
+    vocab = set(chars) | set(multi)
+
+    def estep(batches):
+        for pdf in batches:
+            acc: dict[str, int] = {}
+            for word, weight in zip(pdf["word"], pdf["weight"]):
+                n = len(word)
+                alpha = [0] * (n + 1)
+                alpha[0] = 1
+                for i in range(1, n + 1):
+                    s = 0
+                    for j in range(max(0, i - max_len), i):
+                        if alpha[j] and word[j:i] in vocab:
+                            s += alpha[j]
+                    alpha[i] = s
+                if alpha[n] == 0:  # unsegmentable: every edge product is 0
+                    continue
+                beta = [0] * (n + 1)
+                beta[n] = 1
+                for j in range(n - 1, -1, -1):
+                    s = 0
+                    for i in range(j + 1, min(n, j + max_len) + 1):
+                        if beta[i] and word[j:i] in vocab:
+                            s += beta[i]
+                    beta[j] = s
+                w = int(weight)
+                for j in range(n):
+                    if not alpha[j]:
+                        continue
+                    for i in range(j + 1, min(n, j + max_len) + 1):
+                        if beta[i]:
+                            p = word[j:i]
+                            if p in vocab:
+                                acc[p] = acc.get(p, 0) + alpha[j] * beta[i] * w
+            pieces = sorted(acc)
+            yield pd.DataFrame(
+                {"piece": pieces, "paths": [acc[p] for p in pieces]}
+            )
+
+    return (
+        words.mapInPandas(estep, "piece string, paths long")
+        .groupBy("piece")
+        .agg(F.sum("paths").cast("long").alias("paths"))
+    )
+
+
 def viterbi_segment(
     word: str, logp: dict[str, float], max_len: int
 ) -> list[str]:

@@ -619,12 +619,126 @@ def x4_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # algorithm), round 7: the second standard subword tokenizer, alongside
 # BPE. Same scale contract (corpus read once; EM iterations run on the
 # vocab-bounded word table; expected counts aggregate as exact int64
-# micros so training is bit-deterministic under any partitioning). No SQL
-# oracle: EM + pruning is not SQL-expressible; tests/test_unigram.py pins
-# the trained vocab against an enumeration-based pure-Python reference
-# (forward-backward vs explicit segmentation enumeration) and brute-force
-# verifies Viterbi encode optimality.
+# micros so training is bit-deterministic under any partitioning). The
+# log-space EM + pruning loop itself is not SQL-expressible (libm
+# exp/log), so train/encode stay rows-only — but the DISTRIBUTED half is
+# oracled hash-exact by x4_unigram_lattice_counts below (integer
+# path-count E-step); tests/test_unigram.py pins the trained vocab
+# against an enumeration-based pure-Python reference (forward-backward vs
+# explicit segmentation enumeration) and brute-force verifies Viterbi
+# encode optimality.
 # ---------------------------------------------------------------------------
+
+
+# Hash-exact companion of the unigram E-step (round 10): with every piece
+# probability ≡ 1 the forward-backward lattice pass degenerates to INTEGER
+# segmentation-path counting — alpha[i] = number of ways to segment
+# word[:i] over the seed vocab, beta mirrored — and each piece's aggregate
+# (Σ over occurrences of alpha[j]·beta[i]·word_weight) is exact int64.
+# The oracle replays the DP with two sliding-window recursive CTEs (fwd on
+# the word, bwd on the reversed word over reversed pieces; the window
+# carries alpha[i-5..i] as six columns, exactly max_piece_len wide), so
+# the whole distributed E-step machinery — corpus word-frequency shuffle,
+# per-word lattice DP, piece-keyed sum — is oracled; only the log-space
+# M-step (libm) stays rows-only in x4_unigram_train.
+def _x4_lattice_joins(src: str) -> str:
+    """Six LEFT JOINs probing the (reversed for bwd) vocab for the piece
+    ending at position i+1 with length k+1, k = 0..5."""
+    voc = "rvocab" if src == "bwd" else "vocab"
+    return "\n".join(
+        f"  LEFT JOIN {voc} v{k} ON f.i >= {k} AND"
+        f" v{k}.piece = substr(f.{'rword' if src == 'bwd' else 'word'},"
+        f" f.i - {k} + 1, {k + 1})"
+        for k in range(6)
+    )
+
+
+def _x4_lattice_step() -> str:
+    return " + ".join(
+        f"(CASE WHEN v{k}.piece IS NOT NULL THEN f.c{k} ELSE CAST(0 AS BIGINT) END)"
+        for k in range(6)
+    )
+
+
+_X4_UNIGRAM_LATTICE_ORACLE = f"""
+WITH RECURSIVE
+wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS weight, length(word) AS n
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS word
+        FROM documents)
+  WHERE length(word) <= 32
+  GROUP BY word),
+subs AS MATERIALIZED (
+  SELECT piece, CAST(sum(weight) AS BIGINT) AS w FROM (
+    SELECT w.weight,
+           unnest(flatten(list_transform(range(0, w.n),
+             j -> list_transform(range(1, least(6, w.n - j) + 1),
+               l -> substr(w.word, CAST(j AS INT) + 1, CAST(l AS INT))))))
+             AS piece
+    FROM wf w)
+  GROUP BY piece),
+vocab AS MATERIALIZED (
+  SELECT piece FROM subs WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece FROM (SELECT piece FROM subs WHERE length(piece) > 1
+                     ORDER BY w DESC, piece LIMIT 192)),
+rvocab AS MATERIALIZED (SELECT reverse(piece) AS piece FROM vocab),
+fwd AS (
+  SELECT word, n, 0 AS i, CAST(1 AS BIGINT) AS c0, CAST(0 AS BIGINT) AS c1,
+         CAST(0 AS BIGINT) AS c2, CAST(0 AS BIGINT) AS c3,
+         CAST(0 AS BIGINT) AS c4, CAST(0 AS BIGINT) AS c5
+  FROM wf
+  UNION ALL
+  SELECT f.word, f.n, f.i + 1,
+         {_x4_lattice_step()},
+         f.c0, f.c1, f.c2, f.c3, f.c4
+  FROM fwd f
+{_x4_lattice_joins("fwd")}
+  WHERE f.i < f.n),
+bwd AS (
+  SELECT word, reverse(word) AS rword, n, 0 AS i,
+         CAST(1 AS BIGINT) AS c0, CAST(0 AS BIGINT) AS c1,
+         CAST(0 AS BIGINT) AS c2, CAST(0 AS BIGINT) AS c3,
+         CAST(0 AS BIGINT) AS c4, CAST(0 AS BIGINT) AS c5
+  FROM wf
+  UNION ALL
+  SELECT f.word, f.rword, f.n, f.i + 1,
+         {_x4_lattice_step()},
+         f.c0, f.c1, f.c2, f.c3, f.c4
+  FROM bwd f
+{_x4_lattice_joins("bwd")}
+  WHERE f.i < f.n),
+fa AS MATERIALIZED (SELECT word, i, c0 AS a FROM fwd WHERE c0 > 0),
+fb AS MATERIALIZED (SELECT word, n - i AS j, c0 AS b FROM bwd WHERE c0 > 0),
+occ AS (
+  SELECT w.word, w.weight, CAST(t.j AS INT) AS j, CAST(t2.l AS INT) AS l,
+         substr(w.word, CAST(t.j AS INT) + 1, CAST(t2.l AS INT)) AS piece
+  FROM wf w, range(0, 32) t(j), range(1, 7) t2(l)
+  WHERE t.j < w.n AND t.j + t2.l <= w.n)
+SELECT o.piece AS piece, CAST(sum(fa.a * fb.b * o.weight) AS BIGINT) AS paths
+FROM occ o
+JOIN vocab v ON v.piece = o.piece
+JOIN fa ON fa.word = o.word AND fa.i = o.j
+JOIN fb ON fb.word = o.word AND fb.j = o.j + o.l
+GROUP BY o.piece
+"""
+
+
+@register(
+    "x4_unigram_lattice_counts",
+    oracle=_X4_UNIGRAM_LATTICE_ORACLE,
+    tags=("X4", "text", "oracle-companion"),
+)
+def x4_unigram_lattice_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer lattice-path-count E-step over the documents corpus — the
+    unigram trainer's distributed half (word-freq shuffle → per-word
+    forward-backward in mapInPandas → piece-keyed sum), hash-exact
+    (operators/unigram.py:lattice_count_table)."""
+    from realestatedeals_spark.operators.unigram import lattice_count_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lattice_count_table(docs, max_seed=192)
 
 
 @register("x4_unigram_train", tags=("X4", "text", "iterative"))

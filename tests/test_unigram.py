@@ -200,3 +200,59 @@ def test_chars_always_survive_pruning(spark):
     assert observed <= {p for p in vocab if len(p) == 1}
     seg = viterbi_segment("tacocat", vocab, MAX_LEN)
     assert "".join(seg) == "tacocat"
+
+
+def test_lattice_counts_match_enumeration(spark):
+    """lattice_count_table (integer path-count E-step, the hash-exact
+    oracle companion) vs explicit enumeration: for every piece, the
+    weighted number of segmentation paths through its occurrences must
+    agree EXACTLY — the companion is int64 end-to-end, so no tolerance."""
+    from realestatedeals_spark.operators.unigram import lattice_count_table
+
+    docs = _docs(spark)
+    got = {
+        r.piece: r.paths
+        for r in lattice_count_table(
+            docs, max_seed=64, max_len=MAX_LEN
+        ).collect()
+    }
+
+    # reference: enumerate all segmentations over the same integer seed
+    # (chars + top-64 multi substrings by weight, ties piece asc)
+    freqs = _word_freqs()
+    subw: dict[str, int] = {}
+    for word, wgt in freqs.items():
+        for j in range(len(word)):
+            for l in range(1, min(MAX_LEN, len(word) - j) + 1):
+                p = word[j : j + l]
+                subw[p] = subw.get(p, 0) + wgt
+    chars = {p for p in subw if len(p) == 1}
+    multi = sorted(
+        (p for p in subw if len(p) > 1), key=lambda p: (-subw[p], p)
+    )[:64]
+    vocab = chars | set(multi)
+
+    expect: dict[str, int] = {}
+    for word, wgt in freqs.items():
+        for seg in _segmentations(word, vocab, MAX_LEN):
+            for p in seg:
+                expect[p] = expect.get(p, 0) + wgt
+    assert got == expect
+
+
+def test_lattice_counts_partitioning_invariant(spark):
+    """Integer path counts are bit-identical under any partitioning of the
+    word table (associative int64 sums — the property the oracle relies
+    on)."""
+    from realestatedeals_spark.operators.unigram import lattice_count_table
+
+    docs = _docs(spark)
+    one = {
+        r.piece: r.paths
+        for r in lattice_count_table(docs.coalesce(1), max_seed=64, max_len=MAX_LEN).collect()
+    }
+    many = {
+        r.piece: r.paths
+        for r in lattice_count_table(docs.repartition(7), max_seed=64, max_len=MAX_LEN).collect()
+    }
+    assert one == many

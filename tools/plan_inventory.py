@@ -49,6 +49,7 @@ SKIP = {
     "x4_bpe_train_merges": "BPE training at plan build",
     "x4_unigram_train": "unigram EM training at plan build",
     "x4_unigram_encode": "unigram EM training at plan build",
+    "x4_unigram_lattice_counts": "seed-vocab collect at plan build",
     "g3_pagerank": "power iterations at plan build",
     "g5_kcore_parts": "peel iterations at plan build",
     "x6_heavy_hitters": "two-pass summary materialization",
