@@ -223,9 +223,27 @@ class Catalog:
         overlap = sorted(set(drops) & set(updates))
         if overlap:
             raise ValueError(f"tables both updated and dropped: {overlap}")
+        # Phase-1 table writes run CONCURRENTLY: each table stages under its
+        # own root and publishes through its own history, so the writes are
+        # independent by construction (Spark job submission is thread-safe),
+        # and commit latency is the slowest table instead of the sum — on a
+        # three-table streaming epoch this is the dominant fixed cost. A
+        # failed write raises after the others settle; any tables already
+        # published stay invisible (no manifest pins them) — exactly the
+        # documented crash semantics (stranded garbage, never torn state).
         new_pins: dict[str, int] = {}
-        for name, df in updates.items():
-            new_pins[name] = self.table(name).commit(df)
+        if len(updates) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(len(updates), 8)) as pool:
+                futs = {
+                    name: pool.submit(self.table(name).commit, df)
+                    for name, df in updates.items()
+                }
+            new_pins = {name: f.result() for name, f in futs.items()}
+        else:
+            for name, df in updates.items():
+                new_pins[name] = self.table(name).commit(df)
 
         if branch != "main" and not os.path.isdir(self._dir(branch)):
             raise ValueError(f"no such branch {branch!r}; create_branch first")

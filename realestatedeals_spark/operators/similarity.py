@@ -276,6 +276,7 @@ def rp_lsh_near_duplicates(
     n_planes: int = 4,
     n_tables: int = 16,
     seed: int = 42,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via multi-table RP-LSH candidates + exact
     cosine verify — the bucketed mirror of ``minhash_near_duplicates``.
@@ -333,7 +334,30 @@ def rp_lsh_near_duplicates(
             )
             yield out[out["cosine"] >= threshold]
 
-    return joined.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
+    pairs = joined.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
+    if max_pairs is None:
+        return pairs
+    # Cap-with-accounting: a weak threshold on a concentrated corpus makes
+    # the OUTPUT itself quadratic (gen sf1.0 at 0.45 emits 13.8M pairs
+    # while the production threshold emits 4,279 — SCALE.md "Banded-LSH
+    # threshold guidance"). Nothing downstream of a near-dup pass consumes
+    # an unbounded pair list, so the loose variant keeps the strongest
+    # ``max_pairs`` pairs (cosine desc, then ids — deterministic) through
+    # a TakeOrderedAndProject (per-partition heaps, no global sort) and
+    # LOGS what it dropped — a silent cap would read as full coverage.
+    pairs = pairs.localCheckpoint(eager=True)  # count + reuse, one compute
+    total = pairs.count()
+    if total <= max_pairs:
+        return pairs
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "rp_lsh_near_duplicates: output capped at %d of %d verified pairs "
+        "(%d dropped) — threshold %.2f is below the production range; see "
+        "SCALE.md 'Banded-LSH threshold guidance'",
+        max_pairs, total, total - max_pairs, threshold,
+    )
+    return pairs.orderBy(F.desc("cosine"), "id_a", "id_b").limit(max_pairs)
 
 
 def rp_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from realestatedeals_spark.io.sources import load_events
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
+from realestatedeals_spark.streaming.replay import write_epoch_dirs
 
 _C11_ORACLE = """
 WITH q AS (
@@ -69,12 +70,11 @@ def c11_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        for i in (1, 2, 3):
-            d = os.path.join(in_dir, f"b{i}")
-            tiled.filter(F.col("tile") == i).drop("tile").coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        write_epoch_dirs(
+            in_dir,
+            [tiled.filter(F.col("tile") == i).drop("tile") for i in (1, 2, 3)],
+            start=1,
+        )
         # sentinel 3 h past the max event: watermark sails past the last
         # real hour window in both stateful operators
         sentinel = spark.createDataFrame(
@@ -85,11 +85,7 @@ def c11_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") + F.expr("interval 3 hours")).alias("ts"),
             "event_type",
         )
-        d = os.path.join(in_dir, "b4")
-        sentinel.coalesce(1).write.parquet(d)
-        for fname in os.listdir(d):
-            t = 1_700_000_000 + 40
-            os.utime(os.path.join(d, fname), (t, t))
+        write_epoch_dirs(in_dir, [sentinel], start=4)
 
         stream = (
             spark.readStream.schema("event_id bigint, ts timestamp, event_type string")

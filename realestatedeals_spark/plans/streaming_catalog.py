@@ -30,6 +30,7 @@ from realestatedeals_spark.io.catalog import Catalog
 from realestatedeals_spark.io.sources import load_events
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
+from realestatedeals_spark.streaming.replay import write_epoch_dirs
 
 _C14_ORACLE = """
 SELECT event_type,
@@ -90,12 +91,11 @@ def c14_stream_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        for i in (1, 2, 3):
-            d = os.path.join(in_dir, f"b{i}")
-            tiled.filter(F.col("tile") == i).drop("tile", "ts").coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        write_epoch_dirs(
+            in_dir,
+            [tiled.filter(F.col("tile") == i).drop("tile", "ts") for i in (1, 2, 3)],
+            start=1,
+        )
 
         cat = Catalog(spark, os.path.join(work, "cat"))
         stream = (

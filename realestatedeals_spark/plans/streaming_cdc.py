@@ -29,6 +29,7 @@ from realestatedeals_spark.io.sources import load_table
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
 from realestatedeals_spark.streaming.cdc_stream import start_cdc_stream
+from realestatedeals_spark.streaming.replay import write_epoch_dirs
 
 # Three deterministic scrape cycles over orders. Price expressions are
 # mirrored verbatim in the oracle so the doubles match bit-for-bit.
@@ -88,12 +89,7 @@ def c3_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         cycles = _cycles(spark, sf_dir)
         # one file per cycle, mtime-ordered, so maxFilesPerTrigger=1 replays
         # each cycle as its own micro-batch in order
-        for i, df in enumerate(cycles):
-            d = os.path.join(in_dir, f"c{i + 1}")
-            df.coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        write_epoch_dirs(in_dir, cycles)
 
         kwargs = dict(
             schema="mls bigint, price double",
@@ -103,13 +99,13 @@ def c3_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_files_per_trigger=1,
         )
         # phase 1: only cycles 1-2 exist yet — drain and terminate
-        shutil.move(os.path.join(in_dir, "c3"), os.path.join(work, "held"))
+        shutil.move(os.path.join(in_dir, "b2"), os.path.join(work, "held"))
         q = start_cdc_stream(spark, in_dir + "/*", **kwargs)
         q.awaitTermination()
         # phase 2: cycle 3 arrives; restart from the SAME checkpoint — the
         # resumed stream must process exactly the one new file against the
         # state the first run left behind
-        shutil.move(os.path.join(work, "held"), os.path.join(in_dir, "c3"))
+        shutil.move(os.path.join(work, "held"), os.path.join(in_dir, "b2"))
         q = start_cdc_stream(spark, in_dir + "/*", **kwargs)
         q.awaitTermination()
 

@@ -28,6 +28,7 @@ from realestatedeals_spark.io.sources import load_events
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
 from realestatedeals_spark.streaming.windows import stream_dedup
+from realestatedeals_spark.streaming.replay import write_epoch_dirs
 
 _C5_ORACLE = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n
@@ -51,6 +52,7 @@ def c5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
+        batches = []
         for i in (1, 2, 3):
             tile = tiled.filter(F.col("tile") == i).drop("tile")
             # planted duplicates: every 13th event repeats within its own
@@ -61,11 +63,8 @@ def c5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             if i > 1:
                 prev = tiled.filter(F.col("tile") == i - 1).drop("tile")
                 batch = batch.unionAll(prev.filter(F.col("event_id") % 7 == 0))
-            d = os.path.join(in_dir, f"b{i}")
-            batch.coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+            batches.append(batch)
+        write_epoch_dirs(in_dir, batches, start=1)
 
         stream = (
             spark.readStream.schema(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from realestatedeals_spark.io.sources import load_events, load_table
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
+from realestatedeals_spark.streaming.replay import write_epoch_dirs
 
 _C8_ORACLE = """
 SELECT n.n_name AS nation, e.event_type,
@@ -65,12 +66,11 @@ def c8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        for i in (1, 2, 3):
-            d = os.path.join(in_dir, f"b{i}")
-            tiled.filter(F.col("tile") == i).drop("tile").coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        write_epoch_dirs(
+            in_dir,
+            [tiled.filter(F.col("tile") == i).drop("tile") for i in (1, 2, 3)],
+            start=1,
+        )
 
         stream = (
             spark.readStream.schema(

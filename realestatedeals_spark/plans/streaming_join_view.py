@@ -35,6 +35,7 @@ from realestatedeals_spark.io.sources import load_table
 from realestatedeals_spark.plans.mor_delete_plan import _CDF_JOIN_VIEW_ORACLE
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
+from realestatedeals_spark.streaming.replay import write_epoch_dirs
 
 _SCHEMA = (
     "src string, ver bigint, k bigint, custkey bigint, rev bigint, sign bigint"
@@ -178,12 +179,7 @@ def c12_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
         vers = sorted(r["ver"] for r in log.select("ver").distinct().collect())
-        for i, v in enumerate(vers):
-            d = os.path.join(in_dir, f"v{v}")
-            log.filter(F.col("ver") == v).coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        write_epoch_dirs(in_dir, [log.filter(F.col("ver") == v) for v in vers])
 
         stream = (
             spark.readStream.schema(_SCHEMA)

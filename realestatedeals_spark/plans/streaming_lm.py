@@ -46,6 +46,7 @@ from realestatedeals_spark.plans.llm_lm import (
 )
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
+from realestatedeals_spark.streaming.replay import write_epoch_dirs
 
 
 def _batch_counts(batch_df: DataFrame):
@@ -147,15 +148,13 @@ def c15_stream_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        for i in (0, 1, 2):
-            d = os.path.join(in_dir, f"b{i}")
-            # pmod, not %: Java remainder is negative for negative ids,
-            # which would drop such rows from EVERY batch (exactly-one-batch
-            # coverage is what the stream-vs-batch oracle match relies on).
-            docs.filter(F.pmod(F.col("doc_id"), 6) == 2 * i).coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        # pmod, not %: Java remainder is negative for negative ids, which
+        # would drop such rows from EVERY batch (exactly-one-batch coverage
+        # is what the stream-vs-batch oracle match relies on).
+        write_epoch_dirs(
+            in_dir,
+            [docs.filter(F.pmod(F.col("doc_id"), 6) == 2 * i) for i in (0, 1, 2)],
+        )
 
         cat = Catalog(spark, os.path.join(work, "cat"))
         stream = (
@@ -265,15 +264,13 @@ def c16_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        for i in (0, 1, 2):
-            d = os.path.join(in_dir, f"b{i}")
-            # pmod, not %: Java remainder is negative for negative ids,
-            # which would drop such rows from EVERY batch (exactly-one-batch
-            # coverage is what the stream-vs-batch oracle match relies on).
-            held.filter(F.pmod(F.col("doc_id"), 6) == 2 * i + 1).coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        # pmod, not %: Java remainder is negative for negative ids, which
+        # would drop such rows from EVERY batch (exactly-one-batch coverage
+        # is what the stream-vs-batch oracle match relies on).
+        write_epoch_dirs(
+            in_dir,
+            [held.filter(F.pmod(F.col("doc_id"), 6) == 2 * i + 1) for i in (0, 1, 2)],
+        )
 
         cat = Catalog(spark, os.path.join(work, "cat"))
         stream = (
@@ -359,11 +356,15 @@ def compact_lm(cat: Catalog) -> int:
     tri = _fold_order(cat, pins, "tri", ["u", "v", "w"], "c_uvw")
     big = _fold_order(cat, pins, "big", ["u", "v"], "c_uv")
     uni = _fold_order(cat, pins, "uni", ["w"], "c_w")
+    # lazy checkpoints: the folds materialize INSIDE Catalog.commit's
+    # now-concurrent phase-1 writes (3 fold+write jobs in parallel) instead
+    # of 3 sequential eager jobs followed by 3 writes; lineage is truncated
+    # either way.
     return cat.commit(
         {
-            "tri": tri.localCheckpoint(eager=True),
-            "big": big.localCheckpoint(eager=True),
-            "uni": uni.localCheckpoint(eager=True),
+            "tri": tri.localCheckpoint(eager=False),
+            "big": big.localCheckpoint(eager=False),
+            "uni": uni.localCheckpoint(eager=False),
         },
         drops=deltas,
     )
@@ -393,15 +394,13 @@ def c15b_stream_lm_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        for i in (0, 1, 2):
-            d = os.path.join(in_dir, f"b{i}")
-            # pmod, not %: Java remainder is negative for negative ids,
-            # which would drop such rows from EVERY batch (exactly-one-batch
-            # coverage is what the stream-vs-batch oracle match relies on).
-            docs.filter(F.pmod(F.col("doc_id"), 6) == 2 * i).coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        # pmod, not %: Java remainder is negative for negative ids, which
+        # would drop such rows from EVERY batch (exactly-one-batch coverage
+        # is what the stream-vs-batch oracle match relies on).
+        write_epoch_dirs(
+            in_dir,
+            [docs.filter(F.pmod(F.col("doc_id"), 6) == 2 * i) for i in (0, 1, 2)],
+        )
 
         cat = Catalog(spark, os.path.join(work, "cat"))
         stream = (

@@ -31,6 +31,7 @@ from realestatedeals_spark.io.sources import load_table
 from realestatedeals_spark.plans.multimodal import _X5_AUDIO_FP_ORACLE
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
+from realestatedeals_spark.streaming.replay import write_epoch_dirs
 
 
 def _batch_prints(batch_df: DataFrame) -> DataFrame:
@@ -109,15 +110,13 @@ def c17_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        for i in (0, 1, 2):
-            d = os.path.join(in_dir, f"b{i}")
-            # pmod, not %: Java remainder is negative for negative ids,
-            # which would drop such rows from EVERY batch (exactly-one-batch
-            # coverage is what the stream-vs-batch oracle match relies on).
-            docs.filter(F.pmod(F.col("doc_id"), 3) == i).coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        # pmod, not %: Java remainder is negative for negative ids, which
+        # would drop such rows from EVERY batch (exactly-one-batch coverage
+        # is what the stream-vs-batch oracle match relies on).
+        write_epoch_dirs(
+            in_dir,
+            [docs.filter(F.pmod(F.col("doc_id"), 3) == i) for i in (0, 1, 2)],
+        )
 
         cat = Catalog(spark, os.path.join(work, "cat"))
         stream = (

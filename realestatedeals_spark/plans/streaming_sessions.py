@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from realestatedeals_spark.io.sources import load_events
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
+from realestatedeals_spark.streaming.replay import write_epoch_dirs
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
@@ -68,12 +69,11 @@ def c7_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        for i in (1, 2, 3):
-            d = os.path.join(in_dir, f"b{i}")
-            tiled.filter(F.col("tile") == i).drop("tile").coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        write_epoch_dirs(
+            in_dir,
+            [tiled.filter(F.col("tile") == i).drop("tile") for i in (1, 2, 3)],
+            start=1,
+        )
         # sentinel: a lone far-future event whose only job is to advance the
         # watermark past every real session's end (its own session never
         # emits — no event ever follows it)
@@ -82,11 +82,7 @@ def c7_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "event_id", (F.col("ts") + F.expr("interval 2 hours")).alias("ts"), "user_id"
         )
-        d = os.path.join(in_dir, "b4")
-        sentinel.coalesce(1).write.parquet(d)
-        for fname in os.listdir(d):
-            t = 1_700_000_000 + 40
-            os.utime(os.path.join(d, fname), (t, t))
+        write_epoch_dirs(in_dir, [sentinel], start=4)
 
         stream = (
             spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")

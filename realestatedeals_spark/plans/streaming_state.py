@@ -27,6 +27,7 @@ from realestatedeals_spark.io.sources import load_events
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
 from realestatedeals_spark.streaming.stateful import running_user_stats
+from realestatedeals_spark.streaming.replay import write_epoch_dirs
 
 _C4_ORACLE = """
 SELECT user_id,
@@ -56,12 +57,11 @@ def c4_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        for i in (1, 2, 3):
-            d = os.path.join(in_dir, f"b{i}")
-            tiled.filter(F.col("tile") == i).drop("tile").coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        write_epoch_dirs(
+            in_dir,
+            [tiled.filter(F.col("tile") == i).drop("tile") for i in (1, 2, 3)],
+            start=1,
+        )
 
         stream = (
             spark.readStream.schema(
@@ -157,12 +157,10 @@ def c4_funnel_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        for i in range(4):
-            d = os.path.join(in_dir, f"b{i}")
-            tiled.filter(F.col("b") == i).drop("b").coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        write_epoch_dirs(
+            in_dir,
+            [tiled.filter(F.col("b") == i).drop("b") for i in range(4)],
+        )
 
         stream = (
             spark.readStream.schema("user_id bigint, ts timestamp, event_type string")

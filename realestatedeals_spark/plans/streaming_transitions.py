@@ -27,6 +27,7 @@ from realestatedeals_spark.plans.events import _E30_TRANSITIONS_ORACLE
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
 from realestatedeals_spark.streaming.stateful import transition_deltas
+from realestatedeals_spark.streaming.replay import write_epoch_dirs
 
 
 @register(
@@ -48,12 +49,11 @@ def c13_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        for i in (1, 2, 3):
-            d = os.path.join(in_dir, f"b{i}")
-            tiled.filter(F.col("tile") == i).drop("tile").coalesce(1).write.parquet(d)
-            for fname in os.listdir(d):
-                t = 1_700_000_000 + i * 10
-                os.utime(os.path.join(d, fname), (t, t))
+        write_epoch_dirs(
+            in_dir,
+            [tiled.filter(F.col("tile") == i).drop("tile") for i in (1, 2, 3)],
+            start=1,
+        )
 
         stream = (
             spark.readStream.schema(

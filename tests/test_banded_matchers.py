@@ -141,3 +141,64 @@ def test_image_banded_exact_group_pairs_are_superset_base(spark):
     assert got == _brute_pairs(prints) and len(got) == 1
     (a, b, h, n_a, n_b) = next(iter(got))
     assert h == 1 and n_a == prints[a] and n_b == prints[b]
+
+
+def test_skewed_print_corpus_buckets_bounded_by_distinct_prints(spark):
+    """Boilerplate skew stress (round-10 verdict #5): >=25% of a corpus
+    carries ONE identical print. The matchers join on (k, band) over
+    DISTINCT prints — the groupBy collapse in front of banded_print_pairs —
+    so the hot print contributes exactly one row per band and the hottest
+    bucket is bounded by the number of DISTINCT prints sharing a band
+    value, never by document multiplicity. Pinned here by measuring the
+    bands frame directly; banded output still equals brute force."""
+    import random
+
+    rng = random.Random(9)
+    boiler = "0110100110010110" * 4  # the 64-bit boilerplate print
+    distinct = {boiler}
+    while len(distinct) < 200:
+        distinct.add("".join(rng.choice("01") for _ in range(64)))
+
+    # 40,000 docs: 10,000 (25%) share the boilerplate print, the rest
+    # spread over the other 199 prints round-robin
+    others = sorted(distinct - {boiler})
+    rows = [(i, boiler) for i in range(10_000)] + [
+        (10_000 + i, others[i % len(others)]) for i in range(30_000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, fp string")
+
+    # the callers' pre-collapse: one row per DISTINCT print, doc count kept
+    prints = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    n_prints = prints.count()
+    assert n_prints == 200  # 40k docs -> 200 print rows before banding
+
+    # bucket sizes measured on the bands frame the matcher actually joins
+    bands = (
+        prints.select(F.col("fp"), F.col("n"))
+        .select("*", F.explode(F.expr(_IMAGE_BANDS_SQL)).alias("bk"))
+        .select("fp", "bk.k", "bk.band")
+    )
+    buckets = bands.groupBy("k", "band").agg(F.count(F.lit(1)).alias("sz"))
+    max_bucket = buckets.agg(F.max("sz")).first()[0]
+
+    # ground truth: distinct prints per (k, band) computed driver-side
+    from collections import Counter
+
+    c = Counter()
+    for fp in distinct:
+        for k in range(8):
+            c[(k, fp[k * 8 : (k + 1) * 8])] += 1
+    assert max_bucket == max(c.values())
+    # the hottest bucket is a tiny fraction of the doc count: the 10k-doc
+    # boilerplate print is ONE row, and 8-bit bands over 200 random prints
+    # collide at ~200/256 per band value
+    assert max_bucket <= 10  # measured 5 with this seed; docs would be 10,000
+
+    # correctness under skew: banded == brute force over the print space
+    got = {
+        (r.fp_a, r.fp_b, r.hamming, r.n_a, r.n_b)
+        for r in banded_print_pairs(prints, "fp", "n", _IMAGE_BANDS_SQL).collect()
+    }
+    cnt = {r.fp: r.n for r in prints.collect()}
+    want = _brute_pairs(cnt)
+    assert got == want

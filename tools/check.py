@@ -119,6 +119,7 @@ def main() -> int:
             )
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            t_spark = time.time() - t0
         except Exception:
             print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
             n_fail += 1
@@ -129,8 +130,12 @@ def main() -> int:
             dt = time.time() - t0
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({dt:.1f}s)")
             n_rows_only += 1
-            results[name] = {"status": "rows_only", "rows": len(sdf), "sec": round(dt, 2)}
+            results[name] = {
+                "status": "rows_only", "rows": len(sdf),
+                "sec": round(dt, 2), "spark_sec": round(t_spark, 2),
+            }
             continue
+        t_or = time.time()
         try:
             odf = con.execute(sql).fetchdf()
         except Exception:
@@ -147,6 +152,7 @@ def main() -> int:
                 pass
             con = duck_connect(sf_dir)
             continue
+        t_oracle = time.time() - t_or
         if len(sdf) != len(odf):
             print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
             n_fail += 1
@@ -173,11 +179,15 @@ def main() -> int:
         elif not exact:
             print(f"PASS~ {name}: tolerant-only (float last-bit) {len(sdf)} rows ({dt:.1f}s)")
             n_pass += 1
-            results[name] = {"status": "pass_tolerant", "rows": len(sdf), "sec": round(dt, 2)}
+            results[name] = {"status": "pass_tolerant", "rows": len(sdf), "sec": round(dt, 2),
+                             "spark_sec": round(t_spark, 2),
+                             "oracle_sec": round(t_oracle, 2)}
         else:
             print(f"PASS {name}: {len(sdf)} rows ({dt:.1f}s)")
             n_pass += 1
-            results[name] = {"status": "pass", "rows": len(sdf), "sec": round(dt, 2)}
+            results[name] = {"status": "pass", "rows": len(sdf), "sec": round(dt, 2),
+                             "spark_sec": round(t_spark, 2),
+                             "oracle_sec": round(t_oracle, 2)}
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     if json_out:
         import json
