@@ -306,3 +306,34 @@ def test_catalog_scan_lease_protects_snapshot_from_expire(spark, tmp_path):
     # and the head still reads consistently
     assert [r.k for r in cat.read("facts").collect()] == [3]
     assert [r.k for r in cat.read("view").collect()] == [4]
+
+
+def test_failed_write_in_concurrent_multi_table_commit_publishes_nothing(
+    spark, tmp_path
+):
+    """Round 10 made phase-1 table writes concurrent; the crash contract
+    must hold unchanged: if ANY table's write fails, commit raises, no
+    catalog version is published, and readers keep the previous
+    consistent snapshot — tables whose writes succeeded stay invisible
+    (stranded table versions, never torn state)."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    v1 = cat.commit({"facts": _df(spark, 1), "view": _df(spark, 100)})
+
+    # a frame that fails at WRITE time (division evaluated per row)
+    bad = spark.range(2).select((F.lit(1) / (F.col("id") - 1)).alias("k")).select(
+        F.assert_true(F.col("k") < 1e18).alias("x"), F.lit("t").alias("tag")
+    )
+
+    with pytest.raises(Exception):
+        cat.commit({"facts": _df(spark, 2), "view": bad, "extra": _df(spark, 3)})
+
+    # no new catalog version; both tables read back the OLD snapshot
+    assert cat.latest_version() == v1
+    assert [r.k for r in cat.read("facts").collect()] == [1]
+    assert [r.k for r in cat.read("view").collect()] == [100]
+    # and a subsequent full commit still works and advances cleanly
+    v2 = cat.commit({"facts": _df(spark, 2), "view": _df(spark, 200)})
+    assert v2 == v1 + 1
+    assert [r.k for r in cat.read("facts").collect()] == [2]
