@@ -15,7 +15,7 @@ produced at most once — no post-join dedup needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -70,6 +70,67 @@ def bucketed_range_join(
     # driver-built band frame has no stats and Catalyst would otherwise pick
     # the (known-size) fact scan as the broadcast side
     return f.join(F.broadcast(b), on=["_bucket"], how=how).filter(residual).drop("_bucket")
+
+
+def interval_overlap_count(
+    intervals: DataFrame,
+    keys: list[str],
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """COUNT of overlapping interval pairs per key group (half-open
+    [lo, hi), strict overlap ``a.lo < b.hi AND b.lo < a.hi``) WITHOUT ever
+    materializing a pair row — the sweep-line plan for count-only outputs.
+
+    Sweep: flatten each interval into a +1 event at ``lo`` and a -1 event
+    at ``hi``; order events by (t, kind) with ends (kind=0) BEFORE starts
+    (kind=1) at the same instant, so a pair touching only at a boundary
+    (``a.hi == b.lo``) is correctly NOT counted under the strict predicate.
+    Each start event contributes (number of currently-open intervals) pairs
+    — the running sum of deltas over strictly-preceding events. Summing
+    those contributions per key group counts every unordered overlapping
+    pair exactly once.
+
+    Tie invariance: k starts tied at the same instant over a base open
+    count c contribute c + (c+1) + … + (c+k-1) in ANY processing order, so
+    the per-group SUM is deterministic even where the sort order among
+    ties is not; ``tiebreak_cols`` (default: all non-key/lo/hi columns)
+    still pins a total order so per-row plans are stable under AQE.
+
+    Scale: one shuffle on ``keys``, one O(n log n) in-partition sort of 2n
+    endpoints, zero pair rows — vs the O(n²)-pairs bucketed join when
+    intervals within a group mostly all overlap. Use
+    ``interval_overlap_join`` when the pairs themselves are the output.
+
+    Returns one row per key group that has ≥1 overlapping pair:
+    ``keys + [n_overlapping_pairs: long]`` (groups with 0 pairs are
+    omitted, matching the semantics of COUNT(*) over an inner pair join).
+    """
+    if tiebreak_cols is None:
+        tiebreak_cols = [c for c in intervals.columns if c not in (*keys, lo_col, hi_col)]
+    starts = intervals.select(
+        *keys, *tiebreak_cols,
+        F.col(lo_col).alias("_t"), F.lit(1).alias("_kind"), F.lit(1).alias("_delta"),
+    )
+    ends = intervals.select(
+        *keys, *tiebreak_cols,
+        F.col(hi_col).alias("_t"), F.lit(0).alias("_kind"), F.lit(-1).alias("_delta"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t", "_kind", *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    open_before = F.coalesce(F.sum("_delta").over(w), F.lit(0))
+    return (
+        starts.unionByName(ends)
+        .withColumn("_open_before", open_before)
+        .filter(F.col("_kind") == 1)
+        .groupBy(*keys)
+        .agg(F.sum("_open_before").alias("n_overlapping_pairs"))
+        .filter(F.col("n_overlapping_pairs") > 0)
+    )
 
 
 def interval_overlap_join(

@@ -336,11 +336,17 @@ def e8_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Interval × interval overlap: per-(user, day) activity intervals, pairs of
-# users whose intervals overlap within the day, counted per day. Runs
-# through operators/range_join.interval_overlap_join — bucketed equi-join
-# on (day, 6h-bucket) with residual + canonical-bucket dedup, never a
-# nested-loop inequality join. Oracle is the quadratic within-day join.
+# Interval × interval overlap COUNT: per-(user, day) activity intervals,
+# number of user pairs whose intervals overlap within the day. Daily
+# activity intervals mostly all overlap, so the pair set is ~n² in
+# daily-active users while the answer is one count per day — the right plan
+# is a per-day sweep-line (operators/range_join.interval_overlap_count):
+# sort the 2n interval endpoints per day, each start contributes the
+# currently-open interval count, zero pair rows ever exist. O(n log n) per
+# day vs the 183 engine-seconds the bucketed pair join cost at gen sf1.0.
+# interval_overlap_join remains the operator for pair-OUTPUT queries
+# (see e9 / stream-stream interval joins). Oracle stays the quadratic
+# within-day join — DuckDB states the answer, Spark never builds the pairs.
 # ---------------------------------------------------------------------------
 
 _OVERLAP_ORACLE = """
@@ -355,9 +361,9 @@ GROUP BY a.d
 """
 
 
-@register("range_join_daily_overlap", oracle=_OVERLAP_ORACLE, tags=("range-join", "interval"))
+@register("range_join_daily_overlap", oracle=_OVERLAP_ORACLE, tags=("range-join", "interval", "sweep-line"))
 def range_join_daily_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realestatedeals_spark.operators.range_join import interval_overlap_join
+    from realestatedeals_spark.operators.range_join import interval_overlap_count
 
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir)
@@ -366,11 +372,9 @@ def range_join_daily_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "d")
         .agg(F.min("us").alias("lo"), (F.max("us") + 1).alias("hi"))
     )
-    pairs = interval_overlap_join(
-        iv, iv, keys=["d"], lo_col="lo", hi_col="hi", bucket_width=6 * 3600 * 1e6
-    ).filter(F.col("user_id_a") < F.col("user_id_b"))
-    return pairs.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_overlapping_pairs")
+    counts = interval_overlap_count(iv, keys=["d"], lo_col="lo", hi_col="hi")
+    return counts.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "n_overlapping_pairs"
     )
 
 

@@ -139,3 +139,45 @@ def test_interval_overlap_join_dedup_free_and_exact(spark):
         if a[1] < b[2] and b[1] < a[2]
     )
     assert got == want  # exact AND no duplicates (sorted lists compare equal)
+
+
+def test_interval_overlap_count_matches_bruteforce(spark):
+    """Sweep-line pair count == brute-force pair count per group, including
+    the strict-overlap boundary (hi == lo does NOT overlap), tied starts
+    (identical lo values DO overlap and count once), and omission of groups
+    with zero overlapping pairs."""
+    from itertools import combinations
+
+    from realestatedeals_spark.operators.range_join import interval_overlap_count
+
+    ivals = [  # (group, id, lo, hi)
+        ("a", 1, 0, 100),
+        ("a", 2, 5, 7),
+        ("a", 3, 50, 160),
+        ("a", 4, 99, 101),
+        ("a", 5, 200, 210),
+        ("a", 6, 100, 105),   # touches 1 only at the open boundary → no pair
+        ("b", 7, 0, 10),
+        ("b", 8, 0, 10),      # tied starts, identical intervals → one pair
+        ("b", 9, 0, 3),       # tied start with 7 and 8
+        ("c", 10, 0, 1),
+        ("c", 11, 1, 2),      # chain of boundary touches → zero pairs in c
+        ("c", 12, 2, 3),
+    ]
+    df = spark.createDataFrame(ivals, "g string, id long, lo long, hi long")
+    got = {
+        r["g"]: r["n_overlapping_pairs"]
+        for r in interval_overlap_count(df, keys=["g"]).collect()
+    }
+    want: dict[str, int] = {}
+    for g in ("a", "b", "c"):
+        rows = [(i, lo, hi) for gg, i, lo, hi in ivals if gg == g]
+        n = sum(
+            1
+            for x, y in combinations(rows, 2)
+            if x[1] < y[2] and y[1] < x[2]
+        )
+        if n:
+            want[g] = n
+    assert got == want
+    assert "c" not in got  # zero-pair group omitted (inner-join-count parity)
