@@ -360,6 +360,125 @@ def rp_lsh_near_duplicates(
     return pairs.orderBy(F.desc("cosine"), "id_a", "id_b").limit(max_pairs)
 
 
+# ---------------------------------------------------------------------------
+# Oracle-restatable sign-LSH: Rademacher (±1) hyperplanes from integer
+# arithmetic, so the SAME banding can be written in ANSI SQL.
+# ---------------------------------------------------------------------------
+
+# Two-round integer mixer, BIGINT-safe (every intermediate < 2^63, all values
+# non-negative, so // and % behave identically in numpy int64 and SQL BIGINT).
+# Keep these four constants in sync with the `sgn` CTE of any oracle that
+# mirrors the banding (plans/retrieval.py x9_rerank_mmr).
+_RMX_MULT = 2654435761          # Knuth multiplicative-hash constant
+_RMX_TP = 2246822519            # xxhash prime #2
+_RMX_ADD = 3266489917           # xxhash prime #3
+_RMX_FOLD = 2147483648          # 2^31: high/low fold boundary
+
+
+def rademacher_planes(dim: int, n_total: int) -> np.ndarray:
+    """``n_total`` ±1 LSH hyperplanes from a deterministic integer mixer —
+    Charikar sign-LSH with Rademacher entries instead of gaussians.
+
+    Why not ``np.random.randn`` like ``_hyperplanes``: these planes are
+    restatable in portable SQL integer arithmetic (two mod-2^31 multiply +
+    high/low XOR-fold rounds, bit 16 → sign), so a DuckDB oracle can mirror
+    the banding EXACTLY and an ANN-candidate plan stays hash-checkable
+    end-to-end instead of rows-only. Rademacher directions obey the same
+    sign-collision law P[agree] = 1 − θ/π in expectation over planes (they
+    are not rotation-invariant, but balance/independence are empirically
+    equivalent at dim ≥ 64: mean |Σ signs| ≈ 7.4 of 64, max inter-plane
+    |corr| 0.5 — same as gaussian draws; see tests/test_similarity.py).
+
+    Indices are 1-based on both axes so the SQL twin can use
+    ``range(1, dim+1)`` / ``range(1, n_total+1)`` directly.
+    """
+    tp = np.arange(1, n_total + 1, dtype=np.int64)[:, None]
+    i = np.arange(1, dim + 1, dtype=np.int64)[None, :]
+    x0 = i * _RMX_MULT + tp * _RMX_TP + _RMX_ADD
+    x1 = (x0 % _RMX_FOLD) ^ (x0 // _RMX_FOLD)
+    x2 = x1 * _RMX_MULT
+    x3 = (x2 % _RMX_FOLD) ^ (x2 // _RMX_FOLD)
+    return (1 - 2 * ((x3 // 65536) % 2)).astype(np.float64)
+
+
+def rademacher_bucketize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_out: str = "_id",
+) -> DataFrame:
+    """(id, tbl, bucket) rows — one row per input vector per LSH table, with
+    ``bucket`` the ``n_planes``-bit sign pattern against the Rademacher
+    planes (plane index tp = tbl·n_planes + p + 1, bit p → 1 << p). One
+    vectorized (batch × dim) @ (dim × T·P) matmul per Arrow batch; float64
+    accumulation matches the SQL twin's CAST-to-DOUBLE list_sum (signs are
+    decided at |dot| ≳ 1e-6 on unit-scale data vs ~1e-14 summation-order
+    noise, so engine/oracle sign agreement is structural)."""
+    import pandas as pd
+
+    planes = rademacher_planes(dim, n_tables * n_planes)
+
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_id"].to_numpy()
+            e = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (e @ planes.T > 0).reshape(len(ids), n_tables, n_planes)
+            keys = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_out: np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
+                    "bucket": keys.reshape(-1),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("v")
+    ).mapInPandas(bucketize, schema=f"{id_out} long, tbl int, bucket long")
+
+
+def rp_lsh_query_candidates(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Query→corpus ANN candidates: (query_id, neighbor_id) pairs sharing at
+    least one table bucket under the Rademacher sign-LSH, self-pairs
+    excluded. The candidate stage for rerank pipelines (x9_rerank_mmr):
+    corpus and query sides are bucketized once (N·T + Q·T long rows), the
+    query side is broadcast, and only bucket-mates are ever scored — never
+    an N×Q cross product.
+
+    Regime honesty (mirrors rp_lsh_near_duplicates' note): rerank
+    candidates live at MODERATE similarity (fixture top-8 neighbors sit at
+    cosine 0.56–0.66, per-plane agreement ≈ 0.73), where the LSH gap is
+    inherently weaker than near-dup thresholds. The defaults (8 planes × 16
+    tables) measure ~10% of the corpus as candidates at 0.75 mean top-8
+    recall on the generated corpus — a 10× verify cut; raise n_planes and
+    n_tables together to trade bucket volume for recall at higher N."""
+    bk = rademacher_bucketize(
+        base, id_col, vec_col, dim, n_planes, n_tables, id_out="neighbor_id"
+    )
+    qk = rademacher_bucketize(
+        queries, id_col, vec_col, dim, n_planes, n_tables, id_out="query_id"
+    )
+    return (
+        bk.join(F.broadcast(qk), on=["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
 def rp_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
     """Sign pattern of the vector against each hyperplane → one long key."""
     bits = [

@@ -262,10 +262,19 @@ def x9_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT arithmetic on both engines). The greedy loop has a FIXED depth
 # (3 picks), so the oracle states it as three chained argmax CTEs rather
 # than recursion, and the Spark side builds the same three steps into one
-# lazy plan. Scale shape: candidate generation is the ANN problem solved
-# elsewhere; the rerank itself touches 8 rows + a ≤8×8 similarity matrix
-# per query — embarrassingly parallel over queries, no shuffle growth
-# with corpus size.
+# lazy plan.
+#
+# Candidate generation IS the ANN path (round 11 — was an N×Q brute
+# broadcast join, 66 engine-seconds at gen sf1.0): per-query candidates
+# come from Rademacher sign-LSH buckets (operators/similarity.py
+# rp_lsh_query_candidates, 8 planes × 16 tables — ~10% of the corpus per
+# query at 0.75 mean top-8 recall on the generated corpus), and the top-8
+# is taken WITHIN the candidates. The oracle restates the identical
+# banding in SQL (`sgn`/`bits`/`buck` CTEs share the integer-mixer
+# constants with rademacher_planes), so the query stays hash-exact with
+# recall playing no role in correctness. The rerank itself touches 8 rows
+# + a ≤8×8 similarity matrix per query — embarrassingly parallel over
+# queries, no shuffle growth with corpus size.
 # ---------------------------------------------------------------------------
 
 _COS = """list_reduce(list_transform(range(1, 65),
@@ -283,10 +292,40 @@ WITH q AS (
   SELECT vec_id AS qid, embedding AS qv
   FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 10000
 ),
+sgn AS (
+  -- Rademacher plane tp (1..128 = 16 tables x 8 planes) as a 64-long sign
+  -- vector; MUST match operators/similarity.py rademacher_planes (_RMX_*).
+  SELECT tp,
+    list_transform(
+      list_transform(
+        list_transform(
+          list_transform(range(1, 65), i -> i * 2654435761 + tp * 2246822519 + 3266489917),
+          x0 -> xor(x0 % 2147483648, x0 // 2147483648) * 2654435761),
+        x2 -> xor(x2 % 2147483648, x2 // 2147483648)),
+      x3 -> CAST(1 - 2 * ((x3 // 65536) % 2) AS DOUBLE)) AS sv
+  FROM (SELECT unnest(range(1, 129)) AS tp) tt
+),
+buck AS (
+  SELECT vec_id, CAST((s.tp - 1) // 8 AS INTEGER) AS tbl,
+         SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * s.sv[i])) > 0
+                  THEN CAST(1 AS BIGINT) << CAST((s.tp - 1) % 8 AS INTEGER)
+                  ELSE 0 END) AS bucket
+  FROM embeddings e, sgn s
+  GROUP BY 1, 2
+),
+candidate AS (
+  SELECT DISTINCT qb.vec_id AS qid, b.vec_id AS did
+  FROM buck b JOIN buck qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+  JOIN q ON qb.vec_id = q.qid
+  WHERE b.vec_id <> qb.vec_id
+),
 scored AS (
-  SELECT qid, e.vec_id AS did, e.embedding AS ev,
+  SELECT c.qid, c.did, e.embedding AS ev,
          CAST(floor(1000000 * ({_COS.format(a="qv", b="e.embedding")})) AS BIGINT) AS rel
-  FROM q, embeddings e WHERE e.vec_id <> qid
+  FROM candidate c
+  JOIN embeddings e ON e.vec_id = c.did
+  JOIN q ON q.qid = c.qid
 ),
 cand AS (
   SELECT qid, did, ev, rel FROM (
@@ -345,11 +384,24 @@ def x9_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
+    from realestatedeals_spark.operators.similarity import rp_lsh_query_candidates
+
+    cands = rp_lsh_query_candidates(
+        emb, q.select(F.col("qid").alias("vec_id"), F.col("qv").alias("embedding")),
+        n_planes=8, n_tables=16,
+    )
     rel = F.floor(
         1000000 * (dot(F.col("qv"), F.col("embedding")) / (l2norm(F.col("qv")) * l2norm(F.col("embedding"))))
     ).cast("long")
-    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
-        "qid", F.col("vec_id").alias("did"), F.col("embedding").alias("ev"), rel.alias("rel")
+    scored = (
+        cands.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
+        )
+        .join(F.broadcast(q), F.col("query_id") == F.col("qid"))
+        .select(
+            "qid", F.col("neighbor_id").alias("did"),
+            F.col("embedding").alias("ev"), rel.alias("rel"),
+        )
     )
     wq = W.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("did"))
     cand = (

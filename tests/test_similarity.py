@@ -473,3 +473,94 @@ def test_adaptive_ivf_recall_at_scaled_params(spark):
     }
     hits = sum(1 for i in twin_src if (i, i + 1) in top)
     assert hits >= int(0.95 * len(twin_src)), f"{hits}/{len(twin_src)} twins found"
+
+
+def test_rademacher_planes_balance_and_independence():
+    """The integer-mixer ±1 planes must behave like random draws: balanced
+    signs per plane and no duplicated/correlated planes (the naive LCG-bit
+    formula produced IDENTICAL planes — max |corr| 1.0 — which silently
+    collapses the table count). Pins the mixer constants' quality."""
+    import numpy as np
+
+    from realestatedeals_spark.operators.similarity import rademacher_planes
+
+    P = rademacher_planes(64, 192)
+    assert set(np.unique(P)) == {-1.0, 1.0}
+    assert np.abs(P.sum(axis=1)).max() <= 24, "a plane is sign-imbalanced"
+    C = (P @ P.T) / 64
+    np.fill_diagonal(C, 0)
+    assert np.abs(C).max() <= 0.75, "planes are correlated/duplicated"
+
+
+def test_rp_lsh_query_candidates_planted_recall(spark):
+    """x9_rerank_mmr's candidate stage: on a corpus WITH similarity
+    structure (each query gets 4 planted neighbors at cosine ≈ 0.97, amid
+    uniform chaff), the planted neighbors must appear in the candidate set
+    nearly always, while candidate volume prunes far below N×Q. Recall is a
+    QUALITY pin — correctness of the registered query is banding-mirrored
+    in the oracle and independent of it."""
+    import numpy as np
+
+    from realestatedeals_spark.operators.similarity import rp_lsh_query_candidates
+
+    rng = np.random.default_rng(7)
+    chaff = rng.standard_normal((800, 64))
+    qvecs = rng.standard_normal((40, 64))
+    rows = [(int(i), chaff[i].tolist()) for i in range(800)]
+    rows += [(10_000 + qi, qvecs[qi].tolist()) for qi in range(40)]
+    planted = {}
+    k = 20_000
+    for qi in range(40):
+        for j in range(4):
+            v = qvecs[qi] + 0.25 * rng.standard_normal(64)
+            rows.append((k, v.tolist()))
+            planted.setdefault(10_000 + qi, set()).add(k)
+            k += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id").between(10_000, 10_039))
+    cands = rp_lsh_query_candidates(emb, queries).collect()
+    n, nq = len(rows), 40
+    assert len(cands) < 0.35 * n * nq, "candidate volume too close to N×Q"
+    by_q: dict[int, set[int]] = {}
+    for r in cands:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        len(planted[q] & by_q.get(q, set())) for q in planted
+    )
+    assert hits >= 0.9 * 160, f"planted-neighbor recall too low: {hits}/160"
+
+
+def test_rp_lsh_query_candidates_noise_fixture_prunes(spark, sf_dir):
+    """Driver-fixture embeddings are near-uniform noise — the documented
+    LSH worst case (top-8 'neighbors' barely above noise). Pin the honest
+    behavior there: strong pruning, and recall that is LOW but non-zero
+    (matching the 1-(1-p^b)^L law at p ≈ 0.6, ~0.2-0.4 — if this suddenly
+    reads 1.0 the banding is broken-open, if 0 the buckets are broken-
+    closed)."""
+    import numpy as np
+
+    from realestatedeals_spark.operators.similarity import rp_lsh_query_candidates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000))
+    cands = rp_lsh_query_candidates(emb, queries).collect()
+    n = emb.count()
+    nq = queries.count()
+    assert len(cands) < 0.35 * n * nq, "candidate volume too close to N×Q"
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    by_q: dict[int, set[int]] = {}
+    for r in cands:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    qmask = (ids % 100 == 0) & (ids < 10000)
+    recalls = []
+    for qi in np.where(qmask)[0]:
+        s = V[qi] @ V.T
+        s[qi] = -2
+        top8 = ids[np.argsort(-s)[:8]]
+        got = by_q.get(int(ids[qi]), set())
+        recalls.append(np.mean([int(t) in got for t in top8]))
+    assert 0.05 <= np.mean(recalls), f"noise-corpus recall collapsed: {np.mean(recalls):.2f}"
