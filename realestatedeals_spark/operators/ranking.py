@@ -1,0 +1,123 @@
+"""Distributed exact ranking — global rank / ntile without an unpartitioned
+window.
+
+``F.ntile(4).over(Window.orderBy(...))`` is correct but its physical plan is
+a single-partition WindowExec ("moving all data to a single partition") — a
+straight scale-killer on frames that grow with the data (e31's per-user RFM
+frame at 10⁹ users). A global SORT in Spark is fine (RangePartitioner +
+per-partition sort, fully parallel); it is specifically the unpartitioned
+WINDOW that serializes. These operators keep the exact total-order semantics
+(including ntile's uneven-bucket split arithmetic) on the parallel plan:
+
+1. ``repartitionByRange`` on the order expressions (one range shuffle),
+2. ``sortWithinPartitions`` (parallel in-partition sort),
+3. a running row counter per partition accumulated across Arrow batches
+   (mapInPandas — order-preserving within a partition),
+4. per-partition row counts (P rows of METADATA, not data) collected,
+   prefix-summed on the driver, and broadcast-joined back as offsets.
+
+The order expressions MUST form a total order (include a unique tiebreak
+column, e.g. user_id) — both for deterministic output and because range
+partitioning may split equal keys across partition boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_exprs: list[Column],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global rank of each row under ``order_exprs`` (a total
+    order). Returns ``(ranked_df, total_rows)``.
+
+    Cost: one range exchange + parallel sorts + one metadata-sized counts
+    job (the counts job re-evaluates ``df``'s lineage — pre-checkpoint the
+    parent if it is expensive). No unpartitioned window anywhere; the
+    offsets frame is P rows and broadcast.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # localCheckpoint FREEZES the range partitioning: RangePartitioner
+    # samples its boundaries per-execution (seeded off the physical RDD id),
+    # so the counts job and the rank job below would otherwise each draw
+    # their OWN boundaries — with heavy ties the same row can land in
+    # different partitions across the two jobs and the offsets are wrong
+    # (caught at gen sf1.0: f_quartile off by one bucket on tied
+    # frequencies). Materializing once pins one partitioning for both.
+    d2 = (
+        df.repartitionByRange(num_partitions, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in d2.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    total = sum(n for _, n in counts)
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(d2.schema.fields) + [T.StructField("_local", T.LongType())]
+    )
+
+    def add_local_rank(batches):
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_local"] = np.arange(seen + 1, seen + 1 + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    ranked = d2.mapInPandas(add_local_rank, schema=out_schema)
+    return (
+        ranked.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local", "_offset"),
+        total,
+    )
+
+
+def ntile_exact(
+    df: DataFrame,
+    order_exprs: list[Column],
+    n_buckets: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL ``NTILE(n) OVER (ORDER BY ...)`` semantics — including the uneven
+    split (first ``n_rows % n`` buckets get one extra row) — computed via
+    ``global_rank`` instead of a single-partition WindowExec.
+
+    For rank k (1-based) over n rows: base = n // buckets, rem = n % buckets,
+    cut = rem·(base+1); bucket = ⌈k/(base+1)⌉ for k ≤ cut else
+    rem + ⌈(k−cut)/base⌉ — exactly ntile's arithmetic, so results (and
+    oracle hashes) are unchanged from the window form.
+    """
+    ranked, n = global_rank(df, order_exprs, out_col="_k", num_partitions=num_partitions)
+    base, rem = divmod(n, n_buckets)
+    cut = rem * (base + 1)
+    k = F.col("_k")
+    bucket = F.when(
+        k <= F.lit(cut), F.floor((k - 1) / F.lit(base + 1)) + 1
+    ).otherwise(
+        F.lit(rem) + F.floor((k - 1 - F.lit(cut)) / F.lit(max(base, 1))) + 1
+    )
+    return ranked.withColumn(out_col, bucket.cast("long")).drop("_k")

@@ -1682,9 +1682,17 @@ def e30_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Recency (micros from the user's last purchase to the corpus max ts),
 # frequency (purchase count), monetary (exact decimal-accumulated value)
 # per user, then NTILE(4) per dimension with a user_id tiebreak so the
-# quartile edges are deterministic on both engines. One user-keyed
-# aggregate + three global NTILE windows (single exchange each, tiny after
-# the aggregate).
+# quartile edges are deterministic on both engines.
+#
+# Round 11: the three quartiles were F.ntile(4) over UNPARTITIONED windows
+# — three single-partition sorts of the whole per-user frame, a straight
+# scale-killer at 10⁹ users. Now each dimension runs through
+# operators/ranking.ntile_exact (range partition → parallel in-partition
+# rank → broadcast offset join) which reproduces ntile's exact uneven-
+# bucket arithmetic, so the oracle is UNCHANGED and still hash-exact while
+# no stage ever serializes onto one partition. The user frame is
+# checkpointed once so the three rank paths and their metadata counts jobs
+# don't re-aggregate events.
 # ---------------------------------------------------------------------------
 
 _E31_RFM_ORACLE = """
@@ -1713,10 +1721,12 @@ FROM r
 
 @register("e31_rfm_segments", oracle=_E31_RFM_ORACLE, tags=("window", "segmentation"))
 def e31_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recency/frequency/monetary quartiles per purchasing user. The NTILE
-    windows are global by construction (quartiles need a total order) but
-    run over the user-level aggregate — rows ∝ users, not events — which
-    is the standard way this stays cheap at corpus scale."""
+    """Recency/frequency/monetary quartiles per purchasing user. Quartiles
+    need a total order, but NOT a single-partition window: each dimension
+    goes through ntile_exact's range-partitioned rank (rows ∝ users), and
+    the three per-dimension quartile frames rejoin on user_id."""
+    from realestatedeals_spark.operators.ranking import ntile_exact
+
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir)
     p = (
@@ -1729,20 +1739,36 @@ def e31_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mx = ev.agg(F.max("ts").alias("mx"))
-    r = p.crossJoin(F.broadcast(mx)).select(
-        "user_id",
-        (F.unix_micros("mx") - F.unix_micros("last_ts")).alias("recency_us"),
-        "frequency",
-        "monetary",
+    r = (
+        p.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            (F.unix_micros("mx") - F.unix_micros("last_ts")).alias("recency_us"),
+            "frequency",
+            "monetary",
+        )
+        .localCheckpoint(eager=True)  # feeds 3 rank paths + their counts jobs
     )
-    return r.select(
-        "user_id",
-        "recency_us",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(W.orderBy(F.asc("recency_us"), F.asc("user_id"))).cast("long").alias("r_quartile"),
-        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("user_id"))).cast("long").alias("f_quartile"),
-        F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("user_id"))).cast("long").alias("m_quartile"),
+    # partitions ∝ users (≈64k rows each, ≥1): tiny frames skip 32-task
+    # choreography, huge frames still fan out to the session's shuffle width
+    n_users = r.count()  # free: r is already materialized
+    npart = max(1, min(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), n_users // 65536 + 1
+    ))
+    orders = {
+        "r_quartile": [F.asc("recency_us"), F.asc("user_id")],
+        "f_quartile": [F.desc("frequency"), F.asc("user_id")],
+        "m_quartile": [F.desc("monetary"), F.asc("user_id")],
+    }
+    out = r
+    for col, order in orders.items():
+        q = ntile_exact(r, order, n_buckets=4, out_col=col, num_partitions=npart).select(
+            "user_id", col
+        )
+        out = out.join(q, "user_id")
+    return out.select(
+        "user_id", "recency_us", "frequency", "monetary",
+        "r_quartile", "f_quartile", "m_quartile",
     )
 
 

@@ -1021,11 +1021,12 @@ def x7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # train, next 5% EMBARGO (discarded so no label/feature window straddles
 # the boundary — the purged split of financial-ML practice), remainder
 # test. Cutoffs are integer ranks (n*70//100, n*75//100) so both engines
-# place every row identically with zero float thresholds. Scale shape:
-# the rank is one global sort — at 100 TB you'd swap the row_number for a
-# pre-computed time boundary; the registered form keeps the rank explicit
-# so the oracle can prove the boundary placement row-exactly, and the
-# output reports per-split boundary timestamps, which IS the artifact a
+# place every row identically with zero float thresholds. Scale shape
+# (round 11): the rank runs through operators/ranking.global_rank — range
+# partition + parallel in-partition rank + broadcast offsets — replacing
+# the unpartitioned row_number window that sorted ALL events on one task;
+# the oracle still proves boundary placement row-exactly, and the output
+# reports per-split boundary timestamps, which IS the artifact a
 # production pipeline persists (then splits by plain ts comparison).
 # ---------------------------------------------------------------------------
 
@@ -1058,18 +1059,14 @@ def x7_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.io.sources import load_events
     from realestatedeals_spark.session import apply_session_conf
 
+    from realestatedeals_spark.operators.ranking import global_rank
+
     apply_session_conf(spark)
-    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
-    w = Window.orderBy("ts", "event_id")
-    ranked = ev.select(
-        "ts",
-        "user_id",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id")
+    ranked, n = global_rank(ev, [F.asc("ts"), F.asc("event_id")], out_col="rk")
     labeled = ranked.select(
-        F.when(F.col("rk") <= F.expr("n * 70 div 100"), "train")
-        .when(F.col("rk") <= F.expr("n * 75 div 100"), "embargo")
+        F.when(F.col("rk") <= F.lit(n * 70 // 100), "train")
+        .when(F.col("rk") <= F.lit(n * 75 // 100), "embargo")
         .otherwise("test")
         .alias("split"),
         "ts",

@@ -32,3 +32,42 @@ def inline_frame(spark: SparkSession, names: list[str], rows: list[tuple]) -> Da
         .select(F.explode(F.array(*structs)).alias("_r"))
         .select("_r.*")
     )
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count ``Window`` operators in a printed physical plan that have an
+    ORDER BY but NO partition key — the single-partition WindowExec shape
+    ("moving all data to a single partition") that serializes the whole
+    frame onto one task. Used by tools/plan_inventory.py and the
+    plan-quality gate.
+
+    Parse: WindowExec prints ``Window [exprs], [partitionSpec], [orderSpec]``
+    — THREE top-level bracket groups when partitioned-and-ordered, TWO when
+    one spec is absent. A two-group line whose second group carries an
+    ``ASC``/``DESC`` marker is ordered-but-unpartitioned. (Parsing the
+    operator line, not ``windowspecdefinition``: the spec print can elide
+    the partition column under projection reuse — olap_lateral_topk's
+    rewritten LATERAL does — while the operator's partitionSpec is
+    authoritative.)
+    """
+    import re
+
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow\s+\[", line)
+        if not m:
+            continue
+        groups, depth, start = [], 0, None
+        for j in range(m.end() - 1, len(line)):
+            ch = line[j]
+            if ch == "[":
+                if depth == 0:
+                    start = j
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(line[start + 1 : j])
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
+            n += 1
+    return n

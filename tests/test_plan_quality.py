@@ -56,6 +56,18 @@ _BNLJ_WHITELIST = {
     "x7_lm_bucket_sample": "cross vs the 1-row broadcast model-total frame (via the shared scorer)",
 }
 
+# query -> why an ordered-but-unpartitioned Window is acceptable there: the
+# framed rows are bounded by a DOMAIN (calendar hours/days, distinct price
+# points), not by data volume — 100x the events is the same number of days.
+# Anything whose frame grows with rows (users, events, docs) must go through
+# operators/ranking.global_rank / ntile_exact instead (see e31, x7).
+_UNPART_WINDOW_WHITELIST = {
+    "e20_user_growth_curve": "cumulative sum over the per-DAY frame (calendar-bounded)",
+    "e26_seasonal_decompose": "moving avg/seasonal windows over the per-HOUR frame (calendar-bounded)",
+    "e27_cusum_changepoint": "CUSUM + peak rank over the per-HOUR frame (calendar-bounded)",
+    "olap_skyline_2d": "running max over the DISTINCT-price frame (price-domain-bounded)",
+}
+
 # execute real streaming replays on invocation AND return localCheckpoint
 # results (the gate would inspect a truncated RDD-scan plan — no signal
 # for minutes of runtime); each is oracle-checked end-to-end instead
@@ -86,4 +98,14 @@ def test_physical_plan_bans(spark, sf_dir, name):
             f"whitelist — broadcast-cross is only sanctioned against 1-row/"
             f"k-row frames (add to whitelist WITH a boundedness argument if "
             f"intentional)\n{plan[:2000]}"
+        )
+    if name not in _UNPART_WINDOW_WHITELIST:
+        from realestatedeals_spark.util import unpartitioned_windows
+
+        n_upw = unpartitioned_windows(plan)
+        assert n_upw == 0, (
+            f"{name}: {n_upw} ordered-but-unpartitioned Window op(s) — a "
+            f"single-partition sort of the whole frame. Use operators/"
+            f"ranking.global_rank / ntile_exact, or whitelist WITH a "
+            f"domain-boundedness argument\n{plan[:2000]}"
         )

@@ -1,0 +1,59 @@
+"""operators/ranking — distributed exact rank / ntile parity vs the window
+forms they replace (which serialize onto one partition)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from realestatedeals_spark.operators.ranking import global_rank, ntile_exact
+
+
+def test_global_rank_matches_row_number(spark):
+    df = spark.range(0, 997).select(
+        (F.col("id") * 2654435761 % 1000).alias("v"), F.col("id").alias("uid")
+    )
+    ranked, n = global_rank(df, [F.asc("v"), F.asc("uid")], out_col="rk", num_partitions=7)
+    assert n == 997
+    want = df.select(
+        "v", "uid", F.row_number().over(W.orderBy("v", "uid")).alias("rk")
+    )
+    got = {(r["v"], r["uid"]): r["rk"] for r in ranked.collect()}
+    for r in want.collect():
+        assert got[(r["v"], r["uid"])] == r["rk"]
+
+
+def test_global_rank_desc_and_heavy_ties(spark):
+    # 90% of rows share one key value — ties MUST be broken by the tiebreak
+    # column and survive range partitioning splitting the tied run.
+    rows = [(5 if i % 10 else i, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "v long, uid long")
+    ranked, n = global_rank(df, [F.desc("v"), F.asc("uid")], out_col="rk", num_partitions=8)
+    want = {
+        (r["v"], r["uid"]): r["rk"]
+        for r in df.select(
+            "v", "uid", F.row_number().over(W.orderBy(F.desc("v"), F.asc("uid"))).alias("rk")
+        ).collect()
+    }
+    got = {(r["v"], r["uid"]): r["rk"] for r in ranked.collect()}
+    assert got == want and n == 500
+
+
+def test_ntile_exact_matches_ntile_including_uneven_split(spark):
+    # 10 rows into 4 buckets -> sizes 3,3,2,2 (the uneven arithmetic);
+    # also n=3 < buckets=4 -> each row its own bucket.
+    for n_rows, buckets in [(10, 4), (3, 4), (97, 4), (96, 4)]:
+        df = spark.range(n_rows).select(F.col("id").alias("uid"))
+        got = {
+            r["uid"]: r["q"]
+            for r in ntile_exact(
+                df, [F.asc("uid")], buckets, out_col="q", num_partitions=5
+            ).collect()
+        }
+        want = {
+            r["uid"]: r["q"]
+            for r in df.select(
+                "uid", F.ntile(buckets).over(W.orderBy("uid")).cast("long").alias("q")
+            ).collect()
+        }
+        assert got == want, f"ntile mismatch at n={n_rows}"

@@ -64,6 +64,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from realestatedeals_spark.plans import QUERIES
     from realestatedeals_spark.session import get_spark
+    from realestatedeals_spark.util import unpartitioned_windows
 
     spark = get_spark("plan-inventory", master="local[4]", shuffle_partitions=4)
     out: dict[str, dict] = {}
@@ -87,6 +88,7 @@ def main() -> None:
             + plan.count("FlatMapGroupsInPandas"),
             "row_python": plan.count("BatchEvalPython"),
             "scans": len(re.findall(r"FileScan parquet", plan)),
+            "unpartitioned_windows": unpartitioned_windows(plan),
         }
     spark.stop()
     path = "bench_results/plan_inventory.json"
