@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from realestatedeals_spark.io.sources import load_events
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
-from realestatedeals_spark.streaming.replay import write_epoch_dirs
+from realestatedeals_spark.streaming.replay import time_tiles, write_epoch_dirs
 
 _C11_ORACLE = """
 WITH q AS (
@@ -63,7 +63,7 @@ def c11_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type")
-    tiled = ev.withColumn("tile", F.ntile(3).over(W.orderBy("ts", "event_id")))
+    tiles = time_tiles(ev, 3)  # exact ntile membership, no unpartitioned window
     bounds = ev.agg(F.max("ts").alias("mx")).first()
 
     work = tempfile.mkdtemp(prefix="cascade_stream_")
@@ -72,7 +72,7 @@ def c11_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(in_dir)
         write_epoch_dirs(
             in_dir,
-            [tiled.filter(F.col("tile") == i).drop("tile") for i in (1, 2, 3)],
+            tiles,
             start=1,
         )
         # sentinel 3 h past the max event: watermark sails past the last

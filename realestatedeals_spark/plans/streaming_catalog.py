@@ -30,7 +30,7 @@ from realestatedeals_spark.io.catalog import Catalog
 from realestatedeals_spark.io.sources import load_events
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
-from realestatedeals_spark.streaming.replay import write_epoch_dirs
+from realestatedeals_spark.streaming.replay import time_tiles, write_epoch_dirs
 
 _C14_ORACLE = """
 SELECT event_type,
@@ -85,7 +85,7 @@ def c14_stream_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type", "value")
-    tiled = ev.withColumn("tile", F.ntile(3).over(W.orderBy("ts", "event_id")))
+    tiles = time_tiles(ev, 3)  # exact ntile membership, no unpartitioned window
 
     work = tempfile.mkdtemp(prefix="stream_catalog_")
     try:
@@ -93,7 +93,7 @@ def c14_stream_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(in_dir)
         write_epoch_dirs(
             in_dir,
-            [tiled.filter(F.col("tile") == i).drop("tile", "ts") for i in (1, 2, 3)],
+            [t.drop("ts") for t in tiles],
             start=1,
         )
 

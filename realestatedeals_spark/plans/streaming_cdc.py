@@ -29,7 +29,7 @@ from realestatedeals_spark.io.sources import load_table
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
 from realestatedeals_spark.streaming.cdc_stream import start_cdc_stream
-from realestatedeals_spark.streaming.replay import write_epoch_dirs
+from realestatedeals_spark.streaming.replay import epoch_dir_name, write_epoch_dirs
 
 # Three deterministic scrape cycles over orders. Price expressions are
 # mirrored verbatim in the oracle so the doubles match bit-for-bit.
@@ -98,14 +98,17 @@ def c3_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=os.path.join(work, "ckpt"),
             max_files_per_trigger=1,
         )
-        # phase 1: only cycles 1-2 exist yet — drain and terminate
-        shutil.move(os.path.join(in_dir, "b2"), os.path.join(work, "held"))
+        # phase 1: only cycles 1-2 exist yet — drain and terminate (the
+        # held name is DERIVED from the batch index, pinned to
+        # write_epoch_dirs' naming via epoch_dir_name)
+        last = epoch_dir_name(len(cycles) - 1)
+        shutil.move(os.path.join(in_dir, last), os.path.join(work, "held"))
         q = start_cdc_stream(spark, in_dir + "/*", **kwargs)
         q.awaitTermination()
         # phase 2: cycle 3 arrives; restart from the SAME checkpoint — the
         # resumed stream must process exactly the one new file against the
         # state the first run left behind
-        shutil.move(os.path.join(work, "held"), os.path.join(in_dir, "b2"))
+        shutil.move(os.path.join(work, "held"), os.path.join(in_dir, last))
         q = start_cdc_stream(spark, in_dir + "/*", **kwargs)
         q.awaitTermination()
 

@@ -28,7 +28,7 @@ from realestatedeals_spark.io.sources import load_events
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
 from realestatedeals_spark.streaming.windows import stream_dedup
-from realestatedeals_spark.streaming.replay import write_epoch_dirs
+from realestatedeals_spark.streaming.replay import time_tiles, write_epoch_dirs
 
 _C5_ORACLE = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n
@@ -46,7 +46,7 @@ def c5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type", "value")
     # three time-ordered tiles (deterministic total order); at scale this is
     # a range partition by time — exactly how a log replay arrives anyway
-    tiled = ev.withColumn("tile", F.ntile(3).over(W.orderBy("ts", "event_id")))
+    tiles = time_tiles(ev, 3)  # exact ntile membership, no unpartitioned window
 
     work = tempfile.mkdtemp(prefix="stream_dedup_bench_")
     try:
@@ -54,14 +54,14 @@ def c5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(in_dir)
         batches = []
         for i in (1, 2, 3):
-            tile = tiled.filter(F.col("tile") == i).drop("tile")
+            tile = tiles[i - 1]
             # planted duplicates: every 13th event repeats within its own
             # batch; every 7th event of the PREVIOUS batch repeats here, so
             # cross-batch state is what removes it
             dups_within = tile.filter(F.col("event_id") % 13 == 0)
             batch = tile.unionAll(dups_within)
             if i > 1:
-                prev = tiled.filter(F.col("tile") == i - 1).drop("tile")
+                prev = tiles[i - 2]
                 batch = batch.unionAll(prev.filter(F.col("event_id") % 7 == 0))
             batches.append(batch)
         write_epoch_dirs(in_dir, batches, start=1)

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from realestatedeals_spark.io.sources import load_events, load_table
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
-from realestatedeals_spark.streaming.replay import write_epoch_dirs
+from realestatedeals_spark.streaming.replay import time_tiles, write_epoch_dirs
 
 _C8_ORACLE = """
 SELECT n.n_name AS nation, e.event_type,
@@ -60,7 +60,7 @@ def c8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
     )
-    tiled = ev.withColumn("tile", F.ntile(3).over(W.orderBy("ts", "event_id")))
+    tiles = time_tiles(ev, 3)  # exact ntile membership, no unpartitioned window
 
     work = tempfile.mkdtemp(prefix="enrich_stream_")
     try:
@@ -68,7 +68,7 @@ def c8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(in_dir)
         write_epoch_dirs(
             in_dir,
-            [tiled.filter(F.col("tile") == i).drop("tile") for i in (1, 2, 3)],
+            tiles,
             start=1,
         )
 

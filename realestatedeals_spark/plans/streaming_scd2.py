@@ -45,7 +45,7 @@ from realestatedeals_spark.io.sources import load_events
 from realestatedeals_spark.plans.events import _SCD2_ORACLE, _TS_FMT_SPARK
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
-from realestatedeals_spark.streaming.replay import write_epoch_dirs
+from realestatedeals_spark.streaming.replay import time_tiles, write_epoch_dirs
 
 _OPENS_SCHEMA = (
     "user_id bigint, event_type string, valid_from timestamp, "
@@ -169,7 +169,7 @@ def c10_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
-    tiled = ev.withColumn("tile", F.ntile(3).over(W.orderBy("ts", "event_id")))
+    tiles = time_tiles(ev, 3)  # exact ntile membership, no unpartitioned window
 
     work = tempfile.mkdtemp(prefix="scd2_stream_")
     try:
@@ -177,7 +177,7 @@ def c10_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(in_dir)
         write_epoch_dirs(
             in_dir,
-            [tiled.filter(F.col("tile") == i).drop("tile") for i in (1, 2, 3)],
+            tiles,
             start=1,
         )
 

@@ -27,7 +27,7 @@ from realestatedeals_spark.io.sources import load_events
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
 from realestatedeals_spark.streaming.stateful import running_user_stats
-from realestatedeals_spark.streaming.replay import write_epoch_dirs
+from realestatedeals_spark.streaming.replay import time_tiles, write_epoch_dirs
 
 _C4_ORACLE = """
 SELECT user_id,
@@ -51,7 +51,7 @@ def c4_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(F.col("value") * F.lit(1000000.0)).cast("double").alias("value"),
     )
-    tiled = ev.withColumn("tile", F.ntile(3).over(W.orderBy("ts", "event_id")))
+    tiles = time_tiles(ev, 3)  # exact ntile membership, no unpartitioned window
 
     work = tempfile.mkdtemp(prefix="stateful_bench_")
     try:
@@ -59,7 +59,7 @@ def c4_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(in_dir)
         write_epoch_dirs(
             in_dir,
-            [tiled.filter(F.col("tile") == i).drop("tile") for i in (1, 2, 3)],
+            tiles,
             start=1,
         )
 
@@ -137,17 +137,23 @@ def c4_funnel_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    from realestatedeals_spark.operators.ranking import ntile_exact
     from realestatedeals_spark.streaming.stateful import funnel_progress_event_time
 
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
-    q = F.ntile(4).over(W.orderBy("ts", "user_id", "event_type")) - 1
+    evq = ntile_exact(
+        ev, [F.asc("ts"), F.asc("user_id"), F.asc("event_type")], 4, out_col="q4"
+    )
     jit = F.xxhash64("user_id", "ts", "event_type") % 5
     batch = F.greatest(
         F.lit(0),
-        F.least(F.lit(3), q + F.when(jit == 0, -1).when(jit == 1, 1).otherwise(0)),
+        F.least(
+            F.lit(3),
+            F.col("q4") - 1 + F.when(jit == 0, -1).when(jit == 1, 1).otherwise(0),
+        ),
     )
-    tiled = ev.withColumn("b", batch)
+    tiled = evq.withColumn("b", batch).drop("q4")
     bounds = ev.agg(
         F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
     ).first()

@@ -27,7 +27,7 @@ from realestatedeals_spark.plans.events import _E30_TRANSITIONS_ORACLE
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
 from realestatedeals_spark.streaming.stateful import transition_deltas
-from realestatedeals_spark.streaming.replay import write_epoch_dirs
+from realestatedeals_spark.streaming.replay import time_tiles, write_epoch_dirs
 
 
 @register(
@@ -43,7 +43,7 @@ def c13_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
-    tiled = ev.withColumn("tile", F.ntile(3).over(W.orderBy("ts", "event_id")))
+    tiles = time_tiles(ev, 3)  # exact ntile membership, no unpartitioned window
 
     work = tempfile.mkdtemp(prefix="transitions_stream_")
     try:
@@ -51,7 +51,7 @@ def c13_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(in_dir)
         write_epoch_dirs(
             in_dir,
-            [tiled.filter(F.col("tile") == i).drop("tile") for i in (1, 2, 3)],
+            tiles,
             start=1,
         )
 

@@ -57,3 +57,33 @@ def test_ntile_exact_matches_ntile_including_uneven_split(spark):
             ).collect()
         }
         assert got == want, f"ntile mismatch at n={n_rows}"
+
+
+def test_time_tiles_matches_ntile_membership(spark):
+    """streaming/replay.time_tiles must reproduce ntile's tile membership
+    exactly (the replay oracles depend on batch boundaries), including
+    duplicate composite keys never straddling determinism and the uneven
+    split — without any unpartitioned window in the tile plans."""
+    import datetime
+
+    from realestatedeals_spark.streaming.replay import time_tiles
+    from realestatedeals_spark.util import unpartitioned_windows
+
+    base = datetime.datetime(2024, 3, 10, 0, 30)  # crosses a US DST jump
+    rows = [
+        (i, base + datetime.timedelta(minutes=17 * (i % 50)), f"u{i % 7}")
+        for i in range(101)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id string")
+    tiles = time_tiles(df, 3)
+    want = df.select(
+        "event_id", F.ntile(3).over(W.orderBy("ts", "event_id")).alias("tile")
+    ).collect()
+    want_by_tile = {
+        k: {r["event_id"] for r in want if r["tile"] == k} for k in (1, 2, 3)
+    }
+    for k, t in enumerate(tiles, start=1):
+        got = {r["event_id"] for r in t.collect()}
+        assert got == want_by_tile[k], f"tile {k} membership diverged"
+        plan = t._jdf.queryExecution().executedPlan().toString()
+        assert unpartitioned_windows(plan) == 0
