@@ -240,7 +240,27 @@ class Catalog:
                     name: pool.submit(self.table(name).commit, df)
                     for name, df in updates.items()
                 }
-            new_pins = {name: f.result() for name, f in futs.items()}
+            # Collect EVERY failure before raising: with concurrent writes,
+            # surfacing only dict-order's first f.result() exception would
+            # silently discard the others' diagnostics on a multi-table
+            # failure. Raise the first, log the rest.
+            failures: dict[str, BaseException] = {}
+            for name, f in futs.items():
+                try:
+                    new_pins[name] = f.result()
+                except BaseException as exc:  # noqa: BLE001 — re-raised below
+                    failures[name] = exc
+            if failures:
+                if len(failures) > 1:
+                    import logging
+
+                    for name, exc in list(failures.items())[1:]:
+                        logging.getLogger(__name__).error(
+                            "catalog commit: concurrent phase-1 write of "
+                            "table %r ALSO failed: %s: %s",
+                            name, type(exc).__name__, exc,
+                        )
+                raise next(iter(failures.values()))
         else:
             for name, df in updates.items():
                 new_pins[name] = self.table(name).commit(df)

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from realestatedeals_spark.util import free_local_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -50,6 +52,8 @@ def pagerank(
     e_deg.count()
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    prev_ckpt = None
+    pending_contribs: list[DataFrame] = []
     for it in range(iters):
         contribs = (
             e_deg.join(ranks, e_deg.src == ranks.node)
@@ -84,8 +88,19 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        pending_contribs.append(contribs)
         if (it + 1) % 4 == 0 and it + 1 < iters:
-            ranks = ranks.localCheckpoint()
+            # eager + free-previous (see pagerank_micros): live checkpoint
+            # storage stays ~1 rank frame; the per-iteration contribs
+            # persists behind the new checkpoint are also released here
+            # (cache-manager entries — plain unpersist works for those).
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                free_local_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
+            for c in pending_contribs:
+                c.unpersist()
+            pending_contribs = []
     return ranks
 
 
@@ -124,6 +139,7 @@ def pagerank_micros(
 
     base = (15 * scale) // (100 * n)  # exact python int, same formula as SQL
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    prev_ckpt = None
     for it in range(iters):
         contribs = (
             e_deg.join(ranks, e_deg.src == ranks.node)
@@ -148,12 +164,19 @@ def pagerank_micros(
                 ).cast("long").alias("r"),
             )
         )
-        # Truncate the rank lineage EVERY iteration (lazy checkpoint: the
-        # frame becomes a LogicalRDD at plan level, materialized on first
-        # use). Without this the unrolled 3-iteration plan re-derived every
-        # iteration from the base scans — 153 shuffles / 146 scans printed
-        # vs ~per-iteration counts now; integer arithmetic is unaffected,
-        # so the SQL fixpoint oracle stays hash-exact.
+        # Truncate the rank lineage EVERY iteration. Without this the
+        # unrolled 3-iteration plan re-derived every iteration from the
+        # base scans — 153 shuffles / 146 scans printed vs ~per-iteration
+        # counts now; integer arithmetic is unaffected, so the SQL fixpoint
+        # oracle stays hash-exact. EAGER + free-previous (round 11, ADVICE):
+        # once iteration k's checkpoint has materialized, iteration k−1's
+        # storage is unreachable by anything downstream — freeing it bounds
+        # live checkpoint storage at ~2 rank frames instead of growing
+        # linearly with iters for the session's lifetime. (The final
+        # checkpoint stays persisted: the returned lazy frame reads it.)
         if it + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                free_local_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
     return ranks

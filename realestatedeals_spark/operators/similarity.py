@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from realestatedeals_spark.util import free_local_checkpoint
+
 
 def dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
@@ -215,12 +217,23 @@ def rp_lsh_candidate_pairs(
     n_planes: int = 4,
     n_tables: int = 16,
     seed: int = 42,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """RP-LSH candidate pairs (id_a < id_b, distinct): a pair is a candidate
     iff it shares the sign-bucket of ANY of the ``n_tables`` independent
     hyperplane sets (OR-amplification). Exposed separately so pruning can be
     measured directly — candidate count vs N(N−1)/2 is THE scale number for
-    this operator (asserted in tests/test_similarity.py)."""
+    this operator (asserted in tests/test_similarity.py).
+
+    ``bucket_cap=K`` bounds each (table, bucket)'s membership to its K
+    lowest-id vectors BEFORE the pair join explodes, making total candidate
+    volume ≤ n_tables · 2^n_planes · K²/2 — CONSTANT in corpus size. This
+    is the cap-with-accounting seam for weak-threshold demos whose buckets
+    are quadratically occupied by construction (see
+    rp_lsh_near_duplicates' max_pairs path); the members dropped are
+    counted and logged, never silently discarded. The cap trades recall
+    deterministically (keeps lowest ids); production configurations size
+    n_planes so buckets stay small instead (adaptive_rp_lsh_params)."""
     import pandas as pd
 
     # All n_tables × n_planes sign bits in one vectorized sweep per Arrow
@@ -254,6 +267,28 @@ def rp_lsh_candidate_pairs(
         .mapInPandas(bucketize, schema="_id long, tbl int, bucket long")
         .localCheckpoint(eager=True)
     )
+    if bucket_cap is not None:
+        wb = W.partitionBy("tbl", "bucket").orderBy("_id")
+        ranked = keyed.withColumn("_rk", F.row_number().over(wb))
+        dropped = ranked.filter(F.col("_rk") > bucket_cap).count()
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "rp_lsh_candidate_pairs: bucket_cap=%d dropped %d "
+                "(table, bucket) memberships before pair generation — "
+                "candidate volume is bounded at %d pairs; recall loss is "
+                "deterministic (lowest ids kept)",
+                bucket_cap, dropped,
+                n_tables * (2 ** n_planes) * bucket_cap * (bucket_cap - 1) // 2,
+            )
+        capped = (
+            ranked.filter(F.col("_rk") <= bucket_cap)
+            .drop("_rk")
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(keyed)  # capped is self-contained now
+        keyed = capped
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
@@ -299,9 +334,28 @@ def rp_lsh_near_duplicates(
     """
     import pandas as pd
 
+    # Cap-with-accounting AHEAD of the verify join (round 11 — the round-10
+    # cap bounded the OUTPUT but still cosine-verified every candidate:
+    # 130M exact cosines at gen sf1.0 for a 2M-pair demo). A weak threshold
+    # needs few planes, so buckets are quadratically occupied by
+    # construction; ``max_pairs`` becomes a CANDIDATE budget, realized as a
+    # per-(table, bucket) membership cap K with
+    # n_tables · 2^n_planes · K²/2 ≤ max_pairs — candidate volume, verify
+    # volume, and output are all bounded by max_pairs CONSTANT in corpus
+    # size, and the dropped memberships are logged inside
+    # rp_lsh_candidate_pairs. Precision stays exact (every emitted pair is
+    # cosine-verified); the cap trades recall, deterministically and
+    # audibly. Fixture buckets sit far under K, so oracle sweeps are
+    # unchanged — see SCALE.md "Banded-LSH threshold guidance" for why the
+    # production answer is a higher threshold, not a bigger budget.
+    bucket_cap = None
+    if max_pairs is not None:
+        bucket_cap = max(
+            2, int((2 * max_pairs / (n_tables * 2 ** n_planes)) ** 0.5)
+        )
     cand = rp_lsh_candidate_pairs(
         emb, id_col=id_col, vec_col=vec_col, dim=dim,
-        n_planes=n_planes, n_tables=n_tables, seed=seed,
+        n_planes=n_planes, n_tables=n_tables, seed=seed, bucket_cap=bucket_cap,
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -334,30 +388,7 @@ def rp_lsh_near_duplicates(
             )
             yield out[out["cosine"] >= threshold]
 
-    pairs = joined.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
-    if max_pairs is None:
-        return pairs
-    # Cap-with-accounting: a weak threshold on a concentrated corpus makes
-    # the OUTPUT itself quadratic (gen sf1.0 at 0.45 emits 13.8M pairs
-    # while the production threshold emits 4,279 — SCALE.md "Banded-LSH
-    # threshold guidance"). Nothing downstream of a near-dup pass consumes
-    # an unbounded pair list, so the loose variant keeps the strongest
-    # ``max_pairs`` pairs (cosine desc, then ids — deterministic) through
-    # a TakeOrderedAndProject (per-partition heaps, no global sort) and
-    # LOGS what it dropped — a silent cap would read as full coverage.
-    pairs = pairs.localCheckpoint(eager=True)  # count + reuse, one compute
-    total = pairs.count()
-    if total <= max_pairs:
-        return pairs
-    import logging
-
-    logging.getLogger(__name__).warning(
-        "rp_lsh_near_duplicates: output capped at %d of %d verified pairs "
-        "(%d dropped) — threshold %.2f is below the production range; see "
-        "SCALE.md 'Banded-LSH threshold guidance'",
-        max_pairs, total, total - max_pairs, threshold,
-    )
-    return pairs.orderBy(F.desc("cosine"), "id_a", "id_b").limit(max_pairs)
+    return joined.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
 
 
 # ---------------------------------------------------------------------------

@@ -71,3 +71,21 @@ def unpartitioned_windows(plan: str) -> int:
         if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
             n += 1
     return n
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the executor storage held by an eagerly-materialized
+    ``localCheckpoint``'ed DataFrame. ``DataFrame.unpersist()`` is a no-op
+    for local checkpoints (the persisted entity is the underlying RDD, not
+    a cache-manager entry), so iterative operators that checkpoint per
+    iteration would otherwise hold every iteration's storage for the
+    session's lifetime. Reaches the LogicalRDD's rdd and unpersists it.
+
+    Only call once every downstream consumer has itself materialized:
+    local checkpointing TRUNCATES lineage, so a freed RDD cannot be
+    recomputed — an un-materialized dependent would fail, not recompute.
+    """
+    try:
+        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — plan shape changed: storage leak only
+        pass
