@@ -22,6 +22,7 @@ def main() -> None:
     from realestatedeals_spark.plans import bench_queries
     from realestatedeals_spark.session import get_spark
 
+    load_start = os.getloadavg()[0]
     spark = get_spark("bench")
     # Warm-up outside the timed region: one untimed pass of the full set so
     # the timed pass measures steady-state plan execution, not JVM/codegen
@@ -77,10 +78,21 @@ def main() -> None:
     # stdout line therefore stays COMPACT (best-of-3 timings only, separators
     # without spaces); the full payload incl. medians/method/errors goes to
     # bench_results/bench_full.json on disk.
+    # Self-diagnosis fields (round 11, verdict task 6): the round-10 driver
+    # artifact recorded 100.4s on a contended host vs 55.4s clean, and only
+    # a judge re-run could tell. median_total and start/end 1-minute
+    # loadavg make that call from the artifact alone: a clean run has
+    # median_total ≈ value and loadavg ≈ the bench's own cores; a contended
+    # one shows median_total >> value and/or high external load. Per-query
+    # medians stay in bench_results/bench_full.json — inlining them doubled
+    # the line past the driver's ~2000-char stdout tail window (round 7).
+    load_end = os.getloadavg()[0]
     payload: dict = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "median_total": round(sum(medians.values()), 3),
+        "loadavg": [round(load_start, 1), round(load_end, 1)],
         "queries": {**timings, **{k: "error" for k in failed}},
         "sf": sf_val,
     }

@@ -361,7 +361,12 @@ GROUP BY a.d
 """
 
 
-@register("range_join_daily_overlap", oracle=_OVERLAP_ORACLE, tags=("range-join", "interval", "sweep-line"))
+@register(
+    "range_join_daily_overlap",
+    oracle=_OVERLAP_ORACLE,
+    tags=("range-join", "interval", "sweep-line"),
+    bench=True,  # round 11: driver-visible so the sweep-line fix can't silently regress
+)
 def range_join_daily_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.operators.range_join import interval_overlap_count
 

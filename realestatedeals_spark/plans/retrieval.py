@@ -376,7 +376,12 @@ SELECT qid, CAST(3 AS INTEGER), did, CAST(score AS BIGINT) FROM p3
 """
 
 
-@register("x9_rerank_mmr", oracle=_X9_MMR_ORACLE, tags=("X9", "retrieval", "rerank"))
+@register(
+    "x9_rerank_mmr",
+    oracle=_X9_MMR_ORACLE,
+    tags=("X9", "retrieval", "rerank"),
+    bench=True,  # round 11: driver-visible so the ANN candidate fix can't silently regress
+)
 def x9_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.plans.llm_vectors import dot, l2norm
 
