@@ -45,8 +45,46 @@ def global_rank(
     import pandas as pd
 
     spark = df.sparkSession
+    n_hint: int | None = None
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # Size partitions to the data (~64k rows each, >=1): the rank stage
+        # is an Arrow round-trip per task, so 32 near-empty tasks cost ~1s
+        # of pure Python-worker choreography on a 10k-row fixture frame
+        # (measured), while huge frames still fan out to the session's
+        # shuffle width. One extra metadata-cheap count of the parent.
+        n_hint = df.count()
+        num_partitions = max(1, min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            n_hint // 65536 + 1,
+        ))
+    from pyspark.sql import types as T
+
+    def add_local_rank(batches):
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_local"] = np.arange(seen + 1, seen + 1 + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    if num_partitions == 1:
+        # Single-partition fast path (tiny/fixture frames — the adaptive
+        # sizing above lands here under ~64k rows): with one partition the
+        # local rank IS the global rank, so the checkpoint pin, the counts
+        # job, and the offsets join all vanish — two fewer Spark jobs per
+        # call, which is the dominant cost at fixture scale. Still adaptive:
+        # the same call grows its partition count with the data.
+        d1 = df.repartitionByRange(1, *order_exprs).sortWithinPartitions(*order_exprs)
+        out_schema = T.StructType(
+            list(d1.schema.fields) + [T.StructField("_local", T.LongType())]
+        )
+        ranked = d1.mapInPandas(add_local_rank, schema=out_schema)
+        total = n_hint if n_hint is not None else df.count()
+        return (
+            ranked.withColumn(out_col, F.col("_local").cast("long")).drop("_local"),
+            total,
+        )
+
     # localCheckpoint FREEZES the range partitioning: RangePartitioner
     # samples its boundaries per-execution (seeded off the physical RDD id),
     # so the counts job and the rank job below would otherwise each draw
@@ -72,19 +110,9 @@ def global_rank(
         acc += n
     off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
 
-    from pyspark.sql import types as T
-
     out_schema = T.StructType(
         list(d2.schema.fields) + [T.StructField("_local", T.LongType())]
     )
-
-    def add_local_rank(batches):
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_local"] = np.arange(seen + 1, seen + 1 + len(pdf), dtype=np.int64)
-            seen += len(pdf)
-            yield pdf
 
     ranked = d2.mapInPandas(add_local_rank, schema=out_schema)
     return (
