@@ -488,7 +488,7 @@ def _km_dist(v: str, c: str) -> str:
     )
 
 
-def _km_oracle(final: str | None = None) -> str:
+def _km_oracle(final: str | None = None, extra: list[str] | None = None) -> str:
     parts = [
         f"""v AS (
   SELECT vec_id,
@@ -521,6 +521,8 @@ c{t} AS (
            list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY i) AS cv
     FROM s{t} GROUP BY cid) u ON p.cid = u.cid)"""
             )
+    if extra:
+        parts.extend(extra)
     if final is None:
         final = (
             f"SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist_sq"
@@ -530,6 +532,69 @@ c{t} AS (
 
 
 _KM_ORACLE = _km_oracle()
+
+
+def _micros_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v: array<long>) — embeddings floored to integer micros, the
+    exact representation every deterministic-trainer query shares."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+        ).alias("v"),
+    )
+
+
+def _int_dist_sq(v: F.Column, cv: list[int]) -> F.Column:
+    """Exact BIGINT squared distance of an int64 vector column to a literal
+    centroid (k·dim literals ride in the plan — broadcast-sized)."""
+    carr = F.array(*[F.lit(int(c)).cast("long") for c in cv])
+    return F.aggregate(
+        F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _km_assign(df: DataFrame, cents: list[list[int]]) -> DataFrame:
+    structs = []
+    for cid, cv in enumerate(cents):
+        d = _int_dist_sq(F.col("v"), cv)
+        structs.append(F.struct(d.alias("d"), F.lit(cid).cast("int").alias("c")))
+    return (
+        df.withColumn("best", F.array_min(F.array(*structs)))
+        .withColumn("dist_sq", F.col("best.d"))
+        .withColumn("cluster", F.col("best.c"))
+        .drop("best")
+    )
+
+
+def _kmeans_micros(emb: DataFrame) -> tuple[DataFrame, list[list[int]]]:
+    """Deterministic integer Lloyd's (k=_KM_K, _KM_ITERS assignment passes)
+    over a (vec_id, v) micros frame. Returns (final assignment frame with
+    cluster/dist_sq, final centroids) — shared by x3_kmeans_assign and the
+    stored-IVF index build so both stay bit-equal to the SQL replay."""
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    ]
+    assigned = _km_assign(emb, cents)
+    for _ in range(_KM_ITERS - 1):
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("i", "val"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc = {(r["cluster"], r["i"]): (r["s"], r["n"]) for r in sums}
+        cents = [
+            [acc[(cid, i)][0] // acc[(cid, i)][1] for i in range(_KM_DIM)]
+            if (cid, 0) in acc
+            else list(cents[cid])
+            for cid in range(_KM_K)
+        ]
+        assigned = _km_assign(emb, cents)
+    return assigned, cents
 
 
 @register("x3_kmeans_assign", oracle=_KM_ORACLE, tags=("X3", "vectors", "ml", "clustering"))
@@ -553,51 +618,140 @@ def x3_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     for large k the literal centroids would become a broadcast-joined
     frame at the same seam.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
-        ).alias("v"),
-    )
-    cents = [
-        list(r["v"])
-        for r in emb.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
-    ]
-
-    def assign(df: DataFrame, cents: list[list[int]]) -> DataFrame:
-        structs = []
-        for cid, cv in enumerate(cents):
-            carr = F.array(*[F.lit(int(c)).cast("long") for c in cv])
-            d = F.aggregate(
-                F.zip_with(F.col("v"), carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            structs.append(F.struct(d.alias("d"), F.lit(cid).cast("int").alias("c")))
-        return (
-            df.withColumn("best", F.array_min(F.array(*structs)))
-            .withColumn("dist_sq", F.col("best.d"))
-            .withColumn("cluster", F.col("best.c"))
-            .drop("best")
-        )
-
-    assigned = assign(emb, cents)
-    for _ in range(_KM_ITERS - 1):
-        sums = (
-            assigned.select("cluster", F.posexplode("v").alias("i", "val"))
-            .groupBy("cluster", "i")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        acc = {(r["cluster"], r["i"]): (r["s"], r["n"]) for r in sums}
-        cents = [
-            [acc[(cid, i)][0] // acc[(cid, i)][1] for i in range(_KM_DIM)]
-            if (cid, 0) in acc
-            else list(cents[cid])
-            for cid in range(_KM_K)
-        ]
-        assigned = assign(emb, cents)
+    emb = _micros_vectors(spark, sf_dir)
+    assigned, _cents = _kmeans_micros(emb)
     return assigned.select("vec_id", "cluster", "dist_sq")
+
+
+# ---------------------------------------------------------------------------
+# X3 — STORED IVF index with partition-pruned probes (round 11): the vector
+# analogue of the stored inverted text index (x9_inverted_index_search) and
+# the bloom point-lookup. Every other ANN query recomputes its structure
+# in-flight; a production corpus builds the index ONCE and answers queries
+# with index-sized I/O. Here: the deterministic integer k-means above
+# (k=8, 3 passes — bit-equal on both engines) assigns every vector to a
+# cell, the corpus is PERSISTED partitioned by cell id, and each query
+# reads only its nprobe=2 nearest cells — the parquet scan shows
+# PartitionFilters on `cluster` (pinned in tests/test_plan_quality-style
+# assertion inside tests/test_similarity.py), so probe I/O is
+# cells-touched-sized, not corpus-sized. Ranking inside the probed cells
+# is the exact BIGINT squared distance with (dist, id) ties — the whole
+# pipeline (train → store → probe → rank) is restated in SQL, so the
+# query is HASH-EXACT even though it is "approximate" retrieval: the
+# probe-set semantics are part of the statement on both engines.
+# At 100 TB: nlist grows ∝ √N (adaptive_ivf_params), the partition key
+# becomes a bounded cell-bucket, and the same pruned-read plan holds.
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 2
+_IVF_TOPK = 5
+
+_IVF_STORED_ORACLE = _km_oracle(
+    extra=[
+        f"""qs AS (
+  SELECT vec_id AS qid, v AS qv FROM v
+  WHERE vec_id % 100 = 0 AND vec_id < 10000)""",
+        f"""crk AS (
+  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rk
+  FROM (SELECT q.qid, c.cid, {_km_dist('q.qv', 'c.cv')} AS d
+        FROM qs q, c{_KM_ITERS - 1} c))""",
+        f"""probe AS (SELECT qid, cid FROM crk WHERE rk <= {_IVF_NPROBE})""",
+        f"""cand AS (
+  SELECT p.qid, a.vec_id AS neighbor_id, a.v
+  FROM probe p JOIN a{_KM_ITERS} a ON a.cluster = p.cid
+  WHERE a.vec_id <> p.qid)""",
+        f"""scored AS (
+  SELECT c.qid, c.neighbor_id, {_km_dist('q.qv', 'c.v')} AS dist_sq
+  FROM cand c JOIN qs q ON q.qid = c.qid)""",
+    ],
+    final=f"""SELECT qid AS query_id, neighbor_id, CAST(rk AS INTEGER) AS rk, dist_sq
+FROM (SELECT qid, neighbor_id, dist_sq,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_sq, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {_IVF_TOPK}""",
+)
+
+
+@register(
+    "x3_ivf_stored_topk",
+    oracle=_IVF_STORED_ORACLE,
+    tags=("X3", "vectors", "ann", "index", "storage"),
+)
+def x3_ivf_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors per query answered from a STORED, cell-partitioned
+    IVF index with nprobe=2 partition-pruned reads. See the block comment
+    above; hash-exact — the probe semantics are stated in the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = _micros_vectors(spark, sf_dir)
+    assigned, cents = _kmeans_micros(emb)
+
+    work = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        idx_path = os.path.join(work, "cells")
+        assigned.select("vec_id", "v", "cluster").write.partitionBy("cluster").parquet(
+            idx_path
+        )
+
+        queries = emb.filter(
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000)
+        ).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        # per-query nprobe nearest cells: k×dim centroid literals, ranked by
+        # exact integer distance with (d, cid) ties — tiny frame, collected
+        # like the centroids themselves (probe PAIRS are metadata, ≤ Q·nprobe)
+        dists = queries.select(
+            "qid",
+            F.array(
+                *[
+                    F.struct(
+                        _int_dist_sq(F.col("qv"), cv).alias("d"),
+                        F.lit(cid).cast("int").alias("c"),
+                    )
+                    for cid, cv in enumerate(cents)
+                ]
+            ).alias("ds"),
+        ).select("qid", F.slice(F.array_sort("ds"), 1, _IVF_NPROBE).alias("near"))
+        probe_rows = dists.select(
+            "qid", F.transform("near", lambda s: s["c"]).alias("cids")
+        ).collect()
+        probed_cells = sorted({int(c) for r in probe_rows for c in r["cids"]})
+        probe_pairs = spark.createDataFrame(
+            [(r["qid"], int(c)) for r in probe_rows for c in r["cids"]],
+            "qid long, cluster int",
+        )
+
+        # the literal IN-filter is what turns into PartitionFilters on the
+        # cell-partitioned scan: only probed cell directories are listed/read
+        idx = spark.read.parquet(idx_path).filter(F.col("cluster").isin(probed_cells))
+        cand = (
+            idx.join(F.broadcast(probe_pairs), "cluster")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .join(F.broadcast(queries), "qid")
+        )
+        dist = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = cand.select(
+            "qid", F.col("vec_id").alias("neighbor_id"), dist.alias("dist_sq")
+        )
+        w = W.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
+        out = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _IVF_TOPK)
+            .select(
+                F.col("qid").alias("query_id"),
+                "neighbor_id",
+                F.col("rk").cast("int").alias("rk"),
+                "dist_sq",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -71,7 +71,9 @@ _UNPART_WINDOW_WHITELIST = {
 # execute real streaming replays on invocation AND return localCheckpoint
 # results (the gate would inspect a truncated RDD-scan plan — no signal
 # for minutes of runtime); each is oracle-checked end-to-end instead
-_SKIP = {"c3_streaming_cdc", "c4_stateful_user_stats", "c5_stream_dedup",
+_SKIP = {"x3_ivf_stored_topk",  # k-means train + index write at plan build;
+         # its pruned-scan property is pinned in tests/test_similarity.py
+         "c3_streaming_cdc", "c4_stateful_user_stats", "c5_stream_dedup",
          "c13_stream_transition_matrix", "c14_stream_catalog_txn",
          "c15_stream_lm_counts", "c16_stream_lm_score",
          "c15b_stream_lm_delta_fold", "c17_stream_media_dedup",

@@ -564,3 +564,33 @@ def test_rp_lsh_query_candidates_noise_fixture_prunes(spark, sf_dir):
         got = by_q.get(int(ids[qi]), set())
         recalls.append(np.mean([int(t) in got for t in top8]))
     assert 0.05 <= np.mean(recalls), f"noise-corpus recall collapsed: {np.mean(recalls):.2f}"
+
+
+def test_ivf_stored_index_prunes_partitions(spark, sf_dir):
+    """The stored-IVF query's contract is index-sized I/O: the
+    cell-partitioned scan must carry PartitionFilters on `cluster` (only
+    probed cell directories listed/read) and no full-corpus scan. Also
+    sanity-pins that probing nprobe=2 of k=8 cells reads a strict subset
+    of the corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from realestatedeals_spark.plans.llm_vectors import _kmeans_micros, _micros_vectors
+
+    emb = _micros_vectors(spark, sf_dir)
+    n = emb.count()
+    assigned, _cents = _kmeans_micros(emb)
+    work = tempfile.mkdtemp(prefix="ivf_test_")
+    try:
+        p = os.path.join(work, "cells")
+        assigned.select("vec_id", "v", "cluster").write.partitionBy("cluster").parquet(p)
+        idx = spark.read.parquet(p).filter(F.col("cluster").isin([0, 1]))
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cluster" in plan.replace("#", " #").replace(
+            "cluster #", "cluster#"
+        ) or "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:80]
+        read = idx.count()
+        assert 0 < read < n, f"pruned read {read} should be a strict subset of {n}"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -43,6 +43,7 @@ SKIP = {
     "io_bucketed_join": "managed-table write at plan build",
     "x3_pq_topk": "k-means training at plan build",
     "x3_ivf_topk": "k-means training at plan build",
+    "x3_ivf_stored_topk": "k-means training + index write at plan build",
     "x2_semdedup": "k-means training at plan build",
     "x3_cosine_topk_gemm": "driver-side chunked GEMM at plan build",
     "x4_bpe_encode": "BPE training at plan build",
