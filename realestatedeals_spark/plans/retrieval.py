@@ -395,9 +395,34 @@ def x9_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q.select(F.col("qid").alias("vec_id"), F.col("qv").alias("embedding")),
         n_planes=8, n_tables=16,
     )
-    rel = F.floor(
-        1000000 * (dot(F.col("qv"), F.col("embedding")) / (l2norm(F.col("qv")) * l2norm(F.col("embedding"))))
-    ).cast("long")
+    # Vectorized rel scoring (round 11): the interpreted higher-order
+    # aggregates (zip_with + aggregate × 3 per row) were the residual cost
+    # once candidates were LSH-bounded. One fused numpy sweep per Arrow
+    # batch, dimension-by-dimension accumulation — the same left-to-right
+    # double-add order as F.aggregate / DuckDB list_reduce, so the floored
+    # micros stay bit-identical to the oracle (the gemm_cosine_pairs
+    # precedent, pinned bit-identical in tests/test_similarity.py).
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["ev"].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(a))
+            na = np.zeros(len(a))
+            nb = np.zeros(len(a))
+            for d in range(a.shape[1]):
+                acc += a[:, d] * b[:, d]
+                na += a[:, d] * a[:, d]
+                nb += b[:, d] * b[:, d]
+            rel = np.floor(1e6 * (acc / (np.sqrt(na) * np.sqrt(nb)))).astype(np.int64)
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "did": pdf["did"], "ev": pdf["ev"], "rel": rel}
+            )
+
     scored = (
         cands.join(
             emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
@@ -405,8 +430,9 @@ def x9_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q), F.col("query_id") == F.col("qid"))
         .select(
             "qid", F.col("neighbor_id").alias("did"),
-            F.col("embedding").alias("ev"), rel.alias("rel"),
+            F.col("embedding").alias("ev"), "qv",
         )
+        .mapInPandas(score, schema="qid long, did long, ev array<float>, rel long")
     )
     wq = W.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("did"))
     cand = (
