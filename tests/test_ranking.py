@@ -87,3 +87,29 @@ def test_time_tiles_matches_ntile_membership(spark):
         assert got == want_by_tile[k], f"tile {k} membership diverged"
         plan = t._jdf.queryExecution().executedPlan().toString()
         assert unpartitioned_windows(plan) == 0
+
+
+def test_global_rank_and_tiles_degenerate_inputs(spark):
+    """Empty frames and n < n_tiles must not crash or mis-bucket: empty →
+    all-empty tiles and total 0; 2 rows into 3 tiles → ntile's own
+    placement (one row in each of the first two tiles, third empty)."""
+    import datetime
+
+    from realestatedeals_spark.operators.ranking import global_rank, ntile_exact
+    from realestatedeals_spark.streaming.replay import time_tiles
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long"
+    )
+    ranked, n = global_rank(empty, [F.asc("ts"), F.asc("event_id")], out_col="rk")
+    assert n == 0 and ranked.count() == 0
+    assert all(t.count() == 0 for t in time_tiles(empty, 3))
+
+    two = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 7), (2, datetime.datetime(2024, 1, 2), 8)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    tiles = time_tiles(two, 3)
+    assert [t.count() for t in tiles] == [1, 1, 0]
+    q = ntile_exact(two, [F.asc("ts"), F.asc("event_id")], 3, out_col="q")
+    assert sorted(r["q"] for r in q.collect()) == [1, 2]
