@@ -101,6 +101,19 @@ def pagerank(
             for c in pending_contribs:
                 c.unpersist()
             pending_contribs = []
+    # Final eager checkpoint so EVERYTHING behind it can be released now:
+    # without it the tail iterations' contribs persists (all of them when
+    # iters ≤ 4 — the cadence condition never fires) plus the nodes/e_deg
+    # caches would stay in executor storage for the session's lifetime.
+    # The caller materializes the result anyway; only this checkpoint
+    # remains live, and it IS the returned data.
+    ranks = ranks.localCheckpoint(eager=True)
+    if prev_ckpt is not None:
+        free_local_checkpoint(prev_ckpt)
+    for c in pending_contribs:
+        c.unpersist()
+    nodes.unpersist()
+    e_deg.unpersist()
     return ranks
 
 
@@ -179,4 +192,14 @@ def pagerank_micros(
             if prev_ckpt is not None:
                 free_local_checkpoint(prev_ckpt)
             prev_ckpt = ranks
+    # Same closing release as ``pagerank``: checkpoint the final ranks so
+    # the last interior checkpoint and the nodes/e_deg caches — all dead
+    # once this materializes — can be freed instead of living out the
+    # session. Integer values are unaffected; the g3b oracle stays
+    # hash-exact.
+    ranks = ranks.localCheckpoint(eager=True)
+    if prev_ckpt is not None:
+        free_local_checkpoint(prev_ckpt)
+    nodes.unpersist()
+    e_deg.unpersist()
     return ranks

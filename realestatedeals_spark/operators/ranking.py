@@ -28,6 +28,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def adaptive_rank_partitions(n_rows: int, spark) -> int:
+    """Partition count for a rank/ntile pass over ``n_rows`` rows: ~64k rows
+    per partition (the rank stage is an Arrow round-trip per task, so
+    near-empty tasks are pure choreography), capped at the session's shuffle
+    width, floor 1. The ONE home for this sizing — callers that pre-count
+    their frame (e31's checkpointed RFM frame) pass the count here instead
+    of restating the constants."""
+    return max(1, min(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        n_rows // 65536 + 1,
+    ))
+
+
 def global_rank(
     df: DataFrame,
     order_exprs: list[Column],
@@ -53,10 +66,7 @@ def global_rank(
         # (measured), while huge frames still fan out to the session's
         # shuffle width. One extra metadata-cheap count of the parent.
         n_hint = df.count()
-        num_partitions = max(1, min(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-            n_hint // 65536 + 1,
-        ))
+        num_partitions = adaptive_rank_partitions(n_hint, spark)
     from pyspark.sql import types as T
 
     def add_local_rank(batches):
@@ -115,12 +125,30 @@ def global_rank(
     )
 
     ranked = d2.mapInPandas(add_local_rank, schema=out_schema)
-    return (
+    out = (
         ranked.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, (F.col("_local") + F.col("_offset")).cast("long"))
-        .drop("_pid", "_local", "_offset"),
-        total,
+        .drop("_pid", "_local", "_offset")
     )
+    # Expose the pinned checkpoint so callers that fully consume the ranked
+    # frame (e.g. time_tiles' boundary collect) can release its executor
+    # storage via free_rank_pin — DataFrame.unpersist is a no-op for local
+    # checkpoints, so without this the pin lives for the session.
+    out._rank_pin = d2  # type: ignore[attr-defined]
+    return out, total
+
+
+def free_rank_pin(ranked: DataFrame) -> None:
+    """Release the localCheckpoint ``global_rank`` pinned under ``ranked``
+    (no-op for the single-partition fast path, which pins nothing). Call
+    ONLY when the ranked frame will never be re-evaluated — the checkpoint's
+    lineage is truncated, so a later action on ``ranked`` would fail rather
+    than recompute."""
+    from realestatedeals_spark.util import free_local_checkpoint
+
+    pin = getattr(ranked, "_rank_pin", None)
+    if pin is not None:
+        free_local_checkpoint(pin)
 
 
 def ntile_exact(

@@ -269,8 +269,15 @@ def rp_lsh_candidate_pairs(
     )
     if bucket_cap is not None:
         wb = W.partitionBy("tbl", "bucket").orderBy("_id")
-        ranked = keyed.withColumn("_rk", F.row_number().over(wb))
-        dropped = ranked.filter(F.col("_rk") > bucket_cap).count()
+        capped = (
+            keyed.withColumn("_rk", F.row_number().over(wb))
+            .filter(F.col("_rk") <= bucket_cap)
+            .drop("_rk")
+            .localCheckpoint(eager=True)
+        )
+        # Both frames are eager checkpoints, so the drop accounting is two
+        # metadata-cheap counts — not a second run of the window job.
+        dropped = keyed.count() - capped.count()
         if dropped:
             import logging
 
@@ -282,11 +289,6 @@ def rp_lsh_candidate_pairs(
                 bucket_cap, dropped,
                 n_tables * (2 ** n_planes) * bucket_cap * (bucket_cap - 1) // 2,
             )
-        capped = (
-            ranked.filter(F.col("_rk") <= bucket_cap)
-            .drop("_rk")
-            .localCheckpoint(eager=True)
-        )
         free_local_checkpoint(keyed)  # capped is self-contained now
         keyed = capped
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -353,6 +355,13 @@ def rp_lsh_near_duplicates(
         bucket_cap = max(
             2, int((2 * max_pairs / (n_tables * 2 ** n_planes)) ** 0.5)
         )
+        # With the un-floored cap K ≥ 2, candidates ≤ T·2^p·K(K−1)/2 ≤
+        # max_pairs, so the output bound holds for free. When the budget is
+        # so small the floor of 2 engaged (max_pairs < 2·T·2^p), candidate
+        # volume is still bounded at T·2^p pairs but may exceed max_pairs —
+        # that tiny residue is re-capped after verify below, keeping
+        # max_pairs a HARD output contract for every budget.
+        cand_bound = n_tables * (2 ** n_planes) * bucket_cap * (bucket_cap - 1) // 2
     cand = rp_lsh_candidate_pairs(
         emb, id_col=id_col, vec_col=vec_col, dim=dim,
         n_planes=n_planes, n_tables=n_tables, seed=seed, bucket_cap=bucket_cap,
@@ -388,7 +397,30 @@ def rp_lsh_near_duplicates(
             )
             yield out[out["cosine"] >= threshold]
 
-    return joined.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
+    pairs = joined.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
+    if max_pairs is not None and cand_bound > max_pairs:
+        # Floored-cap budgets only (max_pairs < 2·n_tables·2^n_planes): the
+        # verified set is ≤ n_tables·2^n_planes rows here, so the eager
+        # checkpoint + count + TakeOrdered are all trivially cheap.
+        pairs = pairs.localCheckpoint(eager=True)
+        total = pairs.count()
+        if total > max_pairs:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "rp_lsh_near_duplicates: output capped at %d of %d verified "
+                "pairs (%d dropped) — budget below the bucket-cap floor "
+                "(max_pairs < 2·n_tables·2^n_planes)",
+                max_pairs, total, total - max_pairs,
+            )
+            capped_out = (
+                pairs.orderBy(F.desc("cosine"), "id_a", "id_b")
+                .limit(max_pairs)
+                .localCheckpoint(eager=True)
+            )
+            free_local_checkpoint(pairs)
+            return capped_out
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -1730,7 +1730,10 @@ def e31_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     need a total order, but NOT a single-partition window: each dimension
     goes through ntile_exact's range-partitioned rank (rows ∝ users), and
     the three per-dimension quartile frames rejoin on user_id."""
-    from realestatedeals_spark.operators.ranking import ntile_exact
+    from realestatedeals_spark.operators.ranking import (
+        adaptive_rank_partitions,
+        ntile_exact,
+    )
 
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir)
@@ -1754,12 +1757,9 @@ def e31_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # feeds 3 rank paths + their counts jobs
     )
-    # partitions ∝ users (≈64k rows each, ≥1): tiny frames skip 32-task
-    # choreography, huge frames still fan out to the session's shuffle width
+    # partitions ∝ users: shared sizing with global_rank's adaptive path
     n_users = r.count()  # free: r is already materialized
-    npart = max(1, min(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), n_users // 65536 + 1
-    ))
+    npart = adaptive_rank_partitions(n_users, spark)
     orders = {
         "r_quartile": [F.asc("recency_us"), F.asc("user_id")],
         "f_quartile": [F.desc("frequency"), F.asc("user_id")],

@@ -342,10 +342,11 @@ def x5_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap-with-accounting (round 11: cap moved AHEAD of the verify join):
     # the 0.45 demo threshold is CANDIDATE-quadratic on concentrated
     # corpora (13.8M candidate pairs at gen sf1.0 vs 4,279 output from the
-    # production threshold); verify only the 2M candidates with the highest
-    # table-collision multiplicity and log the unverified drop. Fixture
-    # corpora emit far fewer — the cap never bites there, so oracle sweeps
-    # are unchanged.
+    # production threshold). max_pairs becomes a candidate BUDGET realized
+    # as a per-(table, bucket) membership cap — each bucket keeps its K
+    # lowest-id vectors (deterministic, similarity-blind) and the dropped
+    # memberships are logged. Fixture buckets sit far under K — the cap
+    # never bites there, so oracle sweeps are unchanged.
     return rp_lsh_near_duplicates(emb, threshold=0.45, max_pairs=2_000_000).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )

@@ -59,7 +59,7 @@ def time_tiles(
     isomorphic), never as collected naive datetimes, so a DST-fold
     boundary row cannot flake under a hostile session timezone.
     """
-    from realestatedeals_spark.operators.ranking import global_rank
+    from realestatedeals_spark.operators.ranking import free_rank_pin, global_rank
 
     def keyed(c: str) -> Column:
         if isinstance(df.schema[c].dataType, T.TimestampType):
@@ -78,6 +78,11 @@ def time_tiles(
         r["_rk"]: tuple(r[k] for k in kcols)
         for r in ranked.filter(F.col("_rk").isin(cuts)).collect()
     }
+    # The tiles below are plain filters over the ORIGINAL df — the ranked
+    # frame is fully consumed by the boundary collect above, so release the
+    # checkpoint global_rank pinned (one events-sized key frame per call
+    # otherwise stays in executor storage for the session's lifetime).
+    free_rank_pin(ranked)
 
     def lex_le(bound: tuple) -> Column:
         expr = keyed(order_cols[-1]) <= F.lit(bound[-1])
