@@ -97,6 +97,51 @@ def test_rp_lsh_near_dup_precision_exact_recall_pinned(spark, fix_dir):
     assert recall >= 0.95, f"LSH recall {recall:.4f} below the structural floor"
 
 
+def test_rp_lsh_max_pairs_is_a_hard_output_bound(spark):
+    """``max_pairs`` must bound the OUTPUT for every budget, not just those
+    above the bucket-cap floor (max_pairs ≥ 2·n_tables·2^n_planes). Three
+    regimes on the driver fixture: a budget below the floor (post-verify
+    re-cap path), a mid budget where the per-bucket cap alone bounds
+    candidates, and a budget above the uncapped output (cap never bites —
+    result identical to the uncapped run). Precision (subset of brute
+    force) and determinism hold in all three."""
+    from realestatedeals_spark.operators.similarity import rp_lsh_near_duplicates
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs(emb, threshold=0.45).collect()}
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in rp_lsh_near_duplicates(emb, threshold=0.45).collect()
+    }
+    assert len(uncapped) > 5, "fixture too sparse — the bound pins are vacuous"
+
+    # 3: below the 2·T·2^p = 512 floor → post-verify re-cap path.
+    # 700: above the floor (bucket_cap = 2 unfloored) → the per-bucket cap
+    # alone bounds candidates at T·2^p·K(K−1)/2 = 256 ≤ budget; no re-cap.
+    for budget in (3, 700):
+        got = rp_lsh_near_duplicates(emb, threshold=0.45, max_pairs=budget).collect()
+        assert len(got) <= budget, f"max_pairs={budget} emitted {len(got)}"
+        pairs = {(r["id_a"], r["id_b"]) for r in got}
+        assert pairs <= exact, "capped output lost exact-verify precision"
+        again = {
+            (r["id_a"], r["id_b"])
+            for r in rp_lsh_near_duplicates(
+                emb, threshold=0.45, max_pairs=budget
+            ).collect()
+        }
+        assert again == pairs, f"max_pairs={budget} is nondeterministic"
+
+    # The x5 demo's production budget: per-bucket cap K = 125, far above the
+    # fixture's bucket occupancy, so the cap must not bite at all.
+    big = {
+        (r["id_a"], r["id_b"])
+        for r in rp_lsh_near_duplicates(
+            emb, threshold=0.45, max_pairs=2_000_000
+        ).collect()
+    }
+    assert big == uncapped, "a non-binding cap changed the result"
+
+
 def test_rp_lsh_hi_threshold_prunes_aggressively(spark, sf_dir):
     """Production-threshold config (12 planes × 8 tables, cosine ≥ 0.9):
     candidate pairs must be a small fraction of N(N−1)/2 — this is the scale
