@@ -755,6 +755,261 @@ def x3_ivf_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X3 — STORED IVF-PQ index (round 11): the composed production ANN shape
+# (FAISS IVFPQ). The stored-IVF query above prunes WHICH cells are read but
+# still stores raw vectors; real 100 TB corpora also compress WHAT is
+# stored — product-quantization codes (here M=4 subspaces × 16 dims,
+# ksub=8 ⇒ 4 small ints per vector instead of 64 longs, a 128× row-payload
+# reduction) scored by asymmetric distance computation: per query a LUT of
+# M·ksub exact subspace distances, approx distance = Σ of M lookups over
+# the code column only. Everything stays in the integer-micros discipline —
+# per-subspace Lloyd's with floor-div means, BIGINT subspace distances,
+# (dist, id) ties — so training, encoding, cell probing, and ADC ranking
+# are ALL restated in the SQL oracle and the query is HASH-EXACT: the
+# approximation is part of the statement, not a tolerance.
+# At 100 TB: the probe scan reads nprobe cell partitions of code rows
+# (PartitionFilters pinned in tests/test_similarity.py), the LUT frame is
+# O(Q·M·ksub) and broadcast, and no raw vector is ever shuffled — the
+# rerank seam (fetch raw vectors for the top candidates only, as pq_topk
+# does) composes on top unchanged.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4          # subspaces
+_PQ_SUBDIM = _KM_DIM // _PQ_M
+_PQ_KS = 8         # codebook entries per subspace
+_PQ_ITERS = 2      # assignment passes; _PQ_ITERS - 1 centroid updates
+
+
+def _pq_sql_dist(u: str, c: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {_PQ_SUBDIM + 1}), i -> "
+        f"({u}[i] - {c}[i]) * ({u}[i] - {c}[i])), (a, x) -> a + x)"
+    )
+
+
+def _ivfpq_extra() -> list[str]:
+    """PQ training + ADC parts appended to the coarse k-means replay."""
+    parts = [
+        f"""sv AS (
+  SELECT vec_id, sub,
+         list_transform(range(1, {_PQ_SUBDIM + 1}), i -> v[sub * {_PQ_SUBDIM} + i]) AS u
+  FROM v, range(0, {_PQ_M}) t(sub))""",
+        f"""pq0 AS (SELECT sub, vec_id AS cell, u AS cv FROM sv WHERE vec_id < {_PQ_KS})""",
+    ]
+    for t in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"""pqa{t} AS (
+  SELECT vec_id, sub, u, cell FROM (
+    SELECT vec_id, sub, u, cell,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rk
+    FROM (SELECT x.vec_id, x.sub, x.u, p.cell,
+                 {_pq_sql_dist('x.u', 'p.cv')} AS d
+          FROM sv x JOIN pq{t - 1} p ON p.sub = x.sub))
+  WHERE rk = 1)"""
+        )
+        if t < _PQ_ITERS:
+            parts.append(
+                f"""pqs{t} AS (
+  SELECT sub, cell, i, sum(u[i]) AS su, count(*) AS cnt
+  FROM pqa{t}, range(1, {_PQ_SUBDIM + 1}) t(i)
+  GROUP BY sub, cell, i),
+pq{t} AS (
+  SELECT p.sub, p.cell, COALESCE(w.cv, p.cv) AS cv
+  FROM pq{t - 1} p LEFT JOIN (
+    SELECT sub, cell,
+           list(CAST((su - ((su % cnt + cnt) % cnt)) // cnt AS BIGINT) ORDER BY i) AS cv
+    FROM pqs{t} GROUP BY sub, cell) w ON w.sub = p.sub AND w.cell = p.cell)"""
+            )
+    parts += [
+        f"""qs AS (
+  SELECT vec_id AS qid, v AS qv FROM v
+  WHERE vec_id % 100 = 0 AND vec_id < 10000)""",
+        f"""qsub AS (
+  SELECT qid, sub,
+         list_transform(range(1, {_PQ_SUBDIM + 1}), i -> qv[sub * {_PQ_SUBDIM} + i]) AS qu
+  FROM qs, range(0, {_PQ_M}) t(sub))""",
+        f"""crk AS (
+  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rk
+  FROM (SELECT q.qid, c.cid, {_km_dist('q.qv', 'c.cv')} AS d
+        FROM qs q, c{_KM_ITERS - 1} c))""",
+        f"""probe AS (SELECT qid, cid FROM crk WHERE rk <= {_IVF_NPROBE})""",
+        f"""cand AS (
+  SELECT p.qid, a.vec_id AS nid
+  FROM probe p JOIN a{_KM_ITERS} a ON a.cluster = p.cid
+  WHERE a.vec_id <> p.qid)""",
+        f"""subd AS (
+  SELECT c.qid, c.nid, {_pq_sql_dist('q.qu', 'cb.cv')} AS d
+  FROM cand c
+  JOIN pqa{_PQ_ITERS} pa ON pa.vec_id = c.nid
+  JOIN pq{_PQ_ITERS - 1} cb ON cb.sub = pa.sub AND cb.cell = pa.cell
+  JOIN qsub q ON q.qid = c.qid AND q.sub = pa.sub)""",
+        """scored AS (SELECT qid, nid, sum(d) AS adc_dist FROM subd GROUP BY qid, nid)""",
+    ]
+    return parts
+
+
+_IVFPQ_STORED_ORACLE = _km_oracle(
+    extra=_ivfpq_extra(),
+    final=f"""SELECT qid AS query_id, nid AS neighbor_id,
+       CAST(rk AS INTEGER) AS rk, adc_dist
+FROM (SELECT qid, nid, adc_dist,
+             row_number() OVER (PARTITION BY qid ORDER BY adc_dist, nid) AS rk
+      FROM scored)
+WHERE rk <= {_IVF_TOPK}""",
+)
+
+
+def _pq_train_micros(emb: DataFrame) -> list[list[list[int]]]:
+    """Deterministic integer PQ codebooks: per subspace, Lloyd's with
+    ``_PQ_ITERS`` assignment passes over the 16-dim subvectors. Init =
+    subvectors of the first ``_PQ_KS`` vectors by vec_id; floor-div means;
+    (dist, cell) ties — bit-equal to the ``pq0``/``pqa``/``pq1`` SQL replay.
+    Returns books[sub][cell] -> subdim ints."""
+    books: list[list[list[int]]] = []
+    for s in range(_PQ_M):
+        sub = emb.select(
+            "vec_id", F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("u")
+        )
+        book = [
+            list(r["u"])
+            for r in sub.filter(F.col("vec_id") < _PQ_KS).orderBy("vec_id").collect()
+        ]
+        for _ in range(_PQ_ITERS - 1):
+            structs = [
+                F.struct(
+                    _int_dist_sq(F.col("u"), cv).alias("d"),
+                    F.lit(cell).cast("int").alias("c"),
+                )
+                for cell, cv in enumerate(book)
+            ]
+            assigned = sub.select(
+                "u", F.array_min(F.array(*structs))["c"].alias("cell")
+            )
+            sums = (
+                assigned.select("cell", F.posexplode("u").alias("i", "val"))
+                .groupBy("cell", "i")
+                .agg(F.sum("val").alias("su"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            acc = {(r["cell"], r["i"]): (r["su"], r["cnt"]) for r in sums}
+            book = [
+                [acc[(c, i)][0] // acc[(c, i)][1] for i in range(_PQ_SUBDIM)]
+                if (c, 0) in acc
+                else list(book[c])
+                for c in range(_PQ_KS)
+            ]
+        books.append(book)
+    return books
+
+
+@register(
+    "x3_ivfpq_stored_topk",
+    oracle=_IVFPQ_STORED_ORACLE,
+    tags=("X3", "vectors", "ann", "index", "storage", "quantization"),
+)
+def x3_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors per query from a STORED IVF-PQ index: coarse-cell
+    partition-pruned probes over PQ CODE rows only, ranked by integer ADC.
+    See the block comment above; hash-exact — training, encoding, probing,
+    and the ADC approximation are all stated in the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = _micros_vectors(spark, sf_dir)
+    assigned, cents = _kmeans_micros(emb)
+    books = _pq_train_micros(emb)
+
+    # encode: one pass over the corpus, M argmins over literal codebooks
+    def code_col(s: int) -> F.Column:
+        structs = [
+            F.struct(
+                _int_dist_sq(F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM), cv).alias("d"),
+                F.lit(cell).cast("int").alias("c"),
+            )
+            for cell, cv in enumerate(books[s])
+        ]
+        return F.array_min(F.array(*structs))["c"]
+
+    codes = emb.select(
+        "vec_id", F.array(*[code_col(s) for s in range(_PQ_M)]).alias("code")
+    )
+
+    work = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    try:
+        idx_path = os.path.join(work, "cells")
+        # stored row = (vec_id, 4 small ints, cell) — no raw vector
+        codes.join(assigned.select("vec_id", "cluster"), "vec_id").write.partitionBy(
+            "cluster"
+        ).parquet(idx_path)
+
+        q_rows = (
+            emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000))
+            .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+            .collect()
+        )
+
+        # probe cells: exact integer distance to the k coarse centroids,
+        # computed driver-side from the collected query set (Q ≤ 100 rows)
+        def idist(qv: list, cv: list) -> int:
+            return sum((int(a) - int(b)) * (int(a) - int(b)) for a, b in zip(qv, cv))
+
+        probe_pairs_py, lut_rows = [], []
+        for r in q_rows:
+            qv = list(r["qv"])
+            ranked = sorted(
+                (idist(qv, cv), cid) for cid, cv in enumerate(cents)
+            )[:_IVF_NPROBE]
+            probe_pairs_py += [(r["qid"], cid) for _, cid in ranked]
+            # flat LUT: lut[sub*ksub + cell] = subspace distance (exact int)
+            flat = [
+                idist(
+                    qv[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM], books[s][cell]
+                )
+                for s in range(_PQ_M)
+                for cell in range(_PQ_KS)
+            ]
+            lut_rows.append((r["qid"], flat))
+        probed_cells = sorted({c for _, c in probe_pairs_py})
+        probe_pairs = spark.createDataFrame(probe_pairs_py, "qid long, cluster int")
+        from realestatedeals_spark.util import inline_frame
+
+        lut_df = inline_frame(spark, ["qid", "flat_lut"], lut_rows)
+
+        # literal IN-filter → PartitionFilters: only probed cell dirs read
+        idx = spark.read.parquet(idx_path).filter(F.col("cluster").isin(probed_cells))
+        cand = (
+            idx.join(F.broadcast(probe_pairs), "cluster")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .join(F.broadcast(lut_df), "qid")
+        )
+        adc = None
+        for s in range(_PQ_M):
+            term = F.element_at(
+                "flat_lut",
+                (F.lit(s * _PQ_KS + 1) + F.element_at("code", s + 1)).cast("int"),
+            )
+            adc = term if adc is None else adc + term
+        scored = cand.select(
+            "qid", F.col("vec_id").alias("neighbor_id"), adc.cast("long").alias("adc_dist")
+        )
+        w = W.partitionBy("qid").orderBy("adc_dist", "neighbor_id")
+        out = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _IVF_TOPK)
+            .select(
+                F.col("qid").alias("query_id"),
+                "neighbor_id",
+                F.col("rk").cast("int").alias("rk"),
+                "adc_dist",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # X9 — quantization-impact evaluation: how much retrieval quality does
 # int8 storage cost? For every benchmark query, rank neighbors by exact
 # float cosine AND by int8-quantized cosine (scales cancel:

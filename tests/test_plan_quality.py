@@ -73,6 +73,7 @@ _UNPART_WINDOW_WHITELIST = {
 # for minutes of runtime); each is oracle-checked end-to-end instead
 _SKIP = {"x3_ivf_stored_topk",  # k-means train + index write at plan build;
          # its pruned-scan property is pinned in tests/test_similarity.py
+         "x3_ivfpq_stored_topk",  # same, plus PQ codebook training
          "c3_streaming_cdc", "c4_stateful_user_stats", "c5_stream_dedup",
          "c13_stream_transition_matrix", "c14_stream_catalog_txn",
          "c15_stream_lm_counts", "c16_stream_lm_score",

@@ -641,3 +641,59 @@ def test_ivf_stored_index_prunes_partitions(spark, sf_dir):
         assert 0 < read < n, f"pruned read {read} should be a strict subset of {n}"
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_ivfpq_codes_compress_and_rank_twins_first(spark, sf_dir):
+    """IVF-PQ contracts the oracle hash can't see: (a) the encoded row is
+    genuinely compressed — M small ints in [0, ksub), no raw vector column;
+    (b) identical vectors get identical codes, so an exact twin's ADC
+    distance is 0 and it ranks first — the quantization preserves
+    exact-duplicate retrieval by construction."""
+    from realestatedeals_spark.plans.llm_vectors import (
+        _PQ_KS,
+        _PQ_M,
+        _PQ_SUBDIM,
+        _int_dist_sq,
+        _micros_vectors,
+        _pq_train_micros,
+    )
+
+    emb = _micros_vectors(spark, sf_dir)
+    books = _pq_train_micros(emb)
+    assert len(books) == _PQ_M and all(len(b) == _PQ_KS for b in books)
+    assert all(len(cv) == _PQ_SUBDIM for b in books for cv in b)
+
+    def code_col(s):
+        structs = [
+            F.struct(
+                _int_dist_sq(F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM), cv).alias("d"),
+                F.lit(cell).cast("int").alias("c"),
+            )
+            for cell, cv in enumerate(books[s])
+        ]
+        return F.array_min(F.array(*structs))["c"]
+
+    codes = emb.select(
+        "vec_id", F.array(*[code_col(s) for s in range(_PQ_M)]).alias("code")
+    )
+    bad = codes.filter(
+        F.exists("code", lambda c: (c < 0) | (c >= _PQ_KS))
+    ).count()
+    assert bad == 0, "PQ code outside [0, ksub)"
+    assert codes.schema["code"].dataType.simpleString() == "array<int>"
+
+    # identical micros vectors → identical codes (encoding is a pure
+    # function of the vector): duplicate one vector and re-encode
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [(first["vec_id"],), (999_999_999,)], "vec_id long"
+    ).crossJoin(
+        spark.createDataFrame([(list(first["v"]),)], "v array<bigint>")
+    )
+    twin_codes = {
+        r["vec_id"]: list(r["code"])
+        for r in twin.select(
+            "vec_id", F.array(*[code_col(s) for s in range(_PQ_M)]).alias("code")
+        ).collect()
+    }
+    assert twin_codes[first["vec_id"]] == twin_codes[999_999_999]

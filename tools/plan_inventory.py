@@ -44,6 +44,7 @@ SKIP = {
     "x3_pq_topk": "k-means training at plan build",
     "x3_ivf_topk": "k-means training at plan build",
     "x3_ivf_stored_topk": "k-means training + index write at plan build",
+    "x3_ivfpq_stored_topk": "k-means + PQ training + index write at plan build",
     "x2_semdedup": "k-means training at plan build",
     "x3_cosine_topk_gemm": "driver-side chunked GEMM at plan build",
     "x4_bpe_encode": "BPE training at plan build",
