@@ -600,7 +600,8 @@ def _kmeans_micros(emb: DataFrame) -> tuple[DataFrame, list[list[int]]]:
     if hit is not None:
         # deterministic trainer: the final assignment IS one literal-centroid
         # assign pass against the cached centroids — bit-equal to retraining
-        return _km_assign(emb, hit), hit
+        cents = [list(c) for c in hit]
+        return _km_assign(emb, cents), cents
     assigned = _km_assign(emb, cents)
     for _ in range(_KM_ITERS - 1):
         sums = (
@@ -617,7 +618,7 @@ def _kmeans_micros(emb: DataFrame) -> tuple[DataFrame, list[list[int]]]:
             for cid in range(_KM_K)
         ]
         assigned = _km_assign(emb, cents)
-    _TRAIN_CACHE[("km", _cache_key(emb))] = cents
+    _TRAIN_CACHE[("km", _cache_key(emb))] = [list(c) for c in cents]
     return assigned, cents
 
 
@@ -891,7 +892,7 @@ def _pq_train_micros(emb: DataFrame) -> list[list[list[int]]]:
     Returns books[sub][cell] -> subdim ints."""
     hit = _TRAIN_CACHE.get(("pq", _cache_key(emb)))
     if hit is not None:
-        return hit
+        return [[list(c) for c in b] for b in hit]
     books: list[list[list[int]]] = []
     for s in range(_PQ_M):
         sub = emb.select(
@@ -926,7 +927,7 @@ def _pq_train_micros(emb: DataFrame) -> list[list[list[int]]]:
                 for c in range(_PQ_KS)
             ]
         books.append(book)
-    _TRAIN_CACHE[("pq", _cache_key(emb))] = books
+    _TRAIN_CACHE[("pq", _cache_key(emb))] = [[list(c) for c in b] for b in books]
     return books
 
 
