@@ -643,6 +643,25 @@ def test_ivf_stored_index_prunes_partitions(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_trainer_memo_keying_and_copy_isolation(spark, sf_dir):
+    """The deterministic-trainer memo must (a) return equal centroids on a
+    repeat call, (b) key distinct corpora apart, and (c) hand out copies —
+    a caller mutating its result must not poison the cache."""
+    from realestatedeals_spark.operators.similarity import kmeans_lite
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = kmeans_lite(emb, k=4, max_iter=1)
+    b = kmeans_lite(emb, k=4, max_iter=1)
+    assert a == b
+    b[0][0] = 1e9  # mutate the returned copy
+    c = kmeans_lite(emb, k=4, max_iter=1)
+    assert c == a, "cache was poisoned by caller mutation"
+    # different frame → different key → genuinely retrained result
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    d = kmeans_lite(half, k=4, max_iter=1)
+    assert d != a
+
+
 def test_ivfpq_codes_compress_and_rank_twins_first(spark, sf_dir):
     """IVF-PQ contracts the oracle hash can't see: (a) the encoded row is
     genuinely compressed — M small ints in [0, ksub), no raw vector column;
