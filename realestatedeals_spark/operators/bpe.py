@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from realestatedeals_spark.util import free_local_checkpoint
+
 END = "</w>"
 
 
@@ -96,6 +98,12 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[Ro
     pair_weight)]. Stops early if no adjacent pair remains."""
     syms = _initial_symbols(word_freq_table(docs, text_col)).localCheckpoint()
     merges: list[Row] = []
+    # Lazy checkpoints chain: a new checkpoint's RDD reads the previous one
+    # until its own first action materializes it, so the previous frame can
+    # only be released AFTER the next round's collect. Tracked via
+    # live_ckpt (current) + pending_free (parent awaiting that action);
+    # everything is dead at return (the result is a plain merge list).
+    live_ckpt, pending_free = syms, None
     for rank in range(n_merges):
         best = (
             _pair_counts(syms)
@@ -103,6 +111,9 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[Ro
             .limit(1)
             .collect()
         )
+        if pending_free is not None:
+            free_local_checkpoint(pending_free)
+            pending_free = None
         if not best:
             break
         b = best[0]
@@ -123,6 +134,11 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[Ro
         # cheaply, while an eager checkpoint per round doubles the job count.
         if (rank + 1) % 4 == 0:
             syms = syms.localCheckpoint()
+            pending_free = live_ckpt
+            live_ckpt = syms
+    free_local_checkpoint(live_ckpt)
+    if pending_free is not None:
+        free_local_checkpoint(pending_free)
     return merges
 
 

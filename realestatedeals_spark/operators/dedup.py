@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from realestatedeals_spark.util import free_local_checkpoint
+
 
 def tokenize(text: F.Column) -> F.Column:
     return F.split(text, " ")
@@ -299,9 +301,14 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the convergence probe was the last reader of the previous labels
+        # checkpoint — release it (pagerank discipline: live storage stays
+        # ~2 label frames instead of one per round)
+        free_local_checkpoint(labels)
         labels = new_labels
         if not changed:
             break
+    free_local_checkpoint(edges)  # labels is self-contained (checkpointed)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

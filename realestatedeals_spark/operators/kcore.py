@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from realestatedeals_spark.util import free_local_checkpoint
+
 
 def _degrees(edges: DataFrame) -> DataFrame:
     both = edges.select(F.col("a").alias("node")).unionAll(
@@ -59,12 +61,17 @@ def k_core(edges: DataFrame, k: int, max_rounds: int | None = None) -> DataFrame
                 f"k_core(k={k}) not converged after {max_rounds} rounds "
                 f"({n_weak} weak nodes remain); rerun with max_rounds=None"
             )
-        cur = (
+        new_cur = (
             cur.join(weak.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(weak.withColumnRenamed("node", "b"), "b", "left_anti")
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+        # the peeled frame has materialized; the previous round's checkpoint
+        # is dead — release it so live storage stays ~1 edge frame instead
+        # of one per round (pagerank discipline)
+        free_local_checkpoint(cur)
+        cur = new_cur
         rounds += 1
 
 
@@ -83,12 +90,16 @@ def core_numbers(edges: DataFrame, max_k: int | None = None) -> DataFrame:
     k = 1
     while True:
         before = _degrees(cur).select("node")
-        cur = k_core(cur, k)
-        after = _degrees(cur).select("node")
+        new_cur = k_core(cur, k)
+        after = _degrees(new_cur).select("node")
         peeled = before.join(after, "node", "left_anti").withColumn(
             "coreness", F.lit(k - 1).cast("int")
         )
         out.append(peeled.localCheckpoint(eager=True))
+        # ``before`` (the only reader of the pre-peel frame) materialized
+        # into the peeled checkpoint — release the previous phase's edges
+        free_local_checkpoint(cur)
+        cur = new_cur
         if cur.isEmpty():
             break
         if max_k is not None and k >= max_k:
@@ -100,4 +111,10 @@ def core_numbers(edges: DataFrame, max_k: int | None = None) -> DataFrame:
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
+    # closing checkpoint so every per-phase checkpoint can be released now
+    # (the capped-peel tail, if any, reads ``cur`` — freed after this too)
+    res = res.localCheckpoint(eager=True)
+    for df in out:
+        free_local_checkpoint(df)
+    free_local_checkpoint(cur)
     return res

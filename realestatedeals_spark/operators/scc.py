@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from realestatedeals_spark.util import free_local_checkpoint
+
 
 def _reach(
     state: DataFrame, edges: DataFrame, pivots: DataFrame, src: str, dst: str
@@ -41,6 +43,15 @@ def _reach(
     )
     reach = pivots.select("pid", F.col("pivot").alias("node"))
     frontier = reach
+    # Per-round storage release (round 11, the pagerank/pagerank_micros
+    # discipline): each BFS round checkpoints a step and a widened reach;
+    # once the new reach has materialized, the previous reach checkpoint is
+    # unreachable, and once the NEXT step has materialized, the previous
+    # step (this round's frontier) is too. Without the frees a deep reach
+    # holds every round's frontier + prefix-union in executor storage for
+    # the session's lifetime. The initial lazy ``reach`` is never a
+    # checkpoint; free_local_checkpoint no-ops on non-checkpoints.
+    reach_ckpt = prev_step = None
     while True:
         step = (
             frontier.select("pid", F.col("node").alias("from_n"))
@@ -50,10 +61,19 @@ def _reach(
             .join(reach, ["pid", "node"], "left_anti")
             .localCheckpoint(eager=True)
         )
+        if prev_step is not None:
+            free_local_checkpoint(prev_step)
         if step.isEmpty():
+            # the returned reach is its own checkpoint (or the lazy pivot
+            # frame) — the edge frame and the empty step are dead
+            free_local_checkpoint(step)
+            free_local_checkpoint(e)
             return reach
-        reach = reach.unionByName(step).localCheckpoint(eager=True)
-        frontier = step
+        new_reach = reach.unionByName(step).localCheckpoint(eager=True)
+        if reach_ckpt is not None:
+            free_local_checkpoint(reach_ckpt)
+        reach = reach_ckpt = new_reach
+        frontier = prev_step = step
 
 
 def scc_fwbw(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
@@ -74,6 +94,7 @@ def scc_fwbw(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     out: DataFrame | None = None
     if state.isEmpty():
         return state.select("node", F.col("node").alias("scc_id")).limit(0)
+    founds: list[DataFrame] = []
     for _ in range(max_rounds):
         if state.isEmpty():
             break
@@ -86,6 +107,7 @@ def scc_fwbw(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             .select("node", F.col("pivot").alias("scc_id"))
             .localCheckpoint(eager=True)
         )
+        founds.append(found)
         out = found if out is None else out.unionByName(found)
         remaining = state.join(scc, ["pid", "node"], "left_anti")
         remaining = (
@@ -102,8 +124,21 @@ def scc_fwbw(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # found + remaining have materialized: this round's reach frames
+        # and the previous state are dead — release them so live storage
+        # stays ~(state + founds) instead of growing with rounds
+        free_local_checkpoint(fwd)
+        free_local_checkpoint(bwd)
+        free_local_checkpoint(state)
         state = remaining
     else:
         raise RuntimeError(f"scc_fwbw did not converge in {max_rounds} rounds")
     assert out is not None
+    # one closing checkpoint so the per-round found frames and the final
+    # (empty) state can be released too — the caller reads this checkpoint
+    out = out.localCheckpoint(eager=True)
+    for f in founds:
+        free_local_checkpoint(f)
+    free_local_checkpoint(state)
+    free_local_checkpoint(edges)
     return out

@@ -193,18 +193,24 @@ def train_unigram(
     multi-char pieces. Returns [(piece, logprob)] sorted by (logprob desc,
     piece asc). Corpus is read once; all iterations are vocab-bounded."""
     words = word_freq_table(docs, text_col).localCheckpoint()
-    logp, chars = seed_pieces(words, max_seed, max_len)
-    while True:
-        for _ in range(em_rounds):
-            logp = _normalize(_em_counts(words, logp, max_len), chars)
-        multi = sorted(
-            (p for p in logp if len(p) > 1), key=lambda p: (-logp[p], p)
-        )
-        if len(multi) <= vocab_multi:
-            break
-        keep = max(vocab_multi, int(len(multi) * shrink))
-        logp = {p: lp for p, lp in logp.items() if len(p) == 1 or p in set(multi[:keep])}
-    return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    try:
+        logp, chars = seed_pieces(words, max_seed, max_len)
+        while True:
+            for _ in range(em_rounds):
+                logp = _normalize(_em_counts(words, logp, max_len), chars)
+            multi = sorted(
+                (p for p in logp if len(p) > 1), key=lambda p: (-logp[p], p)
+            )
+            if len(multi) <= vocab_multi:
+                break
+            keep = max(vocab_multi, int(len(multi) * shrink))
+            logp = {p: lp for p, lp in logp.items() if len(p) == 1 or p in set(multi[:keep])}
+        return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    finally:
+        # the trained vocab is plain Python — the word table is dead
+        from realestatedeals_spark.util import free_local_checkpoint
+
+        free_local_checkpoint(words)
 
 
 def lattice_count_table(

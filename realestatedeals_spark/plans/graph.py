@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from realestatedeals_spark.io.sources import load_table
 from realestatedeals_spark.plans.registry import register
+from realestatedeals_spark.util import free_local_checkpoint
 
 _LISTINGS_ANALOG = """
   SELECT CAST(o_orderkey AS VARCHAR) AS mls,
@@ -450,6 +451,10 @@ def g6_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     frontier = dist.select("node")
+    # per-hop storage release (pagerank discipline): once the widened dist
+    # checkpoint materializes the previous one is dead, and once the NEXT
+    # hop's frontier join materializes the previous nxt is too
+    prev_nxt = None
     for k in range(1, 7):
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
@@ -459,10 +464,19 @@ def g6_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("dist", F.lit(k).cast("long"))
             .localCheckpoint(eager=True)
         )
+        if prev_nxt is not None:
+            free_local_checkpoint(prev_nxt)
         if nxt.isEmpty():
+            free_local_checkpoint(nxt)
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        new_dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        free_local_checkpoint(dist)
+        dist = new_dist
         frontier = nxt.select("node")
+        prev_nxt = nxt
+    if prev_nxt is not None:
+        free_local_checkpoint(prev_nxt)  # folded into dist; re-free is a no-op
+    free_local_checkpoint(edges)  # dist is self-contained (checkpointed)
     return dist
 
 
@@ -533,12 +547,15 @@ def g7_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.join(edges, dist.node == edges.src)
             .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
         )
-        dist = (
+        new_dist = (
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
             .localCheckpoint(eager=True)
         )
+        free_local_checkpoint(dist)  # relaxed frame materialized; prev dead
+        dist = new_dist
+    free_local_checkpoint(edges)  # dist is self-contained (checkpointed)
     return dist.select("node", F.col("d").alias("dist"))
 
 
