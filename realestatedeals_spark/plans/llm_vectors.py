@@ -1128,24 +1128,69 @@ def x9_quantization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("q_qv"),
         F.col("ql2").alias("q_ql2"),
     )
-    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (
-            dot(F.col("q_emb"), F.col("embedding"))
-            / (l2norm(F.col("q_emb")) * l2norm(F.col("embedding")))
-        ).alias("fcos"),
-        (
-            F.aggregate(
-                F.zip_with(F.col("q_qv"), F.col("qv"), lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).cast("double")
-            / (
-                F.sqrt(F.col("q_ql2").cast("double"))
-                * F.sqrt(F.col("ql2").cast("double"))
-            )
-        ).alias("qcos"),
+    # Vectorized pair scoring (round 11): the broadcast-BNLJ form paid four
+    # interpreted higher-order aggregates per pair (~138 engine-s at gen
+    # sf1.0 for 4M pairs). Same fused-sweep pattern as the LSH verify /
+    # MMR rel stages: queries are bounded (N/100) and ride a broadcast;
+    # each Arrow batch accumulates DIM-BY-DIM (vectorized over pairs,
+    # sequential over dims) so the float adds replay F.aggregate / DuckDB
+    # list_reduce left-to-right exactly; IEEE multiply is commutative so
+    # the norm product matches; the integer dot is exact int64. Query
+    # chunks bound the accumulator memory at any Q.
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.collect()
+    _qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    _qemb = np.array([list(r["q_emb"]) for r in q_rows], dtype=np.float64)
+    _qqv = np.array([list(r["q_qv"]) for r in q_rows], dtype=np.int64)
+    _qql2 = np.array([r["q_ql2"] for r in q_rows], dtype=np.int64)
+    bq = spark.sparkContext.broadcast((_qids, _qemb, _qqv, _qql2))
+
+    def score(batches):
+        qids, qemb, qqv, qql2 = bq.value
+        dim = qemb.shape[1]
+        nq = np.zeros(len(qids))
+        for d in range(dim):
+            nq += qemb[:, d] * qemb[:, d]
+        qn_sqrt = np.sqrt(nq)
+        qql2_sqrt = np.sqrt(qql2.astype(np.float64))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            l2 = pdf["ql2"].to_numpy(dtype=np.int64)
+            en = np.zeros(len(nid))
+            for d in range(dim):
+                en += e[:, d] * e[:, d]
+            en_sqrt = np.sqrt(en)
+            l2_sqrt = np.sqrt(l2.astype(np.float64))
+            for c0 in range(0, len(qids), 256):
+                qi = slice(c0, c0 + 256)
+                facc = np.zeros((len(nid), len(qids[qi])))
+                iacc = np.zeros((len(nid), len(qids[qi])), dtype=np.int64)
+                for d in range(dim):
+                    facc += np.outer(e[:, d], qemb[qi, d])
+                    iacc += np.outer(v[:, d], qqv[qi, d])
+                fcos = facc / (qn_sqrt[qi][None, :] * en_sqrt[:, None])
+                qcos = iacc.astype(np.float64) / (
+                    qql2_sqrt[qi][None, :] * l2_sqrt[:, None]
+                )
+                keep = nid[:, None] != qids[qi][None, :]
+                bi, ci = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi][ci],
+                        "neighbor_id": nid[bi],
+                        "fcos": fcos[bi, ci],
+                        "qcos": qcos[bi, ci],
+                    }
+                )
+
+    pairs = base.mapInPandas(
+        score, schema="query_id long, neighbor_id long, fcos double, qcos double"
     )
     wf = W.partitionBy("query_id").orderBy(F.col("fcos").desc(), "neighbor_id")
     wq = W.partitionBy("query_id").orderBy(F.col("qcos").desc(), "neighbor_id")
