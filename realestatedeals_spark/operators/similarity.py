@@ -651,19 +651,48 @@ def _dot_cols(a: F.Column, b: F.Column) -> F.Column:
 
 
 def _best_cells(vecs: DataFrame, cent_df: DataFrame, n: int, id_out: str) -> DataFrame:
-    """Top-n centroid cells per vector via a broadcast join against the
-    (cell, centroid) frame — k rows, so the join is a per-row loop over k
-    centroids inside codegen, never a giant literal expression (which made
-    the planner, not the executors, the bottleneck)."""
-    scored = vecs.crossJoin(F.broadcast(cent_df)).withColumn(
-        "s", _dot_cols(F.col("v"), F.col("centroid"))
+    """Top-n centroid cells per vector (score = dot, ties by lower cell id).
+
+    Vectorized fused sweep (round 11): the centroid frame is k rows, so it
+    rides a plain broadcast and each Arrow batch scores all k cells with a
+    DIM-BY-DIM accumulation — float adds replay the old higher-order
+    aggregate's left-to-right order bit-exactly, so assignments (and every
+    rows-only trainer downstream) are unchanged while the per-(vector,
+    cell) interpreted-aggregate cost disappears (x3_ivf_topk /
+    x2_semdedup / x3_pq_topk were the last >60 engine-s training-at-build
+    entries at gen sf1.0). Input columns pass through; ``cell`` appended;
+    n > 1 emits one row per kept cell in rank order."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = vecs.sparkSession
+    rows = cent_df.collect()
+    order = sorted(range(len(rows)), key=lambda i: rows[i]["cell"])
+    cells = np.array([rows[i]["cell"] for i in order], dtype=np.int64)
+    cm = np.array([list(rows[i]["centroid"]) for i in order], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cells, cm))
+    kk = min(n, len(cells))
+    out_schema = T.StructType(
+        list(vecs.schema.fields) + [T.StructField("cell", T.IntegerType())]
     )
-    w = W.partitionBy(id_out).orderBy(F.col("s").desc(), F.col("cell"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n)
-        .drop("centroid", "s", "_rk")
-    )
+
+    def pick(batches):
+        cells_, cm_ = bc.value
+        dim = cm_.shape[1]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            s = np.zeros((len(v), len(cells_)))
+            for d in range(dim):
+                s += np.outer(v[:, d], cm_[:, d])
+            # (s desc, cell asc): cells_ sorted ascending + stable argsort
+            idx = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+            out = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
+            out["cell"] = cells_[idx].reshape(-1).astype(np.int32)
+            yield out
+
+    return vecs.mapInPandas(pick, schema=out_schema)
 
 
 # Deterministic-trainer memo (mirrors plans/llm_vectors._TRAIN_CACHE):
@@ -833,18 +862,63 @@ def _pq_codebooks_frame(spark, books: list[list[list[float]]]):
 
 def _pq_assign(subv_df: DataFrame, book_df: DataFrame, id_col: str) -> DataFrame:
     """Nearest centroid per (vector, subspace) under L2: argmin ||x-c||² =
-    argmin (||c||² − 2·x·c). One broadcast join against the m·ks-row codebook
-    frame, then a per-(id, sub) argmin via max_by — no window shuffle."""
-    scored = subv_df.join(F.broadcast(book_df), "sub").select(
-        id_col,
-        "sub",
-        "cell",
-        (dot(F.col("centroid"), F.col("centroid")) - 2.0 * dot(F.col("subv"), F.col("centroid"))).alias("d2"),
+    argmin (||c||² − 2·x·c), ties to the lower cell id.
+
+    Vectorized like ``_best_cells`` (round 11): the m·ks-row codebook rides
+    a broadcast; each Arrow batch computes x·c dim-by-dim against its own
+    subspace's codebook slice (float order identical to the old
+    higher-order aggregates, so assignments are bit-unchanged) — no join
+    fan-out, no min_by shuffle over ks rows per (vector, subspace)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = subv_df.sparkSession
+    rows = book_df.collect()
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub"]), []).append(r)
+    books_c, books_m, books_cd = {}, {}, {}
+    for s, rs in by_sub.items():
+        rs = sorted(rs, key=lambda r: r["cell"])
+        books_c[s] = np.array([r["cell"] for r in rs], dtype=np.int64)
+        cm = np.array([list(r["centroid"]) for r in rs], dtype=np.float64)
+        books_m[s] = cm
+        # ||c||² with the aggregate's left-to-right accumulation
+        cd = np.zeros(len(rs))
+        for d in range(cm.shape[1]):
+            cd += cm[:, d] * cm[:, d]
+        books_cd[s] = cd
+    bb = spark.sparkContext.broadcast((books_c, books_m, books_cd))
+    id_field = subv_df.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("sub", T.IntegerType()), T.StructField("cell", T.IntegerType())]
     )
-    # min_by with deterministic ties: order by (d2, cell) lexicographically
-    return scored.groupBy(id_col, "sub").agg(
-        F.min_by("cell", F.struct(F.col("d2"), F.col("cell"))).alias("cell")
-    )
+
+    def assign(batches):
+        books_c_, books_m_, books_cd_ = bb.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for s, grp in pdf.groupby("sub", sort=False):
+                cells_ = books_c_[int(s)]
+                cm = books_m_[int(s)]
+                cd = books_cd_[int(s)]
+                x = np.stack(grp["subv"].to_numpy()).astype(np.float64)
+                xc = np.zeros((len(x), len(cells_)))
+                for d in range(cm.shape[1]):
+                    xc += np.outer(x[:, d], cm[:, d])
+                d2 = cd[None, :] - 2.0 * xc
+                # (d2 asc, cell asc): cells ascending + stable argsort
+                best = np.argsort(d2, axis=1, kind="stable")[:, 0]
+                yield pd.DataFrame(
+                    {
+                        id_col: grp[id_col].to_numpy(),
+                        "sub": np.full(len(x), int(s), dtype=np.int32),
+                        "cell": cells_[best].astype(np.int32),
+                    }
+                )
+
+    return subv_df.mapInPandas(assign, schema=out_schema)
 
 
 def pq_train(
@@ -1040,11 +1114,42 @@ def semdedup_pairs(
         F.transform(vec_col, lambda x: x.cast("double") / l2norm(F.col(vec_col))).alias("v"),
     )
     assigned = _best_cells(normed, cent_df, 1, "_id").select("_id", "raw", "cell")
-    a = assigned.select(F.col("cell"), F.col("_id").alias("id_a"), F.col("raw").alias("va"))
-    b = assigned.select(F.col("cell"), F.col("_id").alias("id_b"), F.col("raw").alias("vb"))
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+
+    # Within-cluster pairs as ONE vectorized pass per cell (round 11): the
+    # cluster-keyed self-join + interpreted per-pair cosine was the whole
+    # cost of the operator (Σ|cluster|² higher-order aggregates — 66
+    # engine-s at gen sf1.0). applyInPandas groups each cell's vectors into
+    # one Arrow batch and scores the triangle with the same dim-by-dim
+    # left-to-right accumulation as ``cosine`` (dot / (l2(a)·l2(b))), so
+    # emitted pairs are bit-identical to the join form. Cell skew remains
+    # the documented failure mode: a hot cell's members must fit one task
+    # (raise nlist / re-cluster hot cells, as below).
+    import pandas as pd
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        v = np.stack(pdf["raw"].to_numpy())[order].astype(np.float64)
+        nvec, dim = v.shape
+        acc = np.zeros((nvec, nvec))
+        nn = np.zeros(nvec)
+        for d in range(dim):
+            acc += np.outer(v[:, d], v[:, d])
+            nn += v[:, d] * v[:, d]
+        rt = np.sqrt(nn)
+        cos = acc / (rt[:, None] * rt[None, :])
+        ia, ib = np.triu_indices(nvec, 1)  # ids sorted → id_a < id_b
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": cos[ia, ib][keep]}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_pairs, schema="id_a long, id_b long, cosine double"
     )
