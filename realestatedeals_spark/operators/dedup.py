@@ -457,34 +457,43 @@ def duplicate_clusters_star(
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash) — sign-aggregated token hashes, all built-in exprs."""
+    """(id, simhash) — sign-aggregated token hashes, all built-in exprs.
+
+    One wide aggregation (round 11, the same lesson the arithmetic variant
+    learned in round 9): token instances collapse to per-(doc, token)
+    counts first, the 64-bit pattern is xxhash64 evaluated ONCE per
+    distinct doc-token row, and the 64 bit sums are 64 aggregate
+    expressions in one groupBy — the shuffle carries one wide row per
+    document instead of 64× the token instances (the bit posexplode was
+    the whole cost of the xxhash flavor: 64 engine-s at gen sf1.0).
+    Integer arithmetic is identical (±cnt per distinct token ≡ ±1 per
+    instance), so signatures — and the rows-only pair output — are
+    bit-unchanged."""
     tok = docs.select(
         F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
-    # per-token ±1 contribution per bit; shift amount is a lambda variable, so
-    # SQL expression syntax (shiftright accepts column shift amounts there)
-    contrib = F.expr(
-        "transform(sequence(0, 63),"
-        " i -> CASE WHEN (shiftright(xxhash64(tok), i) & 1) = 1 THEN 1 ELSE -1 END)"
+    cnt = tok.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = cnt.select("_id", "cnt", F.xxhash64("tok").alias("h"))
+
+    def bit_sum(i: int) -> F.Column:
+        bit = F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+        return F.sum(
+            F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias(f"s{i}")
+
+    sums = hashed.groupBy("_id").agg(*[bit_sum(i) for i in range(64)])
+    sig_col = sum(
+        (
+            F.when(
+                F.col(f"s{i}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})")
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(1, 64)
+        ),
+        start=F.when(F.col("s0") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
-    # sum the 64-vectors per doc: explode to (bit, ±1) and pivot-free groupBy
-    # keeps it all in partial aggregation (no collect_list of whole docs)
-    per_bit = (
-        tok.select("_id", F.posexplode(contrib).alias("bit", "c"))
-        .groupBy("_id", "bit")
-        .agg(F.sum("c").alias("s"))
-    )
-    sig = (
-        per_bit.groupBy("_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("simhash")
-        )
-    )
-    return sig
+    return sums.select("_id", sig_col.alias("simhash"))
 
 
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
