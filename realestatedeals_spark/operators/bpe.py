@@ -104,41 +104,45 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[Ro
     # live_ckpt (current) + pending_free (parent awaiting that action);
     # everything is dead at return (the result is a plain merge list).
     live_ckpt, pending_free = syms, None
-    for rank in range(n_merges):
-        best = (
-            _pair_counts(syms)
-            .orderBy(F.desc("pair_weight"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
-        )
+    try:
+        for rank in range(n_merges):
+            best = (
+                _pair_counts(syms)
+                .orderBy(F.desc("pair_weight"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if pending_free is not None:
+                free_local_checkpoint(pending_free)
+                pending_free = None
+            if not best:
+                break
+            b = best[0]
+            merges.append(
+                Row(
+                    rank=rank,
+                    left=b.left,
+                    right=b.right,
+                    merged=b.left + b.right,
+                    pair_weight=b.pair_weight,
+                )
+            )
+            syms = syms.select(
+                _merge_udf(b.left, b.right)("syms").alias("syms"), "weight"
+            )
+            # Cut lineage every few rounds, not every round: the table is
+            # vocab-bounded, so a handful of chained Arrow-UDF rewrites re-run
+            # cheaply, while an eager checkpoint per round doubles the job count.
+            if (rank + 1) % 4 == 0:
+                syms = syms.localCheckpoint()
+                pending_free = live_ckpt
+                live_ckpt = syms
+    finally:
+        # finally, not fall-through: a failed collect mid-training must not
+        # leak the live symbol-table checkpoints for the session
+        free_local_checkpoint(live_ckpt)
         if pending_free is not None:
             free_local_checkpoint(pending_free)
-            pending_free = None
-        if not best:
-            break
-        b = best[0]
-        merges.append(
-            Row(
-                rank=rank,
-                left=b.left,
-                right=b.right,
-                merged=b.left + b.right,
-                pair_weight=b.pair_weight,
-            )
-        )
-        syms = syms.select(
-            _merge_udf(b.left, b.right)("syms").alias("syms"), "weight"
-        )
-        # Cut lineage every few rounds, not every round: the table is
-        # vocab-bounded, so a handful of chained Arrow-UDF rewrites re-run
-        # cheaply, while an eager checkpoint per round doubles the job count.
-        if (rank + 1) % 4 == 0:
-            syms = syms.localCheckpoint()
-            pending_free = live_ckpt
-            live_ckpt = syms
-    free_local_checkpoint(live_ckpt)
-    if pending_free is not None:
-        free_local_checkpoint(pending_free)
     return merges
 
 

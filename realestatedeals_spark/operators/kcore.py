@@ -57,6 +57,7 @@ def k_core(edges: DataFrame, k: int, max_rounds: int | None = None) -> DataFrame
         if n_weak == 0:
             return cur
         if max_rounds is not None and rounds >= max_rounds:
+            free_local_checkpoint(cur)  # don't leak the edge frame on raise
             raise RuntimeError(
                 f"k_core(k={k}) not converged after {max_rounds} rounds "
                 f"({n_weak} weak nodes remain); rerun with max_rounds=None"

@@ -132,6 +132,12 @@ def scc_fwbw(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         free_local_checkpoint(state)
         state = remaining
     else:
+        # free the tracked frames before raising — a non-convergence error
+        # must not leak a round's worth of checkpoints for the session
+        for f in founds:
+            free_local_checkpoint(f)
+        free_local_checkpoint(state)
+        free_local_checkpoint(edges)
         raise RuntimeError(f"scc_fwbw did not converge in {max_rounds} rounds")
     assert out is not None
     # one closing checkpoint so the per-round found frames and the final

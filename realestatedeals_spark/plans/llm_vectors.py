@@ -573,18 +573,13 @@ def _km_assign(df: DataFrame, cents: list[list[int]]) -> DataFrame:
 # x3_ivf_stored_topk, x3_ivfpq_stored_topk) train the SAME integer k-means
 # over the same corpus — the collects are the dominant fixed cost of each.
 # Training is a pure function of the input frame, so cache the resulting
-# centroids/codebooks (plain Python ints, session-scoped) keyed by the
-# session id + the frame's analyzed-plan semantic hash (distinct per
-# sf_dir/table by construction). A cache hit replays the final
+# centroids/codebooks (plain Python ints, session-scoped). Keying —
+# session id + analyzed-plan semantic hash + input-file stat fingerprint
+# (guards same-path data regeneration) — is shared with the float
+# trainers via util.trainer_cache_key. A cache hit replays the final
 # literal-centroid assign pass, which is bit-equal to retraining.
-_TRAIN_CACHE: dict = {}
-
-
-def _cache_key(df: DataFrame) -> tuple:
-    return (
-        df.sparkSession.sparkContext.applicationId,
-        df._jdf.queryExecution().analyzed().semanticHash(),
-    )
+from realestatedeals_spark.util import TRAINER_CACHE as _TRAIN_CACHE
+from realestatedeals_spark.util import trainer_cache_key as _cache_key
 
 
 def _kmeans_micros(emb: DataFrame) -> tuple[DataFrame, list[list[int]]]:
@@ -592,16 +587,17 @@ def _kmeans_micros(emb: DataFrame) -> tuple[DataFrame, list[list[int]]]:
     over a (vec_id, v) micros frame. Returns (final assignment frame with
     cluster/dist_sq, final centroids) — shared by x3_kmeans_assign and the
     stored-IVF index build so both stay bit-equal to the SQL replay."""
-    cents = [
-        list(r["v"])
-        for r in emb.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
-    ]
     hit = _TRAIN_CACHE.get(("km", _cache_key(emb)))
     if hit is not None:
         # deterministic trainer: the final assignment IS one literal-centroid
         # assign pass against the cached centroids — bit-equal to retraining
+        # (checked BEFORE the seed collect, which a hit makes redundant)
         cents = [list(c) for c in hit]
         return _km_assign(emb, cents), cents
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    ]
     assigned = _km_assign(emb, cents)
     for _ in range(_KM_ITERS - 1):
         sums = (
@@ -742,10 +738,15 @@ def x3_ivf_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", F.transform("near", lambda s: s["c"]).alias("cids")
         ).collect()
         probed_cells = sorted({int(c) for r in probe_rows for c in r["cids"]})
-        probe_pairs = spark.createDataFrame(
+        from realestatedeals_spark.util import inline_frame
+
+        # literal probe table (≤ Q·nprobe rows): inline_frame constant-folds
+        # it in the SQL layer — no Python-RDD job like createDataFrame
+        probe_pairs = inline_frame(
+            spark,
+            ["qid", "cluster"],
             [(r["qid"], int(c)) for r in probe_rows for c in r["cids"]],
-            "qid long, cluster int",
-        )
+        ).select(F.col("qid").cast("long"), F.col("cluster").cast("int"))
 
         # the literal IN-filter is what turns into PartitionFilters on the
         # cell-partitioned scan: only probed cell directories are listed/read
@@ -1000,9 +1001,11 @@ def x3_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             lut_rows.append((r["qid"], flat))
         probed_cells = sorted({c for _, c in probe_pairs_py})
-        probe_pairs = spark.createDataFrame(probe_pairs_py, "qid long, cluster int")
         from realestatedeals_spark.util import inline_frame
 
+        probe_pairs = inline_frame(spark, ["qid", "cluster"], probe_pairs_py).select(
+            F.col("qid").cast("long"), F.col("cluster").cast("int")
+        )
         lut_df = inline_frame(spark, ["qid", "flat_lut"], lut_rows)
 
         # literal IN-filter → PartitionFilters: only probed cell dirs read
@@ -1174,13 +1177,18 @@ def x9_quantization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for d in range(dim):
                     facc += np.outer(e[:, d], qemb[qi, d])
                     iacc += np.outer(v[:, d], qqv[qi, d])
-                fcos = facc / (qn_sqrt[qi][None, :] * en_sqrt[:, None])
-                qcos = iacc.astype(np.float64) / (
-                    qql2_sqrt[qi][None, :] * l2_sqrt[:, None]
-                )
+                fden = qn_sqrt[qi][None, :] * en_sqrt[:, None]
+                qden = qql2_sqrt[qi][None, :] * l2_sqrt[:, None]
+                # Spark's Divide yields NULL on a zero divisor (a zero-norm
+                # vector), and NULL sorts LAST under the desc windows —
+                # numpy would yield NaN/Inf, which Spark sorts FIRST.
+                # Reproduce the NULL exactly via a nullable Float64 column.
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    fcos = facc / fden
+                    qcos = iacc.astype(np.float64) / qden
                 keep = nid[:, None] != qids[qi][None, :]
                 bi, ci = np.nonzero(keep)
-                yield pd.DataFrame(
+                out = pd.DataFrame(
                     {
                         "query_id": qids[qi][ci],
                         "neighbor_id": nid[bi],
@@ -1188,6 +1196,17 @@ def x9_quantization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "qcos": qcos[bi, ci],
                     }
                 )
+                fz = fden[bi, ci] == 0.0
+                qz = qden[bi, ci] == 0.0
+                if fz.any():
+                    col = pd.array(out["fcos"].to_numpy(), dtype="Float64")
+                    col[fz] = pd.NA
+                    out["fcos"] = col
+                if qz.any():
+                    col = pd.array(out["qcos"].to_numpy(), dtype="Float64")
+                    col[qz] = pd.NA
+                    out["qcos"] = col
+                yield out
 
     pairs = base.mapInPandas(
         score, schema="query_id long, neighbor_id long, fcos double, qcos double"

@@ -73,6 +73,40 @@ def unpartitioned_windows(plan: str) -> int:
     return n
 
 
+# ONE home for the deterministic-trainer session memo (operators/similarity
+# kmeans_lite/pq_train and plans/llm_vectors' integer trainers share it).
+# Key = session + the frame's analyzed-plan semantic hash + a stat
+# fingerprint of its input files + the call params: the semantic hash alone
+# would go stale if the parquet under the same path were regenerated
+# mid-session, so each file's (path, size, mtime) is folded in (file-less
+# frames embed their data in the plan — LocalRelation — or are distinct
+# RDD-backed plans per materialization, so the hash suffices there).
+# Values are whatever the trainer stores; callers deep-copy on the way out.
+TRAINER_CACHE: dict = {}
+
+
+def trainer_cache_key(df: DataFrame, *params) -> tuple:
+    import os
+
+    stats = []
+    try:
+        for p in sorted(df.inputFiles()):
+            local = p[7:] if p.startswith("file:") else p
+            try:
+                st = os.stat(local)
+                stats.append((p, st.st_size, st.st_mtime_ns))
+            except OSError:
+                stats.append((p, None, None))
+    except Exception:  # noqa: BLE001 — plan without inputFiles: hash covers it
+        pass
+    return (
+        df.sparkSession.sparkContext.applicationId,
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        tuple(stats),
+        params,
+    )
+
+
 def free_local_checkpoint(df: DataFrame) -> None:
     """Release the executor storage held by an eagerly-materialized
     ``localCheckpoint``'ed DataFrame. ``DataFrame.unpersist()`` is a no-op
