@@ -1177,18 +1177,23 @@ def x9_quantization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for d in range(dim):
                     facc += np.outer(e[:, d], qemb[qi, d])
                     iacc += np.outer(v[:, d], qqv[qi, d])
+                # Zero denominators are unreachable: a zero-norm embedding
+                # already fails LOUDLY upstream (quantize_embeddings' ANSI
+                # divide-by-zero — the query's documented contract), and any
+                # nonzero vector quantizes to a nonzero code (max |x| maps
+                # to ±127), so both norm products are strictly positive
+                # here. Asserted so a contract change surfaces as an error,
+                # never as numpy NaN/Inf silently outranking real rows.
                 fden = qn_sqrt[qi][None, :] * en_sqrt[:, None]
                 qden = qql2_sqrt[qi][None, :] * l2_sqrt[:, None]
-                # Spark's Divide yields NULL on a zero divisor (a zero-norm
-                # vector), and NULL sorts LAST under the desc windows —
-                # numpy would yield NaN/Inf, which Spark sorts FIRST.
-                # Reproduce the NULL exactly via a nullable Float64 column.
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    fcos = facc / fden
-                    qcos = iacc.astype(np.float64) / qden
+                assert (fden > 0).all() and (qden > 0).all(), (
+                    "zero-norm vector reached the x9 scorer"
+                )
+                fcos = facc / fden
+                qcos = iacc.astype(np.float64) / qden
                 keep = nid[:, None] != qids[qi][None, :]
                 bi, ci = np.nonzero(keep)
-                out = pd.DataFrame(
+                yield pd.DataFrame(
                     {
                         "query_id": qids[qi][ci],
                         "neighbor_id": nid[bi],
@@ -1196,17 +1201,6 @@ def x9_quantization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "qcos": qcos[bi, ci],
                     }
                 )
-                fz = fden[bi, ci] == 0.0
-                qz = qden[bi, ci] == 0.0
-                if fz.any():
-                    col = pd.array(out["fcos"].to_numpy(), dtype="Float64")
-                    col[fz] = pd.NA
-                    out["fcos"] = col
-                if qz.any():
-                    col = pd.array(out["qcos"].to_numpy(), dtype="Float64")
-                    col[qz] = pd.NA
-                    out["qcos"] = col
-                yield out
 
     pairs = base.mapInPandas(
         score, schema="query_id long, neighbor_id long, fcos double, qcos double"

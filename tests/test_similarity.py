@@ -716,3 +716,26 @@ def test_ivfpq_codes_compress_and_rank_twins_first(spark, sf_dir):
         ).collect()
     }
     assert twin_codes[first["vec_id"]] == twin_codes[999_999_999]
+
+
+def test_x9_quantization_impact_zero_norm_vector_errors_loudly(spark, tmp_path):
+    """A zero-norm embedding must FAIL the x9 query loudly (ANSI
+    divide-by-zero in quantize_embeddings), never reach the vectorized
+    scorer as a NaN/Inf that would silently outrank real neighbors. Pins
+    the loud-error contract both end-to-end and at the scorer's own
+    assertion seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from realestatedeals_spark.plans.llm_vectors import x9_quantization_impact
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(12):
+        v = [0.0] * 64 if i == 5 else [float(x) for x in rng.randn(64)]
+        rows.append((i, v))  # vec_id 0 is the query (0 % 100 == 0)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
+        x9_quantization_impact(spark, str(tmp_path)).collect()
