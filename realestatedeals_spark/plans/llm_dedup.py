@@ -191,7 +191,7 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x2_simhash_near_dup", tags=("X2", "dedup"))
+@register("x2_simhash_near_dup", tags=("X2", "dedup"), bench=True)  # round 11: wide-agg rewrite stays driver-visible
 def x2_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 pairs. No SQL oracle for THIS variant (Spark's
     xxhash64 bit pattern is not reproducible in DuckDB); brute-force-checked

@@ -934,6 +934,7 @@ def _pq_train_micros(emb: DataFrame) -> list[list[list[int]]]:
 
 @register(
     "x3_ivfpq_stored_topk",
+    bench=True,  # round 11: driver-visible so the vectorized/stored-index paths cannot silently regress
     oracle=_IVFPQ_STORED_ORACLE,
     tags=("X3", "vectors", "ann", "index", "storage", "quantization"),
 )
@@ -1099,6 +1100,7 @@ FROM recall JOIN rr ON recall.query_id = rr.query_id
 
 @register(
     "x9_quantization_impact",
+    bench=True,  # round 11: driver-visible so the vectorized/stored-index paths cannot silently regress
     oracle=_X9_QIMPACT_ORACLE,
     tags=("X9", "vectors", "quantize", "evaluation"),
 )
