@@ -43,6 +43,14 @@ def main() -> None:
     # recorded alongside so a best/median gap flags a noisy measurement
     # (every timed run still executes the query end-to-end — nothing is
     # cached between runs beyond the JVM warm-up).
+    # Trainer-memo honesty (ADVICE r11): the warm-up pass above populates the
+    # session-scoped TRAINER_CACHE, so without a reset every timed run of the
+    # k-means/PQ-backed queries would replay memoized centroids and the
+    # headline would silently exclude training cost that earlier rounds'
+    # numbers included. The cache is cleared before EVERY timed run, so each
+    # run executes end-to-end including training; the artifact discloses it.
+    from realestatedeals_spark.util import TRAINER_CACHE
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in bench_queries().items():
@@ -52,6 +60,7 @@ def main() -> None:
         n = 0
         try:
             for _ in range(3):
+                TRAINER_CACHE.clear()
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
@@ -95,11 +104,16 @@ def main() -> None:
         "loadavg": [round(load_start, 1), round(load_end, 1)],
         "queries": {**timings, **{k: "error" for k in failed}},
         "sf": sf_val,
+        "trainer_cache": "cleared_before_each_timed_run",
     }
     full = {
         **payload,
         "queries_median": medians,
-        "method": "warmup pass + best-of-3 per query; value = sum of bests",
+        "method": (
+            "warmup pass + best-of-3 per query; value = sum of bests; "
+            "TRAINER_CACHE cleared before every timed run so training cost "
+            "is measured, not memoized (ADVICE r11)"
+        ),
     }
     if failed:
         full["errors"] = failed

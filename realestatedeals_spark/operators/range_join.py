@@ -106,7 +106,17 @@ def interval_overlap_count(
     Returns one row per key group that has ≥1 overlapping pair:
     ``keys + [n_overlapping_pairs: long]`` (groups with 0 pairs are
     omitted, matching the semantics of COUNT(*) over an inner pair join).
+
+    Degenerate intervals (``lo >= hi`` — EMPTY under half-open semantics)
+    are filtered at entry and contribute no pairs: the sweep's end-before-
+    start tie rule would otherwise drop a point interval's own +1 from the
+    open count seen by later starts at the same instant and undercount
+    pairs the raw ``a.lo < b.hi AND b.lo < a.hi`` predicate includes
+    (ADVICE r11). An empty interval overlapping nothing IS the half-open
+    reading; callers wanting the raw-predicate count of degenerate rows
+    must widen them first.
     """
+    intervals = intervals.filter(F.col(lo_col) < F.col(hi_col))
     if tiebreak_cols is None:
         tiebreak_cols = [c for c in intervals.columns if c not in (*keys, lo_col, hi_col)]
     starts = intervals.select(

@@ -151,29 +151,112 @@ def free_rank_pin(ranked: DataFrame) -> None:
         free_local_checkpoint(pin)
 
 
+def _keyed(df: DataFrame, col: str) -> Column:
+    """Order key for boundary comparison: timestamps go through
+    ``unix_micros`` (order-isomorphic) so a collected boundary literal can
+    never flake through a DST fold under a hostile session timezone."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[col].dataType, T.TimestampType):
+        return F.unix_micros(F.col(col))
+    return F.col(col)
+
+
+def rank_boundary_keys(
+    df: DataFrame,
+    order_specs: list[tuple[str, str]],
+    cuts_of_n,
+    num_partitions: int | None = None,
+) -> tuple[int, dict[int, tuple]]:
+    """Total row count plus the composite order-key tuple at each 1-based
+    rank produced by ``cuts_of_n(n)`` under the directed total order
+    ``order_specs`` ([(column, "asc"|"desc"), ...] — unique tiebreak column
+    last, null-free keys).
+
+    Ranks ONLY the narrow projection of the order columns, collects
+    len(cuts) ROWS of boundary keys, and releases the rank checkpoint
+    BEFORE returning (time_tiles' discipline) — the caller receives
+    driver-side literals and nothing stays pinned in executor storage.
+    This is the primitive under ``ntile_exact`` and rank-threshold splits:
+    downstream bucket membership becomes a plain lexicographic comparison
+    on the ORIGINAL frame, so the full-width side never ranks, joins, or
+    windows at all. Ranks ≤ 0 or past n come back absent from the dict.
+    """
+    kcols = [f"_k{i}" for i in range(len(order_specs))]
+    narrow = df.select(
+        *[_keyed(df, c).alias(k) for (c, _), k in zip(order_specs, kcols)]
+    )
+    order_exprs = [
+        F.asc(k) if d == "asc" else F.desc(k)
+        for (_, d), k in zip(order_specs, kcols)
+    ]
+    ranked, n = global_rank(
+        narrow, order_exprs, out_col="_rk", num_partitions=num_partitions
+    )
+    cuts = [c for c in cuts_of_n(n) if 0 < c <= n]
+    bounds = {
+        r["_rk"]: tuple(r[k] for k in kcols)
+        for r in ranked.filter(F.col("_rk").isin(cuts)).collect()
+    } if cuts else {}
+    free_rank_pin(ranked)
+    return n, bounds
+
+
+def after_boundary(
+    df: DataFrame, order_specs: list[tuple[str, str]], bound: tuple
+) -> Column:
+    """Predicate: the row sits strictly AFTER ``bound`` in the directed
+    lexicographic order (asc → greater, desc → smaller, tiebreak last).
+    Boundary values are driver literals from ``rank_boundary_keys``;
+    timestamp columns compare through the same ``unix_micros`` keying."""
+
+    def gt(spec: tuple[str, str], b) -> Column:
+        c, d = spec
+        return (_keyed(df, c) > F.lit(b)) if d == "asc" else (_keyed(df, c) < F.lit(b))
+
+    expr = gt(order_specs[-1], bound[-1])
+    for spec, b in zip(reversed(order_specs[:-1]), reversed(bound[:-1])):
+        expr = gt(spec, b) | ((_keyed(df, spec[0]) == F.lit(b)) & expr)
+    return expr
+
+
 def ntile_exact(
     df: DataFrame,
-    order_exprs: list[Column],
+    order_specs: list[tuple[str, str]],
     n_buckets: int,
     out_col: str,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """SQL ``NTILE(n) OVER (ORDER BY ...)`` semantics — including the uneven
-    split (first ``n_rows % n`` buckets get one extra row) — computed via
-    ``global_rank`` instead of a single-partition WindowExec.
+    split (first ``n_rows % n`` buckets get one extra row) — as a boundary
+    split instead of a single-partition WindowExec.
 
-    For rank k (1-based) over n rows: base = n // buckets, rem = n % buckets,
-    cut = rem·(base+1); bucket = ⌈k/(base+1)⌉ for k ≤ cut else
-    rem + ⌈(k−cut)/base⌉ — exactly ntile's arithmetic, so results (and
-    oracle hashes) are unchanged from the window form.
+    ``order_specs`` is [(column, "asc"|"desc"), ...] and MUST form a total
+    order (unique tiebreak last). Only the narrow key projection is ever
+    ranked (``rank_boundary_keys``); the full-width frame gets its bucket
+    as 1 + (number of the n−1 collected bucket-boundary keys strictly
+    before the row) — a chain of comparisons, no join, no Arrow pass, and
+    no retained checkpoint (the round-11 form pinned an input-sized
+    localCheckpoint under a private attribute that any transformation
+    dropped, leaking it for the session — ADVICE r11). Bucket membership
+    is bit-identical to the window form: the boundary key at ntile cut k
+    is exactly the last row of bucket k under the same total order.
     """
-    ranked, n = global_rank(df, order_exprs, out_col="_k", num_partitions=num_partitions)
-    base, rem = divmod(n, n_buckets)
-    cut = rem * (base + 1)
-    k = F.col("_k")
-    bucket = F.when(
-        k <= F.lit(cut), F.floor((k - 1) / F.lit(base + 1)) + 1
-    ).otherwise(
-        F.lit(rem) + F.floor((k - 1 - F.lit(cut)) / F.lit(max(base, 1))) + 1
-    )
-    return ranked.withColumn(out_col, bucket.cast("long")).drop("_k")
+    def cuts_of_n(n: int) -> list[int]:
+        base, rem = divmod(n, n_buckets)
+        cuts, acc = [], 0
+        for k in range(n_buckets - 1):
+            acc += base + (1 if k < rem else 0)
+            cuts.append(acc)
+        return cuts
+
+    n, bounds = rank_boundary_keys(df, order_specs, cuts_of_n, num_partitions)
+    bucket: Column = F.lit(1)
+    # iterate the cut LIST (duplicates count once per occurrence: with
+    # n < n_buckets the same boundary row closes several empty buckets)
+    for cut in cuts_of_n(n):
+        b = bounds.get(cut)
+        if b is None:
+            continue
+        bucket = bucket + F.when(after_boundary(df, order_specs, b), 1).otherwise(0)
+    return df.withColumn(out_col, bucket.cast("long"))

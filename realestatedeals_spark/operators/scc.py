@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from realestatedeals_spark.util import free_local_checkpoint
+from realestatedeals_spark.util import checkpoint_owned, free_local_checkpoint
 
 
 def _reach(
@@ -86,7 +86,11 @@ def scc_fwbw(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         .distinct()
     )
     state = nodes.withColumn("pid", F.lit("r")).localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
+    # checkpoint_owned: if the CALLER handed us an already-checkpointed
+    # frame, this re-checkpoint reuses its RDD — freeing it on exit would
+    # destroy the caller's blocks, so the exit frees below are gated on
+    # actually owning the materialization (ADVICE r11).
+    edges, own_edges = checkpoint_owned(edges)
     # An EMPTY edge frame has an empty node set: the loop would break on
     # round 1 with nothing accumulated. Legitimate input (e.g. a threshold
     # filter that excluded every edge on a uniform corpus) — return the
@@ -137,7 +141,8 @@ def scc_fwbw(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         for f in founds:
             free_local_checkpoint(f)
         free_local_checkpoint(state)
-        free_local_checkpoint(edges)
+        if own_edges:
+            free_local_checkpoint(edges)
         raise RuntimeError(f"scc_fwbw did not converge in {max_rounds} rounds")
     assert out is not None
     # one closing checkpoint so the per-round found frames and the final
@@ -146,5 +151,6 @@ def scc_fwbw(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     for f in founds:
         free_local_checkpoint(f)
     free_local_checkpoint(state)
-    free_local_checkpoint(edges)
+    if own_edges:
+        free_local_checkpoint(edges)
     return out

@@ -477,11 +477,14 @@ def rademacher_bucketize(
 ) -> DataFrame:
     """(id, tbl, bucket) rows — one row per input vector per LSH table, with
     ``bucket`` the ``n_planes``-bit sign pattern against the Rademacher
-    planes (plane index tp = tbl·n_planes + p + 1, bit p → 1 << p). One
-    vectorized (batch × dim) @ (dim × T·P) matmul per Arrow batch; float64
-    accumulation matches the SQL twin's CAST-to-DOUBLE list_sum (signs are
-    decided at |dot| ≳ 1e-6 on unit-scale data vs ~1e-14 summation-order
-    noise, so engine/oracle sign agreement is structural)."""
+    planes (plane index tp = tbl·n_planes + p + 1, bit p → 1 << p). The
+    plane dots accumulate DIM-BY-DIM in float64 — the same left-to-right
+    IEEE summation order as the SQL twin's per-dim list_sum — so a dot
+    within summation-order noise of zero still flips the SAME way on both
+    engines: sign agreement is bit-exact by construction, not argued from
+    magnitude (a BLAS matmul's pairwise summation could disagree with the
+    oracle on a near-zero dot — ADVICE r11). One vectorized outer-product
+    add per dim per Arrow batch; dim adds of a (batch × T·P) block."""
     import pandas as pd
 
     planes = rademacher_planes(dim, n_tables * n_planes)
@@ -492,7 +495,10 @@ def rademacher_bucketize(
                 continue
             ids = pdf["_id"].to_numpy()
             e = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            bits = (e @ planes.T > 0).reshape(len(ids), n_tables, n_planes)
+            acc = np.zeros((len(ids), planes.shape[0]))
+            for d in range(e.shape[1]):
+                acc += e[:, d : d + 1] * planes[:, d]
+            bits = (acc > 0).reshape(len(ids), n_tables, n_planes)
             keys = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=2)
             yield pd.DataFrame(
                 {

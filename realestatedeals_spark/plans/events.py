@@ -1692,12 +1692,14 @@ def e30_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 11: the three quartiles were F.ntile(4) over UNPARTITIONED windows
 # — three single-partition sorts of the whole per-user frame, a straight
 # scale-killer at 10⁹ users. Now each dimension runs through
-# operators/ranking.ntile_exact (range partition → parallel in-partition
-# rank → broadcast offset join) which reproduces ntile's exact uneven-
+# operators/ranking.ntile_exact, which (round 12) ranks only the NARROW
+# order-key projection, collects the 3 quartile-boundary keys, and assigns
+# buckets by lexicographic comparison — reproducing ntile's exact uneven-
 # bucket arithmetic, so the oracle is UNCHANGED and still hash-exact while
-# no stage ever serializes onto one partition. The user frame is
-# checkpointed once so the three rank paths and their metadata counts jobs
-# don't re-aggregate events.
+# no stage ever serializes onto one partition, nothing joins, and no rank
+# checkpoint outlives the call (the r11 form leaked one full-width
+# localCheckpoint per dimension — ADVICE r11). The user frame is
+# checkpointed once so the three boundary ranks don't re-aggregate events.
 # ---------------------------------------------------------------------------
 
 _E31_RFM_ORACLE = """
@@ -1728,8 +1730,9 @@ FROM r
 def e31_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency/frequency/monetary quartiles per purchasing user. Quartiles
     need a total order, but NOT a single-partition window: each dimension
-    goes through ntile_exact's range-partitioned rank (rows ∝ users), and
-    the three per-dimension quartile frames rejoin on user_id."""
+    goes through ntile_exact's boundary split (narrow key rank → 3 collected
+    boundary keys → comparison chain), so the per-user frame itself is
+    never ranked, joined, or windowed."""
     from realestatedeals_spark.operators.ranking import (
         adaptive_rank_partitions,
         ntile_exact,
@@ -1761,16 +1764,13 @@ def e31_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_users = r.count()  # free: r is already materialized
     npart = adaptive_rank_partitions(n_users, spark)
     orders = {
-        "r_quartile": [F.asc("recency_us"), F.asc("user_id")],
-        "f_quartile": [F.desc("frequency"), F.asc("user_id")],
-        "m_quartile": [F.desc("monetary"), F.asc("user_id")],
+        "r_quartile": [("recency_us", "asc"), ("user_id", "asc")],
+        "f_quartile": [("frequency", "desc"), ("user_id", "asc")],
+        "m_quartile": [("monetary", "desc"), ("user_id", "asc")],
     }
     out = r
-    for col, order in orders.items():
-        q = ntile_exact(r, order, n_buckets=4, out_col=col, num_partitions=npart).select(
-            "user_id", col
-        )
-        out = out.join(q, "user_id")
+    for col, specs in orders.items():
+        out = ntile_exact(out, specs, n_buckets=4, out_col=col, num_partitions=npart)
     return out.select(
         "user_id", "recency_us", "frequency", "monetary",
         "r_quartile", "f_quartile", "m_quartile",

@@ -1022,12 +1022,16 @@ def x7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the boundary — the purged split of financial-ML practice), remainder
 # test. Cutoffs are integer ranks (n*70//100, n*75//100) so both engines
 # place every row identically with zero float thresholds. Scale shape
-# (round 11): the rank runs through operators/ranking.global_rank — range
-# partition + parallel in-partition rank + broadcast offsets — replacing
-# the unpartitioned row_number window that sorted ALL events on one task;
-# the oracle still proves boundary placement row-exactly, and the output
-# reports per-split boundary timestamps, which IS the artifact a
-# production pipeline persists (then splits by plain ts comparison).
+# (round 12): the rank runs through operators/ranking.rank_boundary_keys —
+# only the NARROW (ts, event_id) key frame is ranked; the two cutoff
+# boundary keys come back as driver literals, the rank checkpoint is
+# released inside the call, and every event is labeled by a plain
+# lexicographic comparison (no window, no full-width rank, no retained
+# storage — the r11 global_rank form leaked its events-sized checkpoint
+# for the session, ADVICE r11). The oracle still proves boundary placement
+# row-exactly, and the output reports per-split boundary timestamps, which
+# IS the artifact a production pipeline persists (then splits by plain ts
+# comparison).
 # ---------------------------------------------------------------------------
 
 _X7_TEMPORAL_ORACLE = """
@@ -1059,15 +1063,26 @@ def x7_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.io.sources import load_events
     from realestatedeals_spark.session import apply_session_conf
 
-    from realestatedeals_spark.operators.ranking import global_rank
+    from realestatedeals_spark.operators.ranking import (
+        after_boundary,
+        rank_boundary_keys,
+    )
 
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id")
-    ranked, n = global_rank(ev, [F.asc("ts"), F.asc("event_id")], out_col="rk")
-    labeled = ranked.select(
-        F.when(F.col("rk") <= F.lit(n * 70 // 100), "train")
-        .when(F.col("rk") <= F.lit(n * 75 // 100), "embargo")
-        .otherwise("test")
+    specs = [("ts", "asc"), ("event_id", "asc")]
+    n, bounds = rank_boundary_keys(
+        ev, specs, lambda n: [n * 70 // 100, n * 75 // 100]
+    )
+    b_train, b_emb = bounds.get(n * 70 // 100), bounds.get(n * 75 // 100)
+    in_train = (
+        ~after_boundary(ev, specs, b_train) if b_train is not None else F.lit(False)
+    )
+    in_emb = (
+        ~after_boundary(ev, specs, b_emb) if b_emb is not None else F.lit(False)
+    )
+    labeled = ev.select(
+        F.when(in_train, "train").when(in_emb, "embargo").otherwise("test")
         .alias("split"),
         "ts",
         "user_id",

@@ -143,7 +143,7 @@ def c4_funnel_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_session_conf(spark)
     ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
     evq = ntile_exact(
-        ev, [F.asc("ts"), F.asc("user_id"), F.asc("event_type")], 4, out_col="q4"
+        ev, [("ts", "asc"), ("user_id", "asc"), ("event_type", "asc")], 4, out_col="q4"
     )
     jit = F.xxhash64("user_id", "ts", "event_type") % 5
     batch = F.greatest(

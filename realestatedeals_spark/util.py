@@ -107,6 +107,27 @@ def trainer_cache_key(df: DataFrame, *params) -> tuple:
     )
 
 
+def checkpoint_owned(df: DataFrame) -> tuple[DataFrame, bool]:
+    """``df.localCheckpoint(eager=True)`` plus an ownership flag: True iff
+    the checkpoint materialized a NEW RDD that the caller may later release
+    with ``free_local_checkpoint``. When ``df`` is ALREADY a local
+    checkpoint, Spark's ``Dataset.localCheckpoint`` re-checkpoints the
+    SAME underlying RDD (the LogicalRDD's stored rdd), so freeing the
+    result would destroy the caller's blocks — an operator that takes a
+    caller frame, checkpoints it for its own iterations, and frees it on
+    exit (scc_fwbw) must skip the free in that case (ADVICE r11)."""
+
+    def plan_rdd_id(d: DataFrame) -> int | None:
+        try:
+            return d._jdf.queryExecution().optimizedPlan().rdd().id()
+        except Exception:  # noqa: BLE001 — not a LogicalRDD plan
+            return None
+
+    before = plan_rdd_id(df)
+    ckpt = df.localCheckpoint(eager=True)
+    return ckpt, plan_rdd_id(ckpt) != before
+
+
 def free_local_checkpoint(df: DataFrame) -> None:
     """Release the executor storage held by an eagerly-materialized
     ``localCheckpoint``'ed DataFrame. ``DataFrame.unpersist()`` is a no-op

@@ -47,7 +47,7 @@ def test_ntile_exact_matches_ntile_including_uneven_split(spark):
         got = {
             r["uid"]: r["q"]
             for r in ntile_exact(
-                df, [F.asc("uid")], buckets, out_col="q", num_partitions=5
+                df, [("uid", "asc")], buckets, out_col="q", num_partitions=5
             ).collect()
         }
         want = {
@@ -111,5 +111,33 @@ def test_global_rank_and_tiles_degenerate_inputs(spark):
     )
     tiles = time_tiles(two, 3)
     assert [t.count() for t in tiles] == [1, 1, 0]
-    q = ntile_exact(two, [F.asc("ts"), F.asc("event_id")], 3, out_col="q")
+    q = ntile_exact(two, [("ts", "asc"), ("event_id", "asc")], 3, out_col="q")
     assert sorted(r["q"] for r in q.collect()) == [1, 2]
+
+
+def test_ntile_exact_desc_and_no_retained_storage(spark):
+    """Buckets under a DESC-first composite order must match the window
+    form, and — the ADVICE-r11 leak fix — consuming the ntile output must
+    leave NO localCheckpoint blocks behind (the rank checkpoint is released
+    inside the call, before the caller ever sees a frame)."""
+    rows = [(i * 2654435761 % 97, i) for i in range(211)]
+    df = spark.createDataFrame(rows, "v long, uid long")
+    before = {
+        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    got = {
+        r["uid"]: r["q"]
+        for r in ntile_exact(
+            df, [("v", "desc"), ("uid", "asc")], 4, out_col="q", num_partitions=6
+        ).collect()
+    }
+    want = {
+        r["uid"]: r["q"]
+        for r in df.select(
+            "uid",
+            F.ntile(4).over(W.orderBy(F.desc("v"), F.asc("uid"))).cast("long").alias("q"),
+        ).collect()
+    }
+    assert got == want
+    after = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    assert after <= before, "ntile_exact retained executor storage"
