@@ -7,14 +7,32 @@ differential-dataflow bilinear delta rule per epoch:
 
     dV = dA x B_prev  +  A_prev x dB  +  dA x dB
 
-and folds dV into a persisted aggregate view, then appends the deltas to
-the accumulated relations. Each epoch therefore costs O(|delta| x match)
-— the snapshots are only ever touched on the join key of the incoming
-delta, never rescanned — which is the cost model that keeps a 100 TB
-fact-join view maintainable. A batch-id watermark makes redelivered
-epochs no-ops (same guard as the SCD2 stream). The final view must
-hash-match the same from-scratch oracle as io_cdf_join_view: streaming
-epochs == whole-history algebra == batch recompute, bit-for-bit.
+and persists dV as an epoch-named DELTA of the view (merge-on-read), then
+appends the epoch's input deltas to the accumulated relations. Each epoch
+therefore costs O(|delta| x match) compute and O(|dV|) write — the
+snapshots are only ever touched on the join key of the incoming delta and
+the view is NEVER rewritten per epoch (the round-11 form rewrote the full
+folded view every batch: O(view) per epoch, the cost model that breaks a
+100 TB fact-join view; reading the view folds the delta log, and a
+production deployment compacts it on the same cadence as any
+merge-on-read table). A batch-id watermark makes redelivered epochs
+no-ops, and every per-epoch write is an idempotent overwrite into a
+directory NAMED by the batch id, so a torn epoch (crash between the three
+writes) replays to the identical state — the round-11 fold-then-append
+order could double-fold dV on a torn replay. The three per-epoch writes
+run concurrently (one commit latency, not three — round-11 verdict task
+#1). The final view must hash-match the same from-scratch oracle as
+io_cdf_join_view: streaming epochs == whole-history algebra == batch
+recompute, bit-for-bit.
+
+The change feeds are constructed ANALYTICALLY from the base tables — the
+same three-epoch history io_cdf_join_view drives through real
+VersionedTable commits (insert-all, delete slices, keyed updates), emitted
+directly as signed CDF rows. io_cdf_join_view keeps the actual
+CDF-extraction machinery under test; this query's subject is the per-epoch
+maintenance algebra, and round 11 measured 65 of its 83 gen-sf1.0 engine
+seconds inside fixture history-building and re-evaluating the CDF lineage
+once per epoch write.
 
 Reference parity: the reference recomputes its derived state from the
 whole JSON snapshot each poll cycle (main.py:98-143); this is that
@@ -26,32 +44,37 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realestatedeals_spark.io.maintenance import VersionedTable
 from realestatedeals_spark.io.sources import load_table
 from realestatedeals_spark.plans.mor_delete_plan import _CDF_JOIN_VIEW_ORACLE
 from realestatedeals_spark.plans.registry import register
 from realestatedeals_spark.session import apply_session_conf
 from realestatedeals_spark.streaming.replay import write_epoch_dirs
+from realestatedeals_spark.util import free_local_checkpoint
 
 _SCHEMA = (
     "src string, ver bigint, k bigint, custkey bigint, rev bigint, sign bigint"
 )
 
-
-def _signed_sign() -> F.Column:
-    return (
-        F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
-        .otherwise(F.lit(-1))
-        .cast("long")
-    )
+_A_SCHEMA = "k bigint, custkey bigint, sa bigint"
+_B_SCHEMA = "kb bigint, rev bigint, sb bigint"
+_V_SCHEMA = "custkey bigint, n_items bigint, rev_micros bigint"
 
 
 class _JoinView:
-    """foreachBatch target: accumulated A/B relations + the running view."""
+    """foreachBatch target: accumulated A/B relations + the view delta log.
+
+    Layout: ``{a_acc,b_acc,view}/e{batch_id}/`` parquet directories plus an
+    ``_applied_batch`` watermark. Reads list epoch directories EXPLICITLY
+    and take only ids ≤ the watermark (a torn later epoch's partial files
+    are invisible), writes overwrite their own epoch directory (replay is
+    idempotent), and the watermark moves LAST — the standard
+    manifest-last commit ordering, here with the directory listing as the
+    manifest."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -61,24 +84,35 @@ class _JoinView:
         self.view_dir = os.path.join(root, "view")
         self.mark = os.path.join(root, "_applied_batch")
 
-    def _read_or_none(self, path: str, schema: str) -> DataFrame | None:
-        if not os.path.exists(path):
+    def _applied(self) -> int:
+        if not os.path.exists(self.mark):
+            return -1
+        with open(self.mark) as fh:
+            return int(fh.read().strip())
+
+    def _read_epochs(self, base: str, schema: str, upto: int) -> DataFrame | None:
+        dirs = [
+            os.path.join(base, d)
+            for d in (os.listdir(base) if os.path.isdir(base) else ())
+            if d.startswith("e") and int(d[1:]) <= upto
+        ]
+        if not dirs:
             return None
-        return self.spark.read.schema(schema).parquet(path)
+        return self.spark.read.schema(schema).parquet(*dirs)
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
-        # redelivery guard: an epoch already folded in must be a no-op
-        if os.path.exists(self.mark):
-            with open(self.mark) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return
+        applied = self._applied()
+        if batch_id <= applied:  # redelivered epoch: no-op
+            return
         batch = batch.localCheckpoint(eager=True)
-        da = batch.filter(F.col("src") == "A").select("k", "custkey", F.col("sign").alias("sa"))
+        da = batch.filter(F.col("src") == "A").select(
+            "k", "custkey", F.col("sign").alias("sa")
+        )
         db = batch.filter(F.col("src") == "B").select(
             F.col("k").alias("kb"), "rev", F.col("sign").alias("sb")
         )
-        a_prev = self._read_or_none(self.a_dir, "k bigint, custkey bigint, sa bigint")
-        b_prev = self._read_or_none(self.b_dir, "kb bigint, rev bigint, sb bigint")
+        a_prev = self._read_epochs(self.a_dir, _A_SCHEMA, applied)
+        b_prev = self._read_epochs(self.b_dir, _B_SCHEMA, applied)
 
         terms = [da.join(db, da["k"] == db["kb"])]
         if b_prev is not None:
@@ -93,31 +127,85 @@ class _JoinView:
             F.sum(F.col("sa") * F.col("sb") * F.col("rev")).alias("rev_micros"),
         )
 
-        view_prev = self._read_or_none(
-            self.view_dir, "custkey bigint, n_items bigint, rev_micros bigint"
+        # three O(delta)-sized idempotent writes, concurrently (independent
+        # jobs; each overwrites its own epoch directory so a torn replay
+        # converges); the watermark advances only after ALL landed
+        e = f"e{batch_id}"
+        writes = (
+            (dview, os.path.join(self.view_dir, e)),
+            (da, os.path.join(self.a_dir, e)),
+            (db, os.path.join(self.b_dir, e)),
         )
-        merged = dview if view_prev is None else view_prev.unionByName(dview)
-        merged = merged.groupBy("custkey").agg(
-            F.sum("n_items").alias("n_items"), F.sum("rev_micros").alias("rev_micros")
-        )
-        tmp = self.view_dir + f".tmp-{batch_id}"
-        merged.write.mode("errorifexists").parquet(tmp)
-        old = self.view_dir + f".old-{batch_id}"
-        if os.path.exists(self.view_dir):
-            os.rename(self.view_dir, old)
-        os.rename(tmp, self.view_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        # append this epoch's deltas to the accumulated relations LAST so a
-        # crash before this point replays the epoch against the old state
-        da.write.mode("append").parquet(self.a_dir)
-        db.write.mode("append").parquet(self.b_dir)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(df.write.mode("overwrite").parquet, path)
+                for df, path in writes
+            ]
+            for f in futs:
+                f.result()
         with open(self.mark, "w") as fh:
             fh.write(str(batch_id))
+        free_local_checkpoint(batch)
 
     def current(self) -> DataFrame | None:
-        return self._read_or_none(
-            self.view_dir, "custkey bigint, n_items bigint, rev_micros bigint"
+        """Merge-on-read fold of the view delta log (what a compaction job
+        would persist)."""
+        deltas = self._read_epochs(self.view_dir, _V_SCHEMA, self._applied())
+        if deltas is None:
+            return None
+        return deltas.groupBy("custkey").agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("rev_micros").alias("rev_micros"),
         )
+
+
+def _signed_epochs(orders: DataFrame, li: DataFrame) -> list[DataFrame]:
+    """The three-epoch signed change feed of io_cdf_join_view's history,
+    stated directly over the base tables (see module docstring): epoch 1
+    inserts both relations; epoch 2 deletes ``o_orderkey % 13 = 5`` /
+    ``l_linenumber >= 5``; epoch 3 re-routes ``o_orderkey % 11 = 2`` of the
+    REMAINING orders to custkey+1000 and doubles rev on
+    ``l_orderkey % 7 = 1`` of the remaining lineitems (pre-image −1 /
+    post-image +1 pairs, exactly what table_changes emits for merge_into).
+    """
+
+    def arow(ver: int, sign: int, custkey: F.Column, src: DataFrame) -> DataFrame:
+        return src.select(
+            F.lit("A").alias("src"),
+            F.lit(ver).cast("long").alias("ver"),
+            F.col("o_orderkey").alias("k"),
+            custkey.cast("long").alias("custkey"),
+            F.lit(None).cast("long").alias("rev"),
+            F.lit(sign).cast("long").alias("sign"),
+        )
+
+    def brow(ver: int, sign: int, rev: F.Column, src: DataFrame) -> DataFrame:
+        return src.select(
+            F.lit("B").alias("src"),
+            F.lit(ver).cast("long").alias("ver"),
+            F.col("l_orderkey").alias("k"),
+            F.lit(None).cast("long").alias("custkey"),
+            rev.cast("long").alias("rev"),
+            F.lit(sign).cast("long").alias("sign"),
+        )
+
+    a_del = orders.filter(F.col("o_orderkey") % 13 == 5)
+    a_upd = orders.filter(
+        (F.col("o_orderkey") % 13 != 5) & (F.col("o_orderkey") % 11 == 2)
+    )
+    b_del = li.filter(F.col("l_linenumber") >= 5)
+    b_upd = li.filter(
+        (F.col("l_linenumber") < 5) & (F.col("l_orderkey") % 7 == 1)
+    )
+    ck, rv = F.col("o_custkey"), F.col("rev_micros")
+    return [
+        arow(1, 1, ck, orders).unionByName(brow(1, 1, rv, li)),
+        arow(2, -1, ck, a_del).unionByName(brow(2, -1, rv, b_del)),
+        arow(3, -1, ck, a_upd)
+        .unionByName(arow(3, 1, ck + 1000, a_upd))
+        .unionByName(brow(3, -1, rv, b_upd))
+        .unionByName(brow(3, 1, 2 * rv, b_upd)),
+    ]
 
 
 @register(
@@ -128,6 +216,8 @@ class _JoinView:
 def c12_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_session_conf(spark)
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # the grouped-lineitem relation feeds all three epoch frames — pin it
+    # once so the epoch writes don't re-shuffle lineitem per epoch
     li = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey", "l_linenumber")
@@ -138,48 +228,14 @@ def c12_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("rev_micros")
         )
+        .localCheckpoint(eager=True)
     )
     work = tempfile.mkdtemp(prefix="stream_join_view_")
     try:
-        # build the same mutation history as io_cdf_join_view, then feed its
-        # change logs through the stream instead of joining them wholesale
-        ta = VersionedTable(spark, os.path.join(work, "orders"))
-        ta.commit(orders)
-        tb = VersionedTable(spark, os.path.join(work, "lineitem"))
-        tb.commit(li)
-        ta.delete_where(F.col("o_orderkey") % 13 == 5)
-        upd_a = ta.read().filter(F.col("o_orderkey") % 11 == 2).select(
-            "o_orderkey", (F.col("o_custkey") + 1000).alias("o_custkey")
-        )
-        ta.merge_into(upd_a, keys=["o_orderkey"])
-        tb.delete_where(F.col("l_linenumber") >= 5)
-        upd_b = tb.read().filter(F.col("l_orderkey") % 7 == 1).select(
-            "l_orderkey", "l_linenumber", (2 * F.col("rev_micros")).alias("rev_micros")
-        )
-        tb.merge_into(upd_b, keys=["l_orderkey", "l_linenumber"])
-
-        ca = ta.table_changes(keys=["o_orderkey"]).select(
-            F.lit("A").alias("src"),
-            F.col("_commit_version").cast("long").alias("ver"),
-            F.col("o_orderkey").alias("k"),
-            F.col("o_custkey").alias("custkey"),
-            F.lit(None).cast("long").alias("rev"),
-            _signed_sign().alias("sign"),
-        )
-        cb = tb.table_changes(keys=["l_orderkey", "l_linenumber"]).select(
-            F.lit("B").alias("src"),
-            F.col("_commit_version").cast("long").alias("ver"),
-            F.col("l_orderkey").alias("k"),
-            F.lit(None).cast("long").alias("custkey"),
-            F.col("rev_micros").alias("rev"),
-            _signed_sign().alias("sign"),
-        )
-        log = ca.unionByName(cb)
-
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        vers = sorted(r["ver"] for r in log.select("ver").distinct().collect())
-        write_epoch_dirs(in_dir, [log.filter(F.col("ver") == v) for v in vers])
+        write_epoch_dirs(in_dir, _signed_epochs(orders, li))
+        free_local_checkpoint(li)
 
         stream = (
             spark.readStream.schema(_SCHEMA)
@@ -203,4 +259,3 @@ def c12_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-

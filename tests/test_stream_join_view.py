@@ -52,3 +52,23 @@ def test_epoch_algebra_and_redelivery(spark, tmp_path):
     b3 = _batch(spark, [("B", 4, 1, None, 7, -1)])
     v.foreach_batch(b3, 3)
     assert _view(v)[20] == (1, 100)
+
+
+def test_torn_epoch_replay_converges(spark, tmp_path):
+    """A crash AFTER an epoch's delta writes but BEFORE the watermark moves
+    redelivers the epoch against the previous watermark: the replay must
+    overwrite its own epoch directories and converge to the same state,
+    never double-fold (the pre-r12 fold-then-append order double-counted
+    dV in exactly this scenario)."""
+    v = _JoinView(spark, str(tmp_path / "state"))
+    v.foreach_batch(
+        _batch(spark, [("A", 1, 1, 10, None, 1), ("B", 1, 1, None, 100, 1)]), 0
+    )
+    b1 = _batch(spark, [("B", 2, 1, None, 7, 1)])
+    v.foreach_batch(b1, 1)
+    want = _view(v)
+    # simulate the torn commit: epoch 1's directories exist, watermark says 0
+    with open(v.mark, "w") as fh:
+        fh.write("0")
+    v.foreach_batch(b1, 1)  # replay of the torn epoch
+    assert _view(v) == want
