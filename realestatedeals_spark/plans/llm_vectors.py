@@ -488,16 +488,32 @@ def _km_dist(v: str, c: str) -> str:
     )
 
 
-def _km_oracle(final: str | None = None, extra: list[str] | None = None) -> str:
+def _km_oracle(
+    final: str | None = None,
+    extra: list[str] | None = None,
+    train_where: str | None = None,
+) -> str:
+    """The shared integer-k-means CTE chain. ``train_where`` restricts the
+    TRAINING corpus (init seeds + the centroid-update assignment passes) to
+    a subset of ``v`` while the FINAL assignment still covers all of ``v``
+    — the frozen-centroid semantics of incremental index maintenance
+    (x3_ivf_incremental): vectors arriving after the build are assigned to
+    the cells the BASE corpus trained."""
+    src = "vb" if train_where else "v"
     parts = [
         f"""v AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-  FROM embeddings),
-c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {_KM_K})"""
+  FROM embeddings)"""
     ]
+    if train_where:
+        parts.append(f"vb AS (SELECT * FROM v WHERE {train_where})")
+    parts.append(
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM {src} WHERE vec_id < {_KM_K})"
+    )
     for t in range(1, _KM_ITERS + 1):
+        a_src = src if t < _KM_ITERS else "v"
         parts.append(
             f"""a{t} AS (
   SELECT vec_id, v, cluster, dist_sq FROM (
@@ -505,7 +521,7 @@ c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {_KM_K})"""
            row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq, cluster) AS rk
     FROM (SELECT x.vec_id, x.v, c.cid AS cluster,
                  {_km_dist('x.v', 'c.cv')} AS dist_sq
-          FROM v x, c{t - 1} c))
+          FROM {a_src} x, c{t - 1} c))
   WHERE rk = 1)"""
         )
         if t < _KM_ITERS:
@@ -693,6 +709,83 @@ WHERE rk <= {_IVF_TOPK}""",
 )
 
 
+def _ivf_queries(emb: DataFrame) -> DataFrame:
+    """The bounded benchmark query set (≤100 at any SF), as (qid, qv)."""
+    return emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000)
+    ).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+
+
+def _ivf_probe_pairs(
+    queries: DataFrame, cents: list[list[int]]
+) -> tuple[DataFrame, list[int]]:
+    """Per-query nprobe nearest cells under the frozen centroids: k×dim
+    centroid literals ranked by exact integer distance with (d, cid) ties
+    — probe PAIRS are metadata (≤ Q·nprobe rows), collected like the
+    centroids themselves. Returns (literal probe-pair frame, sorted probed
+    cell ids); the cell-id list is the literal IN-filter that becomes
+    PartitionFilters on the cell-partitioned index scan."""
+    from realestatedeals_spark.util import inline_frame
+
+    spark = queries.sparkSession
+    dists = queries.select(
+        "qid",
+        F.array(
+            *[
+                F.struct(
+                    _int_dist_sq(F.col("qv"), cv).alias("d"),
+                    F.lit(cid).cast("int").alias("c"),
+                )
+                for cid, cv in enumerate(cents)
+            ]
+        ).alias("ds"),
+    ).select("qid", F.slice(F.array_sort("ds"), 1, _IVF_NPROBE).alias("near"))
+    probe_rows = dists.select(
+        "qid", F.transform("near", lambda s: s["c"]).alias("cids")
+    ).collect()
+    probed_cells = sorted({int(c) for r in probe_rows for c in r["cids"]})
+    # inline_frame constant-folds the pair table in the SQL layer — no
+    # Python-RDD job like createDataFrame
+    probe_pairs = inline_frame(
+        spark,
+        ["qid", "cluster"],
+        [(r["qid"], int(c)) for r in probe_rows for c in r["cids"]],
+    ).select(F.col("qid").cast("long"), F.col("cluster").cast("int"))
+    return probe_pairs, probed_cells
+
+
+def _int_pair_dist() -> F.Column:
+    """Exact BIGINT squared distance of the (qv, v) column pair."""
+    return F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_rank_topk(cand: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
+    """Exact BIGINT distance + (dist, id)-tie top-k over a probed candidate
+    frame carrying (qid, vec_id, v, qv); ``extra_cols`` ride through."""
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        *(extra_cols or []),
+        _int_pair_dist().alias("dist_sq"),
+    )
+    w = W.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            "neighbor_id",
+            *(extra_cols or []),
+            F.col("rk").cast("int").alias("rk"),
+            "dist_sq",
+        )
+    )
+
+
 @register(
     "x3_ivf_stored_topk",
     oracle=_IVF_STORED_ORACLE,
@@ -716,37 +809,8 @@ def x3_ivf_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx_path
         )
 
-        queries = emb.filter(
-            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000)
-        ).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-        # per-query nprobe nearest cells: k×dim centroid literals, ranked by
-        # exact integer distance with (d, cid) ties — tiny frame, collected
-        # like the centroids themselves (probe PAIRS are metadata, ≤ Q·nprobe)
-        dists = queries.select(
-            "qid",
-            F.array(
-                *[
-                    F.struct(
-                        _int_dist_sq(F.col("qv"), cv).alias("d"),
-                        F.lit(cid).cast("int").alias("c"),
-                    )
-                    for cid, cv in enumerate(cents)
-                ]
-            ).alias("ds"),
-        ).select("qid", F.slice(F.array_sort("ds"), 1, _IVF_NPROBE).alias("near"))
-        probe_rows = dists.select(
-            "qid", F.transform("near", lambda s: s["c"]).alias("cids")
-        ).collect()
-        probed_cells = sorted({int(c) for r in probe_rows for c in r["cids"]})
-        from realestatedeals_spark.util import inline_frame
-
-        # literal probe table (≤ Q·nprobe rows): inline_frame constant-folds
-        # it in the SQL layer — no Python-RDD job like createDataFrame
-        probe_pairs = inline_frame(
-            spark,
-            ["qid", "cluster"],
-            [(r["qid"], int(c)) for r in probe_rows for c in r["cids"]],
-        ).select(F.col("qid").cast("long"), F.col("cluster").cast("int"))
+        queries = _ivf_queries(emb)
+        probe_pairs, probed_cells = _ivf_probe_pairs(queries, cents)
 
         # the literal IN-filter is what turns into PartitionFilters on the
         # cell-partitioned scan: only probed cell directories are listed/read
@@ -756,26 +820,228 @@ def x3_ivf_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("vec_id") != F.col("qid"))
             .join(F.broadcast(queries), "qid")
         )
-        dist = F.aggregate(
-            F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        return _ivf_rank_topk(cand).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# X3 — FILTERED ANN on the stored-index path (round 12, verdict task #5):
+# the production "filtered vector search" feature — a metadata predicate
+# composed with the ANN probe so the filter applies DURING the index scan,
+# not as a post-rank re-query. The index rows carry the filter column
+# (label), so the probed-cell scan gets BOTH PartitionFilters (cluster ∈
+# probed cells — directory pruning) and PushedFilters (label ∈ evens —
+# row-group pruning inside the probed cells) on ONE scan; candidates are
+# filter-qualified before any distance is computed. Both engines state the
+# same literal IN-predicate, so the query stays hash-exact.
+# At 100 TB the composition is what matters: predicate selectivity
+# multiplies with nprobe/nlist, so a 10%-selective filter over a 2/8-cell
+# probe touches ~2.5% of index bytes — neither a full-corpus metadata scan
+# nor a rank-then-filter pass that starves top-k below k.
+# ---------------------------------------------------------------------------
+
+_IVF_EVEN_LABELS = (0, 2, 4, 6, 8)  # labels are 0..9: IN-evens == label % 2 = 0,
+#                                     stated as IN on both engines (pushable)
+
+_IVF_FILTERED_STORED_ORACLE = _km_oracle(
+    extra=[
+        """qs AS (
+  SELECT vec_id AS qid, v AS qv FROM v
+  WHERE vec_id % 100 = 0 AND vec_id < 10000)""",
+        f"""crk AS (
+  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rk
+  FROM (SELECT q.qid, c.cid, {_km_dist('q.qv', 'c.cv')} AS d
+        FROM qs q, c{_KM_ITERS - 1} c))""",
+        f"""probe AS (SELECT qid, cid FROM crk WHERE rk <= {_IVF_NPROBE})""",
+        f"""cand AS (
+  SELECT p.qid, a.vec_id AS neighbor_id, a.v, l.label
+  FROM probe p
+  JOIN a{_KM_ITERS} a ON a.cluster = p.cid
+  JOIN embeddings l ON l.vec_id = a.vec_id
+  WHERE a.vec_id <> p.qid AND l.label IN {_IVF_EVEN_LABELS})""",
+        f"""scored AS (
+  SELECT c.qid, c.neighbor_id, c.label, {_km_dist('q.qv', 'c.v')} AS dist_sq
+  FROM cand c JOIN qs q ON q.qid = c.qid)""",
+    ],
+    final=f"""SELECT qid AS query_id, neighbor_id, CAST(label AS INTEGER) AS label,
+       CAST(rk AS INTEGER) AS rk, dist_sq
+FROM (SELECT qid, neighbor_id, label, dist_sq,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_sq, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {_IVF_TOPK}""",
+)
+
+
+@register(
+    "x3_ivf_filtered_topk",
+    oracle=_IVF_FILTERED_STORED_ORACLE,
+    tags=("X3", "vectors", "ann", "index", "storage", "filtered"),
+)
+def x3_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-qualified top-5 per query from the stored IVF index: the
+    label predicate rides the SAME probed-cell scan as the partition
+    pruning (PartitionFilters + PushedFilters together — pinned in
+    tests/test_similarity.py). See the block comment above; hash-exact."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = _micros_vectors(spark, sf_dir)
+    assigned, cents = _kmeans_micros(emb)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+    work = tempfile.mkdtemp(prefix="ivf_fidx_")
+    try:
+        idx_path = os.path.join(work, "cells")
+        # index rows carry the filterable metadata column
+        assigned.select("vec_id", "v", "cluster").join(labels, "vec_id").write.partitionBy(
+            "cluster"
+        ).parquet(idx_path)
+
+        queries = _ivf_queries(emb)
+        probe_pairs, probed_cells = _ivf_probe_pairs(queries, cents)
+
+        # ONE scan, two prunings: cluster IN probed → PartitionFilters
+        # (directory listing), label IN evens → PushedFilters (row groups)
+        idx = (
+            spark.read.parquet(idx_path)
+            .filter(F.col("cluster").isin(probed_cells))
+            .filter(F.col("label").isin(list(_IVF_EVEN_LABELS)))
         )
-        scored = cand.select(
-            "qid", F.col("vec_id").alias("neighbor_id"), dist.alias("dist_sq")
+        cand = (
+            idx.join(F.broadcast(probe_pairs), "cluster")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .join(F.broadcast(queries), "qid")
+            .withColumn("label", F.col("label").cast("int"))
         )
-        w = W.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
-        out = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= _IVF_TOPK)
-            .select(
-                F.col("qid").alias("query_id"),
-                "neighbor_id",
-                F.col("rk").cast("int").alias("rk"),
-                "dist_sq",
-            )
+        return _ivf_rank_topk(cand, extra_cols=["label"]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# X3 — INCREMENTAL maintenance of the stored IVF index (round 12, verdict
+# task #3): a 100 TB corpus cannot retrain + rewrite its index per ingest
+# batch. The x2_minhash_incremental pattern applied to ANN: the index is
+# built ONCE from the base corpus (centroids trained on base, cells
+# partition-stored); a later ingest batch is assigned under the FROZEN
+# centroids and appended to its cell directories — no retraining, no
+# rewrite of existing files (append-only, pinned by an mtime/file-set
+# assertion in tests/test_similarity.py); deletes become a DELETION-VECTOR
+# sidecar (id list) that probes anti-join, the same merge-on-read shape as
+# io/maintenance.delete_where's DV path. Frozen cells ⇒ the final state is
+# a pure function of (base, batch, deletes), so the whole lifecycle —
+# base-only training, frozen-centroid assignment of late arrivals, DV
+# masking, pruned probes, exact rerank — is restated in SQL and the query
+# is HASH-EXACT. A production deployment wraps the append + DV writes in
+# the catalog's conflict-checked multi-table commit (io/catalog.py, the
+# c14 transaction) and re-trains on drift as a background OPTIMIZE;
+# centroid staleness is a recall knob, never a correctness one here
+# because probe semantics are part of the statement.
+# ---------------------------------------------------------------------------
+
+_IVF_INCR_BASE = "vec_id % 10 <> 9"      # 90% of the corpus builds the index
+_IVF_INCR_DELETE_MOD = 25                # vec_id % 25 == 9 → deleted (hits both
+#                                          base and appended rows: 9→batch, 34→base)
+
+_IVF_INCR_ORACLE = _km_oracle(
+    train_where=_IVF_INCR_BASE,
+    extra=[
+        f"""live AS (
+  SELECT vec_id, v, cluster FROM a{_KM_ITERS}
+  WHERE vec_id % {_IVF_INCR_DELETE_MOD} <> 9)""",
+        """qs AS (
+  SELECT vec_id AS qid, v AS qv FROM v
+  WHERE vec_id % 100 = 0 AND vec_id < 10000)""",
+        f"""crk AS (
+  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rk
+  FROM (SELECT q.qid, c.cid, {_km_dist('q.qv', 'c.cv')} AS d
+        FROM qs q, c{_KM_ITERS - 1} c))""",
+        f"""probe AS (SELECT qid, cid FROM crk WHERE rk <= {_IVF_NPROBE})""",
+        """cand AS (
+  SELECT p.qid, a.vec_id AS neighbor_id, a.v
+  FROM probe p JOIN live a ON a.cluster = p.cid
+  WHERE a.vec_id <> p.qid)""",
+        f"""scored AS (
+  SELECT c.qid, c.neighbor_id, {_km_dist('q.qv', 'c.v')} AS dist_sq
+  FROM cand c JOIN qs q ON q.qid = c.qid)""",
+    ],
+    final=f"""SELECT qid AS query_id, neighbor_id, CAST(rk AS INTEGER) AS rk, dist_sq
+FROM (SELECT qid, neighbor_id, dist_sq,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_sq, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {_IVF_TOPK}""",
+)
+
+
+def _ivf_incremental_index(
+    spark: SparkSession, sf_dir: str, work: str, on_base_built=None
+) -> tuple[str, str, DataFrame, list[list[int]]]:
+    """Build the base index, append the late batch under frozen centroids,
+    and write the deletion-vector sidecar. Returns (index path, DV path,
+    micros corpus, centroids) — shared by the registry query and the
+    append-only pytest, which snapshots the base files via
+    ``on_base_built(idx_path)`` and asserts the append touched none of
+    them."""
+    import os
+
+    emb = _micros_vectors(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    late = emb.filter(F.col("vec_id") % 10 == 9)
+    assigned_base, cents = _kmeans_micros(base)  # trained on the BASE corpus
+
+    idx_path = os.path.join(work, "cells")
+    assigned_base.select("vec_id", "v", "cluster").write.partitionBy(
+        "cluster"
+    ).parquet(idx_path)
+    if on_base_built is not None:
+        on_base_built(idx_path)
+
+    # ingest batch: frozen-centroid assignment, append-only into cell dirs
+    _km_assign(late, cents).select("vec_id", "v", "cluster").write.mode(
+        "append"
+    ).partitionBy("cluster").parquet(idx_path)
+
+    # deletes: a deletion-vector sidecar, never a rewrite of index files
+    dv_path = os.path.join(work, "dv")
+    emb.filter(F.col("vec_id") % _IVF_INCR_DELETE_MOD == 9).select(
+        "vec_id"
+    ).write.parquet(dv_path)
+    return idx_path, dv_path, emb, cents
+
+
+@register(
+    "x3_ivf_incremental",
+    oracle=_IVF_INCR_ORACLE,
+    tags=("X3", "vectors", "ann", "index", "storage", "incremental"),
+)
+def x3_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 per query from an INCREMENTALLY-maintained stored IVF index:
+    base build → frozen-centroid append of a late ingest batch → DV-masked
+    pruned probes. See the block comment above; hash-exact — the batch-
+    built frozen-cell index is the oracle (same cells ⇒ same answer)."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ivf_incr_")
+    try:
+        idx_path, dv_path, emb, cents = _ivf_incremental_index(spark, sf_dir, work)
+        queries = _ivf_queries(emb)
+        probe_pairs, probed_cells = _ivf_probe_pairs(queries, cents)
+
+        dv = spark.read.parquet(dv_path)
+        idx = (
+            spark.read.parquet(idx_path)
+            .filter(F.col("cluster").isin(probed_cells))
+            .join(F.broadcast(dv), "vec_id", "left_anti")  # DV mask on the probe
         )
-        return out.localCheckpoint(eager=True)
+        cand = (
+            idx.join(F.broadcast(probe_pairs), "cluster")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .join(F.broadcast(queries), "qid")
+        )
+        return _ivf_rank_topk(cand).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -932,20 +1198,12 @@ def _pq_train_micros(emb: DataFrame) -> list[list[list[int]]]:
     return books
 
 
-@register(
-    "x3_ivfpq_stored_topk",
-    bench=True,  # round 11: driver-visible so the vectorized/stored-index paths cannot silently regress
-    oracle=_IVFPQ_STORED_ORACLE,
-    tags=("X3", "vectors", "ann", "index", "storage", "quantization"),
-)
-def x3_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 neighbors per query from a STORED IVF-PQ index: coarse-cell
-    partition-pruned probes over PQ CODE rows only, ranked by integer ADC.
-    See the block comment above; hash-exact — training, encoding, probing,
-    and the ADC approximation are all stated in the oracle."""
+def _ivfpq_adc_scores(spark: SparkSession, sf_dir: str, work: str) -> DataFrame:
+    """Build the stored IVF-PQ index under ``work`` and return the full ADC
+    candidate score frame (qid, neighbor_id, adc_dist) for the benchmark
+    query set — shared by the ADC-ranked query and the exact-rerank query
+    so both read the identical index and probe plan."""
     import os
-    import shutil
-    import tempfile
 
     emb = _micros_vectors(spark, sf_dir)
     assigned, cents = _kmeans_micros(emb)
@@ -966,66 +1224,83 @@ def x3_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.array(*[code_col(s) for s in range(_PQ_M)]).alias("code")
     )
 
+    idx_path = os.path.join(work, "cells")
+    # stored row = (vec_id, 4 small ints, cell) — no raw vector
+    codes.join(assigned.select("vec_id", "cluster"), "vec_id").write.partitionBy(
+        "cluster"
+    ).parquet(idx_path)
+
+    q_rows = (
+        emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000))
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        .collect()
+    )
+
+    # probe cells: exact integer distance to the k coarse centroids,
+    # computed driver-side from the collected query set (Q ≤ 100 rows)
+    def idist(qv: list, cv: list) -> int:
+        return sum((int(a) - int(b)) * (int(a) - int(b)) for a, b in zip(qv, cv))
+
+    probe_pairs_py, lut_rows = [], []
+    for r in q_rows:
+        qv = list(r["qv"])
+        ranked = sorted(
+            (idist(qv, cv), cid) for cid, cv in enumerate(cents)
+        )[:_IVF_NPROBE]
+        probe_pairs_py += [(r["qid"], cid) for _, cid in ranked]
+        # flat LUT: lut[sub*ksub + cell] = subspace distance (exact int)
+        flat = [
+            idist(
+                qv[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM], books[s][cell]
+            )
+            for s in range(_PQ_M)
+            for cell in range(_PQ_KS)
+        ]
+        lut_rows.append((r["qid"], flat))
+    probed_cells = sorted({c for _, c in probe_pairs_py})
+    from realestatedeals_spark.util import inline_frame
+
+    probe_pairs = inline_frame(spark, ["qid", "cluster"], probe_pairs_py).select(
+        F.col("qid").cast("long"), F.col("cluster").cast("int")
+    )
+    lut_df = inline_frame(spark, ["qid", "flat_lut"], lut_rows)
+
+    # literal IN-filter → PartitionFilters: only probed cell dirs read
+    idx = spark.read.parquet(idx_path).filter(F.col("cluster").isin(probed_cells))
+    cand = (
+        idx.join(F.broadcast(probe_pairs), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(lut_df), "qid")
+    )
+    adc = None
+    for s in range(_PQ_M):
+        term = F.element_at(
+            "flat_lut",
+            (F.lit(s * _PQ_KS + 1) + F.element_at("code", s + 1)).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    return cand.select(
+        "qid", F.col("vec_id").alias("neighbor_id"), adc.cast("long").alias("adc_dist")
+    )
+
+
+@register(
+    "x3_ivfpq_stored_topk",
+    bench=True,  # round 11: driver-visible so the vectorized/stored-index paths cannot silently regress
+    oracle=_IVFPQ_STORED_ORACLE,
+    tags=("X3", "vectors", "ann", "index", "storage", "quantization"),
+)
+def x3_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors per query from a STORED IVF-PQ index: coarse-cell
+    partition-pruned probes over PQ CODE rows only, ranked by integer ADC.
+    See the block comment above; hash-exact — training, encoding, probing,
+    and the ADC approximation are all stated in the oracle."""
+    import shutil
+    import tempfile
+
     work = tempfile.mkdtemp(prefix="ivfpq_idx_")
     try:
-        idx_path = os.path.join(work, "cells")
-        # stored row = (vec_id, 4 small ints, cell) — no raw vector
-        codes.join(assigned.select("vec_id", "cluster"), "vec_id").write.partitionBy(
-            "cluster"
-        ).parquet(idx_path)
-
-        q_rows = (
-            emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000))
-            .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-            .collect()
-        )
-
-        # probe cells: exact integer distance to the k coarse centroids,
-        # computed driver-side from the collected query set (Q ≤ 100 rows)
-        def idist(qv: list, cv: list) -> int:
-            return sum((int(a) - int(b)) * (int(a) - int(b)) for a, b in zip(qv, cv))
-
-        probe_pairs_py, lut_rows = [], []
-        for r in q_rows:
-            qv = list(r["qv"])
-            ranked = sorted(
-                (idist(qv, cv), cid) for cid, cv in enumerate(cents)
-            )[:_IVF_NPROBE]
-            probe_pairs_py += [(r["qid"], cid) for _, cid in ranked]
-            # flat LUT: lut[sub*ksub + cell] = subspace distance (exact int)
-            flat = [
-                idist(
-                    qv[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM], books[s][cell]
-                )
-                for s in range(_PQ_M)
-                for cell in range(_PQ_KS)
-            ]
-            lut_rows.append((r["qid"], flat))
-        probed_cells = sorted({c for _, c in probe_pairs_py})
-        from realestatedeals_spark.util import inline_frame
-
-        probe_pairs = inline_frame(spark, ["qid", "cluster"], probe_pairs_py).select(
-            F.col("qid").cast("long"), F.col("cluster").cast("int")
-        )
-        lut_df = inline_frame(spark, ["qid", "flat_lut"], lut_rows)
-
-        # literal IN-filter → PartitionFilters: only probed cell dirs read
-        idx = spark.read.parquet(idx_path).filter(F.col("cluster").isin(probed_cells))
-        cand = (
-            idx.join(F.broadcast(probe_pairs), "cluster")
-            .filter(F.col("vec_id") != F.col("qid"))
-            .join(F.broadcast(lut_df), "qid")
-        )
-        adc = None
-        for s in range(_PQ_M):
-            term = F.element_at(
-                "flat_lut",
-                (F.lit(s * _PQ_KS + 1) + F.element_at("code", s + 1)).cast("int"),
-            )
-            adc = term if adc is None else adc + term
-        scored = cand.select(
-            "qid", F.col("vec_id").alias("neighbor_id"), adc.cast("long").alias("adc_dist")
-        )
+        scored = _ivfpq_adc_scores(spark, sf_dir, work)
         w = W.partitionBy("qid").orderBy("adc_dist", "neighbor_id")
         out = (
             scored.withColumn("rk", F.row_number().over(w))
@@ -1038,6 +1313,84 @@ def x3_ivfpq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# X3 — IVF-PQ with EXACT RERANK (round 12, verdict task #2): what a
+# production FAISS-IVFPQ deployment actually serves. ADC distances are a
+# lossy ranking — fine for shortlisting, not for the final order — so the
+# standard shape is: ADC-rank the probed code rows, keep the top R per
+# query, fetch the RAW vectors for just those R candidates from the
+# corpus (NOT from the index, which stores codes only — the index stays
+# 128× smaller), and re-rank them by exact distance. Cost per query:
+# nprobe code-partition reads + R raw-vector fetches — never a raw-vector
+# scan of the corpus per query. R=20 for k=5 here; the planted-twin pytest
+# pins that the rerank window covers the exact top-k on the fixture (an
+# ADC shortlist that drops a true neighbor past R is a recall knob turned
+# too low, and would surface there). The raw-vector fetch is a broadcast
+# semi-join of the ≤ Q·R shortlist against the corpus scan; a 100 TB
+# deployment points the same join at a vec_id-bucketed store for
+# point-lookup I/O. Every stage — ADC shortlist, fetch, exact rerank — is
+# restated in the SQL oracle: hash-exact.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_RERANK_R = 20
+
+_IVFPQ_RERANK_ORACLE = _km_oracle(
+    extra=_ivfpq_extra()
+    + [
+        f"""short AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, nid) AS ark
+    FROM scored)
+  WHERE ark <= {_IVFPQ_RERANK_R})""",
+        f"""rer AS (
+  SELECT s.qid, s.nid, {_km_dist('q.qv', 'e.v')} AS dist_sq
+  FROM short s JOIN v e ON e.vec_id = s.nid JOIN qs q ON q.qid = s.qid)""",
+    ],
+    final=f"""SELECT qid AS query_id, nid AS neighbor_id,
+       CAST(rk AS INTEGER) AS rk, dist_sq
+FROM (SELECT qid, nid, dist_sq,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_sq, nid) AS rk
+      FROM rer)
+WHERE rk <= {_IVF_TOPK}""",
+)
+
+
+@register(
+    "x3_ivfpq_rerank_topk",
+    oracle=_IVFPQ_RERANK_ORACLE,
+    tags=("X3", "vectors", "ann", "index", "storage", "quantization", "rerank"),
+)
+def x3_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 per query over the ADC top-20 shortlist from the stored
+    IVF-PQ index (shortlist from codes, rerank from raw corpus vectors).
+    See the block comment above; hash-exact."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ivfpq_rr_")
+    try:
+        scored = _ivfpq_adc_scores(spark, sf_dir, work)
+        aw = W.partitionBy("qid").orderBy("adc_dist", "neighbor_id")
+        short = (
+            scored.withColumn("ark", F.row_number().over(aw))
+            .filter(F.col("ark") <= _IVFPQ_RERANK_R)
+            .select("qid", "neighbor_id")
+        )
+        # raw-vector fetch for the shortlist only: broadcast the ≤ Q·R id
+        # pairs against ONE corpus scan (the index holds codes, not vectors)
+        emb = _micros_vectors(spark, sf_dir)
+        raw = emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+        queries = _ivf_queries(emb)
+        cand = (
+            raw.join(F.broadcast(short), "neighbor_id")
+            .join(F.broadcast(queries), "qid")
+            .select("qid", F.col("neighbor_id").alias("vec_id"), "v", "qv")
+        )
+        return _ivf_rank_topk(cand).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -73,7 +73,11 @@ _UNPART_WINDOW_WHITELIST = {
 # for minutes of runtime); each is oracle-checked end-to-end instead
 _SKIP = {"x3_ivf_stored_topk",  # k-means train + index write at plan build;
          # its pruned-scan property is pinned in tests/test_similarity.py
+         "x3_ivf_filtered_topk",  # same (index build at plan time); its
+         # PartitionFilters+PushedFilters scan is pinned in test_similarity
+         "x3_ivf_incremental",  # same; append-only + DV masking pinned there
          "x3_ivfpq_stored_topk",  # same, plus PQ codebook training
+         "x3_ivfpq_rerank_topk",  # same index build; rerank-coverage pytest
          "c3_streaming_cdc", "c4_stateful_user_stats", "c5_stream_dedup",
          "c13_stream_transition_matrix", "c14_stream_catalog_txn",
          "c15_stream_lm_counts", "c16_stream_lm_score",

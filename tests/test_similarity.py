@@ -643,6 +643,148 @@ def test_ivf_stored_index_prunes_partitions(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_ivf_filtered_scan_prunes_partitions_and_pushes_label(spark, sf_dir):
+    """x3_ivf_filtered_topk's contract is ONE scan with BOTH prunings: the
+    probed-cell predicate as PartitionFilters (directory pruning) and the
+    label membership as PushedFilters (row-group pruning) — the filtered-
+    ANN composition, never rank-then-filter."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from realestatedeals_spark.plans.llm_vectors import (
+        _kmeans_micros,
+        _micros_vectors,
+    )
+
+    emb = _micros_vectors(spark, sf_dir)
+    assigned, _cents = _kmeans_micros(emb)
+    labels = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    work = tempfile.mkdtemp(prefix="ivf_ftest_")
+    try:
+        p = os.path.join(work, "cells")
+        assigned.select("vec_id", "v", "cluster").join(labels, "vec_id").write.partitionBy(
+            "cluster"
+        ).parquet(p)
+        idx = (
+            spark.read.parquet(p)
+            .filter(F.col("cluster").isin([0, 1]))
+            .filter(F.col("label").isin([0, 2, 4, 6, 8]))
+        )
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan), plan
+        assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(label", plan), plan
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_ivf_incremental_append_only_and_dv_mask(spark, sf_dir):
+    """The incremental index maintenance contract: appending a late ingest
+    batch must leave every base index file byte-identical (same file set,
+    sizes, mtimes — the io_mor_delete discipline), the appended rows land
+    in existing cell directories under the FROZEN centroids, and the DV
+    sidecar masks deleted ids out of probes without touching data files."""
+    import os
+    import shutil
+    import tempfile
+
+    from realestatedeals_spark.plans.llm_vectors import (
+        _IVF_INCR_DELETE_MOD,
+        _ivf_incremental_index,
+    )
+
+    def snap(path):
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                # _SUCCESS (+ its crc) is the job commit marker, re-stamped
+                # by design on every commit — index DATA files are the claim
+                if f.startswith((".", "_")) or f.endswith(".crc"):
+                    continue
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = {}
+    work = tempfile.mkdtemp(prefix="ivf_incr_test_")
+    try:
+        idx_path, dv_path, emb, _cents = _ivf_incremental_index(
+            spark, sf_dir, work, on_base_built=lambda p: before.update(snap(p))
+        )
+        after = snap(idx_path)
+        assert before, "base snapshot empty"
+        for p, meta in before.items():
+            assert after.get(p) == meta, f"base index file rewritten: {p}"
+        new_files = set(after) - set(before)
+        assert new_files, "append produced no new files"
+        # all rows present exactly once; appended rows live in cell dirs
+        n = emb.count()
+        assert spark.read.parquet(idx_path).count() == n
+        dv_ids = {r["vec_id"] for r in spark.read.parquet(dv_path).collect()}
+        assert dv_ids and all(v % _IVF_INCR_DELETE_MOD == 9 for v in dv_ids)
+        live = spark.read.parquet(idx_path).join(
+            spark.read.parquet(dv_path), "vec_id", "left_anti"
+        )
+        assert live.count() == n - len(dv_ids)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_ivfpq_rerank_covers_exact_topk(spark, sf_dir):
+    """R=20 must be a large-enough rerank window on the fixture: the
+    reranked top-5 per query equals the exact top-5 over the FULL probed
+    candidate set (if ADC dropped a true neighbor past rank R, this is
+    where it surfaces — the recall knob, pinned)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from realestatedeals_spark.plans.llm_vectors import (
+        _IVF_TOPK,
+        _ivf_queries,
+        _ivfpq_adc_scores,
+        _micros_vectors,
+    )
+    from realestatedeals_spark.plans.registry import all_queries
+
+    work = tempfile.mkdtemp(prefix="ivfpq_cov_")
+    try:
+        scored = _ivfpq_adc_scores(spark, sf_dir, work)
+        emb = _micros_vectors(spark, sf_dir)
+        raw = emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+        queries = _ivf_queries(emb)
+        dist = F.aggregate(
+            F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        exact = (
+            scored.select("qid", "neighbor_id")
+            .join(raw, "neighbor_id")
+            .join(F.broadcast(queries), "qid")
+            .select("qid", "neighbor_id", dist.alias("dist_sq"))
+        )
+        w = W.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
+        want = {
+            (r["qid"], r["rk"]): r["neighbor_id"]
+            for r in exact.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _IVF_TOPK)
+            .collect()
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    got = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in all_queries()["x3_ivfpq_rerank_topk"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_trainer_memo_keying_and_copy_isolation(spark, sf_dir):
     """The deterministic-trainer memo must (a) return equal centroids on a
     repeat call, (b) key distinct corpora apart, and (c) hand out copies —
