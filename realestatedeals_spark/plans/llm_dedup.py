@@ -21,8 +21,9 @@ from realestatedeals_spark.operators.dedup import (
 from realestatedeals_spark.operators.similarity import cosine_pairs
 from realestatedeals_spark.plans.registry import register
 
-_BRUTE_JACCARD = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+def _brute_jaccard_ctes(src: str = "documents") -> str:
+    """The exact-Jaccard CTE chain over ``src`` (no leading WITH)."""
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, greatest(len(t) - 2, 0) + 1),
@@ -37,6 +38,9 @@ jac AS (
   SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
   FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
 """
+
+
+_BRUTE_JACCARD = "\nWITH " + _brute_jaccard_ctes()
 
 _X2_MINHASH_ORACLE = _BRUTE_JACCARD + """
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.9
@@ -139,14 +143,34 @@ def x2_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters_star(pairs)
 
 
-_X2_NGRAM_ORACLE = _BRUTE_JACCARD + """
+# Anchor subsample (round 12, verdict task #6): this exact all-pairs form is
+# an EXACTNESS ANCHOR beside the production paths (MinHash banding,
+# winnowing) — at gen sf1.0 it alone cost 304 engine-seconds proving nothing
+# the fixture-scale run didn't. Both engines state the same deterministic
+# mix31-threshold subsample: identity at ≤ 5000 docs (every driver fixture
+# unchanged, bit-for-bit), ~5000 docs above it, so the all-pairs volume
+# stays ~sf0.1-sized at any SF and the anchor keeps its hash-exact role.
+_X2_NGRAM_CAP = 5000
+
+
+def _ngram_oracle() -> str:
+    from realestatedeals_spark.operators.subsample import anchor_subsample_sql
+
+    return (
+        "WITH sub AS (SELECT * FROM "
+        + anchor_subsample_sql("documents", "doc_id", _X2_NGRAM_CAP)
+        + " s),\n"
+        + _brute_jaccard_ctes("sub")
+        + """
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
 """
+    )
 
 
-@register("x2_ngram_jaccard", oracle=_X2_NGRAM_ORACLE, tags=("X2", "dedup"))
+@register("x2_ngram_jaccard", oracle=_ngram_oracle(), tags=("X2", "dedup"))
 def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup via an inverted-index self-join.
+    """Exact n-gram Jaccard near-dup via an inverted-index self-join, over
+    the deterministic anchor subsample (identity at driver SFs).
 
     No LSH: the (doc, shingle) table joins itself on shingle so only pairs
     sharing at least one 3-gram are scored — the standard exact scale path
@@ -160,11 +184,16 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     across one 10× data step. For such corpora use the capped variant
     ``x2_winnow_overlap_capped`` (per-fingerprint posting-list cap bounds
     the pair blowup) or the banded ``x2_minhash_near_dup``; this exact form
-    is the right tool when near-dup density is low or the threshold high.
+    is the right tool when near-dup density is low or the threshold high —
+    and as an ANCHOR it now runs on the mix31 subsample above ~5000 docs so
+    the sweep corpora stop paying quadratic cost for fixture-scale evidence.
     """
     from realestatedeals_spark.operators.dedup import shingle_table
+    from realestatedeals_spark.operators.subsample import anchor_subsample
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = anchor_subsample(
+        load_table(spark, sf_dir, "documents"), "doc_id", _X2_NGRAM_CAP
+    )
     sh = shingle_table(docs, k=3)
     cnt = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -287,28 +316,47 @@ pairs AS (
   FROM v x JOIN v y ON x.vec_id < y.vec_id)
 """
 
-_X5_EMB_ORACLE = (
-    "WITH " + _X5_EMB_PAIRS_CTE + """
+# Anchor subsample (round 12, verdict task #6; same statement-level rule as
+# x2_ngram_jaccard): identity at ≤ 2000 vectors — the driver fixtures and
+# their hashes are untouched — and a deterministic ~2000-row subset above,
+# so the O(N²) pair volume stays ~sf0.1-sized at any SF.
+_X5_EMB_CAP = 2000
+
+
+def _x5_emb_oracle() -> str:
+    from realestatedeals_spark.operators.subsample import anchor_subsample_sql
+
+    cte = _X5_EMB_PAIRS_CTE.replace(
+        "FROM embeddings",
+        "FROM " + anchor_subsample_sql("embeddings", "vec_id", _X5_EMB_CAP) + " e2",
+    )
+    return (
+        "WITH " + cte + """
 SELECT id_a, id_b, round(cosine, 6) AS cosine
 FROM pairs WHERE cosine >= 0.45
 """
-)
+    )
 
 
-@register("x5_embedding_near_dup", oracle=_X5_EMB_ORACLE, tags=("X3", "dedup", "vectors"))
+@register("x5_embedding_near_dup", oracle=_x5_emb_oracle(), tags=("X3", "dedup", "vectors"))
 def x5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs — the O(N²) exactness BASELINE for the bucketed
     ``x5_embedding_near_dup_lsh`` below (same role the brute-force cosine
     top-k plays for the ANN variants); never the plan to reach for at
-    scale. Round 5: runs through ``gemm_cosine_pairs`` (blocked-GEMM
-    physical strategy, bit-identical to the zip_with join form but with
-    numpy's constant — the sf1.0 sweep needed 200M pairs verified, which
-    the per-pair expression form spent hours on and this does in ~a
-    minute); ``cosine_pairs`` remains the one-line reference form,
-    equivalence-pinned in tests/test_similarity.py."""
+    scale, and (round 12) an ANCHOR that runs on the deterministic mix31
+    subsample above ~2000 vectors so sweep corpora stop paying O(N²) for
+    fixture-scale evidence. Round 5: runs through ``gemm_cosine_pairs``
+    (blocked-GEMM physical strategy, bit-identical to the zip_with join
+    form but with numpy's constant — the sf1.0 sweep needed 200M pairs
+    verified, which the per-pair expression form spent hours on and this
+    does in ~a minute); ``cosine_pairs`` remains the one-line reference
+    form, equivalence-pinned in tests/test_similarity.py."""
     from realestatedeals_spark.operators.similarity import gemm_cosine_pairs
+    from realestatedeals_spark.operators.subsample import anchor_subsample
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = anchor_subsample(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", _X5_EMB_CAP
+    )
     return gemm_cosine_pairs(emb, threshold=0.45).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )

@@ -39,7 +39,16 @@ def l2norm(a: F.Column) -> F.Column:
     )
 
 
-_X3_ORACLE = """
+# Anchor subsample (round 12, verdict task #6): the candidate corpus is the
+# deterministic mix31-threshold subset above 2000 vectors (identity at
+# driver SFs — fixtures and hashes untouched); the QUERY set stays the full
+# every-100th rule, so per-query work is ~sf0.1-sized at any SF while the
+# anchor stays hash-exact over the stated subsample.
+_X3_BRUTE_CAP = 2000
+
+
+def _x3_brute_oracle(sub: str = "embeddings") -> str:
+    return f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv
   FROM embeddings WHERE vec_id % 100 = 0
@@ -55,7 +64,7 @@ pairs AS (
             * sqrt(list_reduce(list_transform(range(1, 65),
                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
                        (acc, x) -> acc + x))) AS cosine
-  FROM q, embeddings e
+  FROM q, {sub} e
   WHERE e.vec_id <> q.query_id
 ),
 ranked AS (
@@ -68,20 +77,42 @@ FROM ranked WHERE rk <= 5
 """
 
 
-@register("x3_cosine_topk_bruteforce", oracle=_X3_ORACLE, tags=("X3", "vectors"), bench=True)
+# full-corpus form: the oracle of the PRODUCTION exact path (the chunked
+# GEMM top-k), which is not an anchor and takes no subsample
+_X3_ORACLE = _x3_brute_oracle()
+
+
+def _x3_brute_sub_oracle() -> str:
+    from realestatedeals_spark.operators.subsample import anchor_subsample_sql
+
+    return _x3_brute_oracle(
+        anchor_subsample_sql("embeddings", "vec_id", _X3_BRUTE_CAP)
+    )
+
+
+@register(
+    "x3_cosine_topk_bruteforce",
+    oracle=_x3_brute_sub_oracle(),
+    tags=("X3", "vectors"),
+    bench=True,
+)
 def x3_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for every 100th vector.
+    """Exact cosine top-5 (over the anchor-subsampled candidate corpus —
+    identity at driver SFs) for every 100th vector.
 
     Scale shape: queries are broadcast (tiny side), candidates stream —
     a map-side cross product with per-partition top-k via the window; at
     100 TB the LSH variant prunes candidates instead (operators.similarity).
     """
+    from realestatedeals_spark.operators.subsample import anchor_subsample
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    cand = anchor_subsample(emb, "vec_id", _X3_BRUTE_CAP)
     pairs = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
