@@ -32,6 +32,7 @@ from . import streaming_view  # noqa: E402,F401
 from . import streaming_scd2  # noqa: E402,F401
 from . import streaming_sessions  # noqa: E402,F401
 from . import streaming_enrich  # noqa: E402,F401
+from . import streaming_ann  # noqa: E402,F401
 from . import streaming_join_view  # noqa: E402,F401
 from . import streaming_transitions  # noqa: E402,F401
 from . import streaming_catalog  # noqa: E402,F401

@@ -82,7 +82,7 @@ _SKIP = {"x3_ivf_stored_topk",  # k-means train + index write at plan build;
          "c13_stream_transition_matrix", "c14_stream_catalog_txn",
          "c15_stream_lm_counts", "c16_stream_lm_score",
          "c15b_stream_lm_delta_fold", "c17_stream_media_dedup",
-         "c18_stream_hll_state",
+         "c18_stream_hll_state", "c19_stream_ann_score",
          "c6_incremental_agg_view", "c7_streaming_sessions",
          "c8_stream_static_enrich"}
 
