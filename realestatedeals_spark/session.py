@@ -32,6 +32,13 @@ DEFAULT_CONF: dict[str, str] = {
     # Spark 4, pinned here so a cluster-wide override can't silently drop a
     # scan-reduction lever the 100 TB join plans assume.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Let AQE size cached-plan output too (round 12): a .cache() inside a
+    # query (c16's stream-static LM model) otherwise materializes at the
+    # raw shuffle-partition count — 32 near-empty blocks locally, and at
+    # any scale a partitioning AQE would have coalesced by bytes. Off by
+    # default only to preserve output-partitioning compatibility for jobs
+    # that rely on cached distribution, which nothing here does.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Scans: 128 MB split targets — the parquet default, stated explicitly
     # because the 100 TB sizing math depends on it.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
@@ -86,6 +93,7 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.adaptive.enabled",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
     ):
         try:
             spark.conf.set(key, DEFAULT_CONF.get(key, "true"))

@@ -825,9 +825,10 @@ def test_ivfpq_codes_compress_and_rank_twins_first(spark, sf_dir):
     assert all(len(cv) == _PQ_SUBDIM for b in books for cv in b)
 
     def code_col(s):
+        usql = f"slice(v, {s * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
         structs = [
             F.struct(
-                _int_dist_sq(F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM), cv).alias("d"),
+                _int_dist_sq(usql, cv).alias("d"),
                 F.lit(cell).cast("int").alias("c"),
             )
             for cell, cv in enumerate(books[s])
