@@ -83,9 +83,12 @@ def minhash_signatures(sets_: DataFrame, num_hashes: int = 64) -> DataFrame:
     projection collapse inlines the shingling expression into every one of
     them.)"""
     hv = sets_.select("_id", F.explode("sset").alias("hv"))
+    # Each aggregate is ONE parsed SQL string (round 12): the Column-builder
+    # form cost ~6 py4j driver round-trips per component — ~1 s of pure plan
+    # construction per call at 64 components (guide §7.3's single-threaded
+    # driver work, paid before any job ran). The parsed trees are identical.
     aggs = [
-        F.min(F.xxhash64(F.col("hv"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.expr(f"min(xxhash64(hv, {i})) AS h{i}") for i in range(num_hashes)
     ]
     return hv.groupBy("_id").agg(*aggs)
 
@@ -95,10 +98,12 @@ def banded_signatures(
 ) -> DataFrame:
     """(_id, band, sig) — one row per doc per band, the LSH bucket key."""
     rows = num_hashes // bands
+    # One parsed string per band struct (round 12, same py4j-round-trip
+    # rationale as minhash_signatures): identical expression trees.
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig"),
+        F.expr(
+            f"struct({b} AS band, "
+            f"xxhash64({', '.join(f'h{b * rows + r}' for r in range(rows))}) AS sig)"
         )
         for b in range(bands)
     ]
@@ -475,25 +480,26 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     cnt = tok.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     hashed = cnt.select("_id", "cnt", F.xxhash64("tok").alias("h"))
 
-    def bit_sum(i: int) -> F.Column:
-        bit = F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
-        return F.sum(
-            F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt"))
-        ).alias(f"s{i}")
-
-    sums = hashed.groupBy("_id").agg(*[bit_sum(i) for i in range(64)])
-    sig_col = sum(
-        (
-            F.when(
-                F.col(f"s{i}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})")
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(1, 64)
-        ),
-        start=F.when(F.col("s0") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
+    # Both the 64 bit-sum aggregates and the 64-term signature fold are
+    # parsed SQL strings (round 12): the Column-builder loops cost ~8 py4j
+    # driver round-trips per bit — ~1.5 s of pure plan construction per
+    # call, dominating this query's bench time. Parsed trees are identical
+    # (left-associative + matches Python sum(); shiftleft/CASE unchanged).
+    sums = hashed.groupBy("_id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 "
+                f"THEN cnt ELSE -cnt END) AS s{i}"
+            )
+            for i in range(64)
+        ]
     )
-    return sums.select("_id", sig_col.alias("simhash"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(64)
+    )
+    return sums.select("_id", F.expr(sig_sql).alias("simhash"))
 
 
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
@@ -628,24 +634,31 @@ def simhash_arith_near_duplicates(
     # at sf0.1, and at corpus scale it removes the dominant exchange
     # entirely. Same arithmetic: s_i = Σ_tok ±cnt with the parity of
     # (h1 + (i+1)·h2 + i²·12345) mod 1e9+7 deciding the sign.
-    def bit_sum(i: int) -> F.Column:
-        parity = (
-            (F.col("h1") + F.lit(i + 1) * F.col("h2") + F.lit(i * i * 12345)) % 1000000007
-        ) % 2
-        return F.sum(F.when(parity == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(
-            f"s{i}"
+    # Parsed SQL strings instead of Column-builder loops (round 12): the 64
+    # bit-sum aggregates plus the two 32-term half folds cost ~1000 py4j
+    # driver round-trips — ~2.3 s of pure plan construction per call, the
+    # bulk of this query's bench time. Arithmetic is unchanged term for
+    # term; + chains parse left-associative exactly like Python sum().
+    sums = hashed.groupBy("_id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN ((h1 + {i + 1} * h2 + {i * i * 12345}) "
+                f"% 1000000007) % 2 = 1 THEN cnt ELSE -cnt END) AS s{i}"
+            )
+            for i in range(64)
+        ]
+    )
+
+    def half_sql(lo_bit: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN s{i} > 0 THEN CAST({1 << (i - lo_bit)} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for i in range(lo_bit, lo_bit + 32)
         )
 
-    sums = hashed.groupBy("_id").agg(*[bit_sum(i) for i in range(64)])
-    lo = sum(
-        (F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")) for i in range(1, 32)),
-        start=F.when(F.col("s0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    sig = sums.select(
+        "_id", F.expr(half_sql(0)).alias("lo"), F.expr(half_sql(32)).alias("hi")
     )
-    hi = sum(
-        (F.when(F.col(f"s{i}") > 0, F.lit(1 << (i - 32)).cast("long")).otherwise(F.lit(0).cast("long")) for i in range(33, 64)),
-        start=F.when(F.col("s32") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
-    )
-    sig = sums.select("_id", lo.alias("lo"), hi.alias("hi"))
     mask = F.lit(0xFFFF).cast("long")
     keys = [
         F.col("lo").bitwiseAND(mask),
