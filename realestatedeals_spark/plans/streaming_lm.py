@@ -100,16 +100,15 @@ def apply_lm_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int) -> bool:
             .groupBy("w")
             .agg(F.sum("c_w").alias("c_w"))
         )
-    # pin the txn's inputs: the folds read the previous pin's files
-    cat.commit(
-        {
-            "tri": tri.localCheckpoint(eager=True),
-            "big": big.localCheckpoint(eager=True),
-            "uni": uni.localCheckpoint(eager=True),
-        },
-        expected_latest=latest,
-        epoch=epoch_id,
-    )
+    # No localCheckpoint (round 12): each fold reads the PREVIOUS pinned
+    # version's files (cat.read pins `latest` explicitly) and stages the
+    # next version in a fresh directory — append-only versioning means
+    # there is no read-write conflict to pin against, and Catalog.commit's
+    # parquet write materializes each fold exactly once. The eager
+    # checkpoints computed all three folds SEQUENTIALLY into storage
+    # blocks and then re-read them for the parallel writes — a second full
+    # materialization of the whole model per epoch.
+    cat.commit({"tri": tri, "big": big, "uni": uni}, expected_latest=latest, epoch=epoch_id)
     return True
 
 
@@ -225,9 +224,13 @@ def compact_scores(cat: Catalog) -> int:
     out = parts[0]
     for extra in parts[1:]:
         out = out.unionByName(extra)
-    return cat.commit(
-        {"scores": out.localCheckpoint(eager=True)}, drops=deltas
-    )
+    # No localCheckpoint before the commit (round 12): Catalog.commit
+    # parquet-writes the frame, which already materializes it exactly once —
+    # the eager checkpoint computed every row into storage blocks first and
+    # then re-read them for the write (a full extra materialization per
+    # compaction), and its blocks outlived the query. Lineage ends at the
+    # written files either way.
+    return cat.commit({"scores": out}, drops=deltas)
 
 
 @register(
@@ -366,18 +369,13 @@ def compact_lm(cat: Catalog) -> int:
     tri = _fold_order(cat, pins, "tri", ["u", "v", "w"], "c_uvw")
     big = _fold_order(cat, pins, "big", ["u", "v"], "c_uv")
     uni = _fold_order(cat, pins, "uni", ["w"], "c_w")
-    # lazy checkpoints: the folds materialize INSIDE Catalog.commit's
-    # now-concurrent phase-1 writes (3 fold+write jobs in parallel) instead
-    # of 3 sequential eager jobs followed by 3 writes; lineage is truncated
-    # either way.
-    return cat.commit(
-        {
-            "tri": tri.localCheckpoint(eager=False),
-            "big": big.localCheckpoint(eager=False),
-            "uni": uni.localCheckpoint(eager=False),
-        },
-        drops=deltas,
-    )
+    # No localCheckpoint (round 12): Catalog.commit's concurrent phase-1
+    # parquet writes materialize each fold exactly once — the lazy
+    # checkpoint made every fold compute into storage blocks and then
+    # re-read them for the write (a second full materialization per table,
+    # with blocks left behind). Lineage ends at the written files either
+    # way; the folds still run as 3 parallel fold+write jobs.
+    return cat.commit({"tri": tri, "big": big, "uni": uni}, drops=deltas)
 
 
 @register(

@@ -97,6 +97,16 @@ class CdcState:
             shutil.rmtree(old)
 
 
+def _nullable(schema):
+    """The schema with every top-level field nullable — what a parquet
+    re-read of the same rows surfaces."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
+
+
 def process_cdc_batch(
     scrape: DataFrame, state: CdcState, emit_dir: str, epoch_id: int | None = None
 ) -> DataFrame:
@@ -122,7 +132,14 @@ def process_cdc_batch(
         # silently diverge (e.g. decimal price columns) from the real
         # emission schema on the first skipped epoch (ADVICE round 6).
         empty = next_snapshot(scrape, state.key).limit(0)
-        return classify_cdc(empty, empty, key=state.key, price=state.price)
+        skip = classify_cdc(empty, empty, key=state.key, price=state.price)
+        # The frame is empty by construction; materialize it as an empty
+        # DataFrame over classify_cdc's ACTUAL plan schema (never a
+        # hardcoded DDL string — ADVICE round 6) relaxed to all-nullable,
+        # the same schema the steady epoch path returns (a parquet re-read —
+        # file sources surface every column nullable), so the two paths
+        # stay schema-identical (pinned in tests/test_streaming.py).
+        return state.spark.createDataFrame([], _nullable(skip.schema))
     snapshot = state.load()
     scraped = next_snapshot(scrape, state.key)
     if snapshot is None:
@@ -131,16 +148,21 @@ def process_cdc_batch(
         # plan (and therefore the same output dtypes) as every later batch
         snapshot = scraped.limit(0)
     emissions = classify_cdc(scraped, snapshot, key=state.key, price=state.price)
-    # pin emissions before the state swap: the plan reads the snapshot files
-    # that replace() is about to rename, so late consumers would hit
-    # FILE_NOT_EXIST without an eager checkpoint
-    emissions = emissions.localCheckpoint(eager=True)
+    # The emission plan reads the snapshot files that replace() is about to
+    # rename, so the RETURNED frame must not depend on them. Streaming path
+    # (round 12): the epoch-dir write already materializes the emissions —
+    # return a self-contained re-read of those files instead of paying an
+    # eager localCheckpoint (a full extra materialization per epoch, with
+    # blocks left in executor storage). Batch path appends flat (the write
+    # cannot serve as the return frame), so it keeps the checkpoint pin.
     if epoch_id is None:
+        emissions = emissions.localCheckpoint(eager=True)
         emissions.write.mode("append").parquet(emit_dir)
     else:
-        emissions.write.mode("overwrite").parquet(
-            os.path.join(emit_dir, f"epoch={epoch_id}")
-        )
+        ep_dir = os.path.join(emit_dir, f"epoch={epoch_id}")
+        schema = _nullable(emissions.schema)
+        emissions.write.mode("overwrite").parquet(ep_dir)
+        emissions = state.spark.read.schema(schema).parquet(ep_dir)
     state.replace(scraped, epoch_id)
     return emissions
 
