@@ -492,13 +492,18 @@ class VersionedTable:
             raise ValueError(f"empty table {self.root}")
         base, dv, ins = self._resolve(cur)
         live = self._live_base(base, dv)
-        hits = live.filter(cond).select(
-            F.col("__file").alias("file_path"), F.col("__pos").alias("row_index")
+        # hits is disjoint from dv by construction (live anti-joins the DV),
+        # so one count on the checkpointed hits replaces the old
+        # new_dv.count() + dv.count() pair, and the union needs no
+        # checkpoint of its own — _commit_mor's parquet write materializes
+        # it from the stored DV files plus the hits blocks (round 12).
+        hits = (
+            live.filter(cond)
+            .select(F.col("__file").alias("file_path"), F.col("__pos").alias("row_index"))
+            .localCheckpoint(eager=True)
         )
-        new_dv = (dv.unionByName(hits) if dv is not None else hits).localCheckpoint(
-            eager=True
-        )
-        n = new_dv.count() - (dv.count() if dv is not None else 0)
+        n = hits.count()
+        new_dv = dv.unionByName(hits) if dv is not None else hits
         new_ins = ins
         if ins is not None:
             new_ins = ins.filter(~cond).localCheckpoint(eager=True)
@@ -540,27 +545,30 @@ class VersionedTable:
         self._validate_constraints(source)
         src = source.localCheckpoint(eager=True)
         live = self._live_base(base, dv)
-        matched_base = live.join(src.select(*keys), keys, "semi")
-        hits = matched_base.select(
-            F.col("__file").alias("file_path"), F.col("__pos").alias("row_index")
+        # Same stats restructure as delete_where (round 12): hits is
+        # disjoint from dv (live anti-joins the DV), so n_base_upd is one
+        # count on the checkpointed hits, and neither new_dv nor new_ins
+        # needs a checkpoint before _commit_mor — the staged parquet writes
+        # materialize them from stored files + checkpointed blocks.
+        hits = (
+            live.join(src.select(*keys), keys, "semi")
+            .select(F.col("__file").alias("file_path"), F.col("__pos").alias("row_index"))
+            .localCheckpoint(eager=True)
         )
-        new_dv = (dv.unionByName(hits) if dv is not None else hits).localCheckpoint(
-            eager=True
-        )
-        n_base_upd = new_dv.count() - (dv.count() if dv is not None else 0)
-        kept_ins = (
-            ins.join(src.select(*keys), keys, "anti") if ins is not None else None
-        )
-        n_ins_upd = (
-            (ins.count() - kept_ins.count()) if ins is not None else 0
-        )
-        if kept_ins is None:
-            new_ins = src
-        elif allow_schema_evolution:
-            new_ins = kept_ins.unionByName(src, allowMissingColumns=True)
+        n_base_upd = hits.count()
+        new_dv = dv.unionByName(hits) if dv is not None else hits
+        if ins is not None:
+            kept_ins = ins.join(src.select(*keys), keys, "anti").localCheckpoint(
+                eager=True
+            )
+            n_ins_upd = ins.count() - kept_ins.count()
+            if allow_schema_evolution:
+                new_ins = kept_ins.unionByName(src, allowMissingColumns=True)
+            else:
+                new_ins = kept_ins.unionByName(src)
         else:
-            new_ins = kept_ins.unionByName(src)
-        new_ins = new_ins.localCheckpoint(eager=True)
+            n_ins_upd = 0
+            new_ins = src
         self._commit_mor(base, new_dv, new_ins, cur, max_retries)
         updated = n_base_upd + n_ins_upd
         return {"updated": updated, "inserted": src.count() - updated}

@@ -43,6 +43,17 @@ def node_triangles(edges: DataFrame) -> DataFrame:
     # this plan materializes ~97 exchanges; checkpointed it's ~a dozen). At
     # cluster scale this is persist(MEMORY_AND_DISK) / a checkpoint to
     # durable storage — same discipline as operators/pagerank.py.
+    #
+    # edges itself is read by BOTH deg and eo, and the caller's edge build
+    # (g4: a basket-quadratic self-join + distinct) is the most expensive
+    # upstream step — uncheckpointed it executed twice (round 12, guide
+    # §2.4: recompute across actions is a removable pass). The pin is
+    # internal: it is freed as soon as its last reader (eo) materializes,
+    # so the caller's frame is never truncated (the scc_fwbw ownership
+    # lesson, ADVICE r11).
+    from realestatedeals_spark.util import free_local_checkpoint
+
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -61,6 +72,9 @@ def node_triangles(edges: DataFrame) -> DataFrame:
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     ).localCheckpoint(eager=True)
+    # eo was edges' last reader; release the internal pin now that both
+    # derived frames are materialized
+    free_local_checkpoint(edges)
     w1, w2 = eo.alias("w1"), eo.alias("w2")
     rank_lt = (F.col("w1.ddst") < F.col("w2.ddst")) | (
         (F.col("w1.ddst") == F.col("w2.ddst")) & (F.col("w1.dst") < F.col("w2.dst"))
