@@ -101,7 +101,9 @@ def compact_ann(cat: Catalog) -> int:
     out = parts[0]
     for extra in parts[1:]:
         out = out.unionByName(extra)
-    return cat.commit({"ann": out.localCheckpoint(eager=True)}, drops=deltas)
+    # No localCheckpoint (round 12): the commit's parquet write
+    # materializes the union exactly once from the pinned delta files.
+    return cat.commit({"ann": out}, drops=deltas)
 
 
 @register(

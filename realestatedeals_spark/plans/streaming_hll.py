@@ -55,11 +55,10 @@ def apply_hll_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int) -> bool:
             .groupBy("source", "bucket")
             .agg(F.max("register").alias("register"))
         )
-    cat.commit(
-        {"registers": regs.localCheckpoint(eager=True)},
-        expected_latest=latest,
-        epoch=epoch_id,
-    )
+    # No localCheckpoint (round 12, same as the c15/c17 folds): the fold
+    # reads the previous pinned version's files and the commit's parquet
+    # write materializes it exactly once.
+    cat.commit({"registers": regs}, expected_latest=latest, epoch=epoch_id)
     return True
 
 

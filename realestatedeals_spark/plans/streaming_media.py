@@ -84,11 +84,11 @@ def apply_media_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int) -> bool:
                 F.max("max_track").alias("max_track"),
             )
         )
-    cat.commit(
-        {"prints": prints.localCheckpoint(eager=True)},
-        expected_latest=latest,
-        epoch=epoch_id,
-    )
+    # No localCheckpoint (round 12, same as the c15 fold): the fold reads
+    # the PREVIOUS pinned version's files, and Catalog.commit's parquet
+    # write materializes it exactly once — the eager checkpoint was a full
+    # extra materialization per epoch with blocks left behind.
+    cat.commit({"prints": prints}, expected_latest=latest, epoch=epoch_id)
     return True
 
 
