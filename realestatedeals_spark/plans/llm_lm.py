@@ -78,28 +78,54 @@ def _ngrams(df: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _model(spark: SparkSession, sf_dir: str):
-    """Count tables of the stupid-backoff model, trained on even doc_ids."""
+def _model_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL THREE n-gram count tables in one corpus pass (round 12, guide
+    §1.2/§2.4): one per-position explode carries (token, next, next²) —
+    ``get`` returns NULL past the array end — and GROUPING SETS
+    ((g0,g1,g2), (g0,g1), (g0)) counts every order through a single scan,
+    Expand, and exchange instead of three tokenize+explode+shuffle
+    pipelines over the same corpus. Rows: (g0, g1, g2, c, gid) with gid
+    0=trigram set, 1=bigram set, 3=unigram set; a slice's own key columns
+    can still be NULL from DATA (positions near the document end) — the
+    per-table filters below drop exactly those, reproducing the
+    length-(n-1) cutoffs of the old per-order explodes bit-for-bit
+    (verified rowset-identical at sf0.01)."""
     train = _words(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     )
-    tri = (
-        _ngrams(train, 3)
-        .groupBy(F.col("g0").alias("u"), F.col("g1").alias("v"), F.col("g2").alias("w"))
-        .agg(F.count(F.lit(1)).alias("c_uvw"))
+    ex = train.select(
+        F.expr(
+            "explode(transform(ws, (x, i) -> "
+            "struct(x AS g0, get(ws, i+1) AS g1, get(ws, i+2) AS g2)))"
+        ).alias("g")
+    ).select("g.g0", "g.g1", "g.g2")
+    return ex.groupingSets(
+        [["g0", "g1", "g2"], ["g0", "g1"], ["g0"]], "g0", "g1", "g2"
+    ).agg(F.count(F.lit(1)).alias("c"), F.grouping_id().alias("gid"))
+
+
+def _model_from_agg(agg: DataFrame):
+    """(tri, big, uni, total) sliced from the combined count frame —
+    schemas and row contents identical to the old per-order aggregates."""
+    tri = agg.filter((F.col("gid") == 0) & F.col("g2").isNotNull()).select(
+        F.col("g0").alias("u"),
+        F.col("g1").alias("v"),
+        F.col("g2").alias("w"),
+        F.col("c").alias("c_uvw"),
     )
-    big = (
-        _ngrams(train, 2)
-        .groupBy(F.col("g0").alias("u"), F.col("g1").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c_uv"))
+    big = agg.filter((F.col("gid") == 1) & F.col("g1").isNotNull()).select(
+        F.col("g0").alias("u"), F.col("g1").alias("v"), F.col("c").alias("c_uv")
     )
-    uni = (
-        _ngrams(train, 1)
-        .groupBy(F.col("g0").alias("w"))
-        .agg(F.count(F.lit(1)).alias("c_w"))
+    uni = agg.filter(F.col("gid") == 3).select(
+        F.col("g0").alias("w"), F.col("c").alias("c_w")
     )
     total = uni.agg(F.sum("c_w").alias("n_total"))
     return tri, big, uni, total
+
+
+def _model(spark: SparkSession, sf_dir: str):
+    """Count tables of the stupid-backoff model, trained on even doc_ids."""
+    return _model_from_agg(_model_agg(spark, sf_dir))
 
 
 _LM_TRAIN_ORACLE = """

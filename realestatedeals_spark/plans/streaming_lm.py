@@ -253,18 +253,20 @@ def c16_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     x4_lm_backoff_score's oracle: per-batch stream-static joins ==
     whole-corpus batch joins, because documents never span batches and
     counts are static."""
-    from realestatedeals_spark.plans.llm_lm import _model
+    from realestatedeals_spark.plans.llm_lm import _model_agg, _model_from_agg
 
     apply_session_conf(spark)
     # The model is STREAM-STATIC: every epoch's scoring job joins the same
     # four count tables, and a foreachBatch job cannot reuse a previous
     # job's exchanges — uncached, each of the 3 epochs re-scanned and
     # re-aggregated the training corpus (guide §2.4: recompute across jobs
-    # is a removable pass). cache() materializes each table once, in the
-    # first epoch that touches it; unpersisted in the finally so no storage
-    # outlives the query (the leak class ADVICE r11 flagged). Measured at
-    # sf0.1: ~0.6 s/epoch off the scoring commit.
-    model = tuple(t.cache() for t in _model(spark, sf_dir))
+    # is a removable pass). Caching the COMBINED grouping-sets count frame
+    # (round 12) materializes ALL FOUR tables with a single corpus pass —
+    # per-table caches each re-ran the scan+aggregate at materialization.
+    # Unpersisted in the finally so no storage outlives the query (the
+    # leak class ADVICE r11 flagged).
+    agg = _model_agg(spark, sf_dir).cache()
+    model = _model_from_agg(agg)
     held = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 2 == 1)
@@ -303,8 +305,7 @@ def c16_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = cat.read("scores")
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
-        for t in model:
-            t.unpersist()
+        agg.unpersist()
         shutil.rmtree(work, ignore_errors=True)
 
 
