@@ -1277,8 +1277,19 @@ def _ivfpq_adc_scores(spark: SparkSession, sf_dir: str, work: str) -> DataFrame:
     import os
 
     emb = _micros_vectors(spark, sf_dir)
-    _assigned, cents = _kmeans_micros(emb)
-    books = _pq_train_micros(emb)
+    # The coarse k-means and the PQ codebooks train on the SAME frame but
+    # share no state beyond the seed collect — warm the seed memo once,
+    # then overlap the two trainers' sequential per-iteration collect jobs
+    # from a small thread pool (guide §2.6: independent jobs back-fill each
+    # other's stragglers). Results are the memoized deterministic trainers'
+    # — bit-identical to the sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _seed_vectors(emb)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_km = pool.submit(_kmeans_micros, emb)
+        f_pq = pool.submit(_pq_train_micros, emb)
+        (_assigned, cents), books = f_km.result(), f_pq.result()
 
     # encode: one pass over the corpus, M argmins over literal codebooks
     def code_col(s: int) -> F.Column:
