@@ -77,15 +77,33 @@ class CdcState:
         real cluster this is a Delta/Iceberg transactional overwrite."""
         import shutil
 
-        cur = os.path.join(self.state_dir, "current")
+        self.stage(snapshot, epoch_id)
+        self.publish()
+
+    def stage(self, snapshot: DataFrame, epoch_id: int | None = None) -> None:
+        """Write the next snapshot into the staging dir (``_next``). Not
+        visible to readers until ``publish`` swaps it in — so staging can
+        safely OVERLAP other work of the same batch (the emissions write:
+        the two plans share no files and the swap happens strictly after
+        both — round 12, guide §2.6)."""
+        import shutil
+
         nxt = os.path.join(self.state_dir, "_next")
-        old = os.path.join(self.state_dir, "_old")
         if os.path.exists(nxt):
             shutil.rmtree(nxt)
         snapshot.write.mode("overwrite").parquet(nxt)
         if epoch_id is not None:
             with open(os.path.join(nxt, "_epoch"), "w") as f:
                 f.write(str(epoch_id))
+
+    def publish(self) -> None:
+        """Swap the staged snapshot in (the documented two-rename window
+        with crash recovery)."""
+        import shutil
+
+        cur = os.path.join(self.state_dir, "current")
+        nxt = os.path.join(self.state_dir, "_next")
+        old = os.path.join(self.state_dir, "_old")
         if not os.path.exists(cur) and os.path.exists(old):
             os.rename(old, cur)  # recover: crash landed mid-swap last time
         elif os.path.exists(old):
@@ -158,12 +176,23 @@ def process_cdc_batch(
     if epoch_id is None:
         emissions = emissions.localCheckpoint(eager=True)
         emissions.write.mode("append").parquet(emit_dir)
+        state.replace(scraped, epoch_id)
     else:
+        # Stage the next snapshot CONCURRENTLY with the emissions write
+        # (guide §2.6): the two plans are independent (emissions read the
+        # current state + batch; the staged snapshot reads only the batch),
+        # and the swap publishes strictly after both land — crash semantics
+        # unchanged (an orphaned _next is cleared on the next stage()).
+        from concurrent.futures import ThreadPoolExecutor
+
         ep_dir = os.path.join(emit_dir, f"epoch={epoch_id}")
         schema = _nullable(emissions.schema)
-        emissions.write.mode("overwrite").parquet(ep_dir)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            staged = pool.submit(state.stage, scraped, epoch_id)
+            emissions.write.mode("overwrite").parquet(ep_dir)
+            staged.result()
         emissions = state.spark.read.schema(schema).parquet(ep_dir)
-    state.replace(scraped, epoch_id)
+        state.publish()
     return emissions
 
 
