@@ -350,7 +350,32 @@ class VersionedTable:
         self._validate_constraints(df)
         stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
         df.write.mode("errorifexists").parquet(stage)
+        self._write_schema_sidecar(stage, df)
         return self._publish(stage, expected_latest, max_retries)
+
+    # -- schema sidecars (round 12): parquet schema INFERENCE launches a
+    # footer-read job per spark.read.parquet call (measured +1 job /
+    # ~0.1-0.2 s warm), and this table's read paths re-open version dirs
+    # constantly (every catalog epoch, every MoR resolve). Real table
+    # formats (Delta/Iceberg) carry the schema in commit metadata for
+    # exactly this reason; ``_schema.json`` is that metadata here. Files
+    # starting with "_" are invisible to Spark's file index, so the
+    # sidecar never affects what a scan reads. Missing sidecar (dirs
+    # written by earlier rounds, or externally) falls back to inference.
+
+    def _write_schema_sidecar(self, d: str, df: DataFrame) -> None:
+        with open(os.path.join(d, "_schema.json"), "w") as fh:
+            fh.write(df.schema.json())
+
+    def _read_dir(self, d: str) -> DataFrame:
+        sidecar = os.path.join(d, "_schema.json")
+        if os.path.exists(sidecar):
+            from pyspark.sql import types as T
+
+            with open(sidecar) as fh:
+                schema = T.StructType.fromJson(json.load(fh))
+            return self.spark.read.schema(schema).parquet(d)
+        return self.spark.read.parquet(d)
 
     def _publish(self, stage: str, expected_latest: int | None, max_retries: int) -> int:
         """Claim-and-rename a fully-staged directory as the next version
@@ -422,14 +447,17 @@ class VersionedTable:
             return v, None, None
         with open(base_file) as fh:
             base = int(fh.read().strip())
-        dv = self.spark.read.parquet(os.path.join(d, "_dv"))
+        # the DV schema is a format constant — no inference job, ever
+        dv = self.spark.read.schema("file_path string, row_index bigint").parquet(
+            os.path.join(d, "_dv")
+        )
         ins_dir = os.path.join(d, "_ins")
-        ins = self.spark.read.parquet(ins_dir) if os.path.exists(ins_dir) else None
+        ins = self._read_dir(ins_dir) if os.path.exists(ins_dir) else None
         return base, dv, ins
 
     def _lineage(self, base: int) -> DataFrame:
         """Base snapshot with hidden row-position columns exposed."""
-        return self.spark.read.parquet(os.path.join(self.root, f"v={base}")).select(
+        return self._read_dir(os.path.join(self.root, f"v={base}")).select(
             "*",
             F.col("_metadata.file_path").alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
@@ -453,7 +481,7 @@ class VersionedTable:
         )
         base, dv, ins = self._resolve(v)
         if dv is None:
-            return self.spark.read.parquet(os.path.join(self.root, f"v={base}"))
+            return self._read_dir(os.path.join(self.root, f"v={base}"))
         out = self._live_base(base, dv).drop("__file", "__pos")
         if ins is None:
             return out
@@ -474,12 +502,46 @@ class VersionedTable:
         os.makedirs(stage)
         dv.write.mode("errorifexists").parquet(os.path.join(stage, "_dv"))
         if ins is not None:
-            ins.write.mode("errorifexists").parquet(os.path.join(stage, "_ins"))
+            ins_dir = os.path.join(stage, "_ins")
+            ins.write.mode("errorifexists").parquet(ins_dir)
+            self._write_schema_sidecar(ins_dir, ins)
         with open(os.path.join(stage, "_base"), "w") as fh:
             fh.write(str(base))
         with open(os.path.join(stage, "_SUCCESS"), "w") as fh:
             fh.write("")
         return self._publish(stage, expected_latest=expected_latest, max_retries=max_retries)
+
+    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+        """Insert-only commit (INSERT INTO): ``df``'s rows join the
+        cumulative insert store of a merge-on-read version whose base
+        pointer and DV are carried forward unchanged — base data files are
+        never read or rewritten, so an append of k rows costs O(k +
+        |insert store|) written bytes while the snapshot stands still
+        (round 12: the O(batch) ingest epilogue for persisted indexes,
+        e.g. x2_minhash_incremental's signature merge). Key semantics are
+        the caller's: append never checks for duplicates — use
+        ``merge_into`` to upsert. Read-modify-write of the insert store,
+        so a concurrent commit raises ``CommitConflict``."""
+        cur = self.latest_version()
+        if cur is None:
+            return self.commit(df)
+        table_cols = set(self.read(cur).columns)
+        if set(df.columns) != table_cols:
+            raise ValueError(
+                f"append schema {sorted(df.columns)} != table schema "
+                f"{sorted(table_cols)}; use merge_into(allow_schema_evolution=True)"
+            )
+        self._validate_constraints(df)
+        base, dv, ins = self._resolve(cur)
+        if dv is None:
+            # appending onto a full snapshot starts a MoR chain: the DV is
+            # empty (nothing deleted), present only to keep the version
+            # format uniform (_base ⇒ _dv, as _resolve expects)
+            dv = self.spark.createDataFrame(
+                [], "file_path string, row_index bigint"
+            )
+        new_ins = ins.unionByName(df) if ins is not None else df
+        return self._commit_mor(base, dv, new_ins, cur, max_retries)
 
     def delete_where(self, cond, max_retries: int = 20) -> int:
         """Merge-on-read DELETE: matching base rows go into the cumulative
@@ -854,7 +916,7 @@ class VersionedTable:
             raise ValueError(
                 "build_manifest needs a full snapshot; run optimize() first"
             )
-        df = self.spark.read.parquet(os.path.join(self.root, f"v={base}"))
+        df = self._read_dir(os.path.join(self.root, f"v={base}"))
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         for c in columns:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
@@ -924,7 +986,7 @@ class VersionedTable:
             raise ValueError(
                 "build_bloom_index needs a full snapshot; run optimize() first"
             )
-        df = self.spark.read.parquet(os.path.join(self.root, f"v={base}"))
+        df = self._read_dir(os.path.join(self.root, f"v={base}"))
         per_file = int(
             df.groupBy(F.col("_metadata.file_path"))
             .count()

@@ -30,9 +30,28 @@ TABLES = (
 )
 
 
+# Schema memo keyed by parquet path (round 12): parquet schema INFERENCE
+# launches a footer-read job on every bare spark.read.parquet call
+# (measured +1 job / ~0.1-0.2 s warm), and the bench re-opens the same
+# immutable fixture tables on every query run. A real deployment reads
+# table schemas from catalog metadata (Delta/Iceberg/HMS) instead of
+# re-inferring per query; this memo is that metadata, scoped per path.
+# METADATA ONLY — no rows, plans, or results are ever memoized here.
+_SCHEMA_MEMO: dict[str, T.StructType] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from a scale-factor directory."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -53,7 +72,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``TimestampType``: already usable, pass through.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # memoized AFTER the conf is set, so the cached schema is always the
+    # one inference under nanosAsLong would produce
+    raw = _read_parquet(spark, f"{sf_dir}/events.parquet")
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         # integer division: double division would lose micros at epoch-nano scale

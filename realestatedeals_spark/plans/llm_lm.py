@@ -78,22 +78,21 @@ def _ngrams(df: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _model_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL THREE n-gram count tables in one corpus pass (round 12, guide
-    §1.2/§2.4): one per-position explode carries (token, next, next²) —
-    ``get`` returns NULL past the array end — and GROUPING SETS
-    ((g0,g1,g2), (g0,g1), (g0)) counts every order through a single scan,
-    Expand, and exchange instead of three tokenize+explode+shuffle
-    pipelines over the same corpus. Rows: (g0, g1, g2, c, gid) with gid
-    0=trigram set, 1=bigram set, 3=unigram set; a slice's own key columns
-    can still be NULL from DATA (positions near the document end) — the
-    per-table filters below drop exactly those, reproducing the
-    length-(n-1) cutoffs of the old per-order explodes bit-for-bit
-    (verified rowset-identical at sf0.01)."""
-    train = _words(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
-    )
-    ex = train.select(
+def _agg_counts(docs: DataFrame) -> DataFrame:
+    """ALL THREE n-gram count tables of one (doc_id, text) frame in one
+    pass (round 12, guide §1.2/§2.4): one per-position explode carries
+    (token, next, next²) — ``get`` returns NULL past the array end — and
+    GROUPING SETS ((g0,g1,g2), (g0,g1), (g0)) counts every order through a
+    single scan, Expand, and exchange instead of three tokenize+explode+
+    shuffle pipelines over the same frame. Rows: (g0, g1, g2, c, gid) with
+    gid 0=trigram set, 1=bigram set, 3=unigram set; a slice's own key
+    columns can still be NULL from DATA (positions near the document end)
+    — the per-table filters in ``_model_from_agg`` drop exactly those,
+    reproducing the length-(n-1) cutoffs of the old per-order explodes
+    bit-for-bit (verified rowset-identical at sf0.01). Counts are additive
+    per (gid, g0, g1, g2) cell, so frames of this shape FOLD by group-sum
+    — the streaming delta commits (c15b) rely on exactly that."""
+    ex = _words(docs).select(
         F.expr(
             "explode(transform(ws, (x, i) -> "
             "struct(x AS g0, get(ws, i+1) AS g1, get(ws, i+2) AS g2)))"
@@ -102,6 +101,13 @@ def _model_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupingSets(
         [["g0", "g1", "g2"], ["g0", "g1"], ["g0"]], "g0", "g1", "g2"
     ).agg(F.count(F.lit(1)).alias("c"), F.grouping_id().alias("gid"))
+
+
+def _model_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined count frame of the training half (even doc_ids)."""
+    return _agg_counts(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    )
 
 
 def _model_from_agg(agg: DataFrame):

@@ -313,39 +313,37 @@ def c16_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- O(batch) delta fold + transactional compaction (c15's production twin) --
 
 def apply_lm_delta_batch(cat: Catalog, batch_df: DataFrame, epoch_id: int) -> bool:
-    """The O(batch) fold: commit ONLY this epoch's n-gram count deltas
-    (three new tables named by epoch) — nothing proportional to the model
-    is read or written, which is what survives an unbounded stream. Same
-    epoch/CAS exactly-once protocol as the full fold."""
+    """The O(batch) fold: commit ONLY this epoch's n-gram count deltas —
+    nothing proportional to the model is read or written, which is what
+    survives an unbounded stream. One COMBINED delta table per epoch
+    (round 12, guide §1.2/§2.4): ``_agg_counts`` counts all three orders
+    in a single explode + GROUPING SETS pass, so an epoch costs one
+    aggregation pipeline and one table write instead of three of each —
+    counts fold by (gid, g0, g1, g2) group-sum, so compaction recovers the
+    exact per-order tables. Same epoch/CAS exactly-once protocol as the
+    full fold."""
+    from realestatedeals_spark.plans.llm_lm import _agg_counts
+
     applied = cat.applied_epoch()
     if applied is not None and epoch_id <= applied:
         return False
     latest = cat.latest_version()
-    tri_b, big_b, uni_b = _batch_counts(batch_df)
     cat.commit(
-        {
-            f"tri_d{epoch_id}": tri_b,
-            f"big_d{epoch_id}": big_b,
-            f"uni_d{epoch_id}": uni_b,
-        },
+        {f"lm_d{epoch_id}": _agg_counts(batch_df)},
         expected_latest=latest,
         epoch=epoch_id,
     )
     return True
 
 
-# A delta table is EXACTLY "<order>_d<epoch>"; substring tests would also
-# match unrelated pinned tables (a future "scores_daily", "big_data") and
+# A delta table is EXACTLY "lm_d<epoch>"; substring tests would also
+# match unrelated pinned tables (a future "lm_daily", "film_d1") and
 # compact_lm would silently drop them from the catalog.
-_DELTA_RE = re.compile(r"(tri|big|uni)_d\d+")
+_DELTA_RE = re.compile(r"lm_d\d+")
 
 
-def _fold_order(cat: Catalog, pins: dict, base: str, keys: list[str], cnt: str):
-    parts = [
-        cat.read(n)
-        for n in sorted(pins)
-        if (m := _DELTA_RE.fullmatch(n)) and m.group(1) == base
-    ]
+def _fold_order(cat: Catalog, pins: dict, delta, base: str, keys: list[str], cnt: str):
+    parts = [] if delta is None else [delta]
     if base in pins:
         parts.append(cat.read(base))
     if not parts:
@@ -365,11 +363,24 @@ def compact_lm(cat: Catalog) -> int:
     carries the applied-epoch watermark forward (Catalog.commit preserves
     the previous manifest's epoch when none is given), so a compaction
     racing a live stream can never re-open the redelivery window."""
+    from realestatedeals_spark.plans.llm_lm import _model_from_agg
+
     pins = cat.pins()
     deltas = sorted(n for n in pins if _DELTA_RE.fullmatch(n))
-    tri = _fold_order(cat, pins, "tri", ["u", "v", "w"], "c_uvw")
-    big = _fold_order(cat, pins, "big", ["u", "v"], "c_uv")
-    uni = _fold_order(cat, pins, "uni", ["w"], "c_w")
+    agg = None
+    for n in deltas:
+        d = cat.read(n)
+        agg = d if agg is None else agg.unionByName(d)
+    if agg is None:
+        tri_d = big_d = uni_d = None
+    else:
+        # per-order slices of the combined delta union; each fold re-reads
+        # the (tiny, batch-sized) delta files rather than sharing one
+        # materialization — the per-epoch path is what must stay O(batch)
+        tri_d, big_d, uni_d, _ = _model_from_agg(agg)
+    tri = _fold_order(cat, pins, tri_d, "tri", ["u", "v", "w"], "c_uvw")
+    big = _fold_order(cat, pins, big_d, "big", ["u", "v"], "c_uv")
+    uni = _fold_order(cat, pins, uni_d, "uni", ["w"], "c_w")
     # No localCheckpoint (round 12): Catalog.commit's concurrent phase-1
     # parquet writes materialize each fold exactly once — the lazy
     # checkpoint made every fold compute into storage blocks and then

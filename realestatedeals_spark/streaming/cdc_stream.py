@@ -57,6 +57,20 @@ class CdcState:
         cur = self._cur()
         if cur is None:
             return None
+        # schema sidecar (round 12): bare parquet reads pay a footer-read
+        # inference job per call, once per epoch here — the writer knows
+        # the schema, so it travels with the snapshot (underscore files
+        # are invisible to Spark's scan)
+        sidecar = os.path.join(cur, "_schema.json")
+        if os.path.exists(sidecar):
+            import json
+
+            from pyspark.sql import types as T
+
+            with open(sidecar) as f:
+                return self.spark.read.schema(
+                    T.StructType.fromJson(json.load(f))
+                ).parquet(cur)
         return self.spark.read.parquet(cur)
 
     def applied_epoch(self) -> int | None:
@@ -92,6 +106,8 @@ class CdcState:
         if os.path.exists(nxt):
             shutil.rmtree(nxt)
         snapshot.write.mode("overwrite").parquet(nxt)
+        with open(os.path.join(nxt, "_schema.json"), "w") as f:
+            f.write(snapshot.schema.json())
         if epoch_id is not None:
             with open(os.path.join(nxt, "_epoch"), "w") as f:
                 f.write(str(epoch_id))

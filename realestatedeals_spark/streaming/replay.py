@@ -8,19 +8,22 @@ its own ``b{i}`` directory, then stamp strictly increasing mtimes so the
 file-source picks them up in order. This module is the one home for that
 choreography.
 
-The batch writes are independent single-file jobs, so they run
-CONCURRENTLY (thread-pool job submission — the same latency shape as
-Catalog.commit's parallel phase-1): the replay's fixture setup costs one
-write's wall time instead of the sum. At ~0.5 s of fixed setup per
-streaming query across a dozen registry entries, this is where the
-headline bench's replay overhead lived (round-10 measurement in
-SCALE.md).
+The batches are written by ONE Spark job (round 12, guide §2.4): every
+batch frame is tagged with a literal batch index, the union is hash-
+partitioned on that index so each batch's rows land in exactly one task
+(⇒ exactly one data file per batch), and the job writes
+``partitionBy(_b)`` into a staging dir whose partition directories are
+then renamed into place. The previous shape — N concurrent single-file
+jobs from a thread pool — paid N job schedulings and N scan plans per
+replay fixture; at ~0.1–0.2 s of per-job machinery across a dozen
+streaming registry entries, that fixed cost was the point (round-10 and
+round-12 measurements in SCALE.md / OPTIMIZATION_r12.md).
 """
 
 from __future__ import annotations
 
 import os
-from concurrent.futures import ThreadPoolExecutor
+import shutil
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -108,23 +111,50 @@ def write_epoch_dirs(
     step: int = STEP,
 ) -> None:
     """Write ``batches[k]`` to ``in_dir/b{start+k}`` as a single parquet
-    file with mtime ``base_ts + (start+k)*step``. Writes run concurrently;
-    mtimes are stamped after each write completes, so ordering is by the
-    stamp alone (never by write completion order)."""
+    file with mtime ``base_ts + (start+k)*step``. All batches are written
+    by one partitioned job (module docstring); mtimes are stamped only
+    after every write has completed, so ordering is by the stamp alone
+    (never by write completion order)."""
     os.makedirs(in_dir, exist_ok=True)
 
-    def _one(k: int, df: DataFrame) -> None:
-        i = start + k
+    def _stamp(i: int) -> None:
         d = os.path.join(in_dir, epoch_dir_name(i))
-        df.coalesce(1).write.parquet(d)
         t = base_ts + i * step
         for fname in os.listdir(d):
             os.utime(os.path.join(d, fname), (t, t))
 
+    def _one(k: int, df: DataFrame) -> None:
+        i = start + k
+        df.coalesce(1).write.parquet(os.path.join(in_dir, epoch_dir_name(i)))
+        _stamp(i)
+
     if len(batches) == 1:
         _one(0, batches[0])
         return
-    with ThreadPoolExecutor(max_workers=min(len(batches), 8)) as pool:
-        futs = [pool.submit(_one, k, df) for k, df in enumerate(batches)]
-    for f in futs:
-        f.result()
+    # ONE job for all batches: tag each frame with its batch index (the
+    # fixture frames never carry a ``_b`` column), hash-partition on it so
+    # a batch is exactly one task's output (one data file per dir even when
+    # two indexes hash-collide into one task — the writer splits files by
+    # partition value), and rename the partition dirs into place.
+    tagged = None
+    for k, df in enumerate(batches):
+        t = df.withColumn("_b", F.lit(start + k))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    stage = os.path.join(in_dir, ".epochs_stage")
+    tagged.repartition(len(batches), "_b").write.partitionBy("_b").parquet(stage)
+    written: set[int] = set()
+    for entry in os.listdir(stage):
+        if entry.startswith("_b="):
+            i = int(entry.split("=", 1)[1])
+            os.rename(os.path.join(stage, entry), os.path.join(in_dir, epoch_dir_name(i)))
+            written.add(i)
+    shutil.rmtree(stage, ignore_errors=True)
+    for k, df in enumerate(batches):
+        i = start + k
+        if i in written:
+            _stamp(i)
+        else:
+            # an EMPTY batch produces no partition dir in the single-job
+            # write; fall back to the per-batch path so the epoch (and its
+            # batch-index accounting downstream) still exists
+            _one(k, df)

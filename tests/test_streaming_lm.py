@@ -106,14 +106,14 @@ def test_delta_fold_compaction_equals_one_shot(spark, tmp_path):
     for i, row in enumerate(texts):
         assert apply_lm_delta_batch(cat, _docs(spark, [row]), i) is True
     assert apply_lm_delta_batch(cat, _docs(spark, [texts[0]]), 0) is False
-    assert sorted(n for n in cat.pins() if n.startswith("tri_d")) == [
-        "tri_d0", "tri_d1", "tri_d2",
+    assert sorted(n for n in cat.pins() if n.startswith("lm_d")) == [
+        "lm_d0", "lm_d1", "lm_d2",
     ]
     pre_compact_v = cat.latest_version()
     compact_lm(cat)
     assert sorted(cat.pins()) == ["big", "tri", "uni"]  # deltas retired
     # time travel: the pre-compaction manifest still resolves a delta
-    assert cat.read("tri_d0", version=pre_compact_v).count() >= 1
+    assert cat.read("lm_d0", version=pre_compact_v).count() >= 1
     # compacted counts == one-shot counts over the same corpus
     sf_dir = str(tmp_path / "corpus")
     _docs(spark, texts).selectExpr(
@@ -155,8 +155,9 @@ def test_compaction_preserves_applied_epoch_watermark(spark, tmp_path):
 
 def test_compaction_ignores_nondelta_tables_containing_d(spark, tmp_path):
     """A pinned table whose NAME merely contains "_d" (scores_daily,
-    big_data) is not a delta: compact_lm must neither fold it into a count
-    table nor drop it from the catalog (round-8 ADVICE, low)."""
+    big_data) — or even an "lm_d" prefix without a numeric epoch — is not
+    a delta: compact_lm must neither fold it into a count table nor drop
+    it from the catalog (round-8 ADVICE, low)."""
     from realestatedeals_spark.plans.streaming_lm import (
         apply_lm_delta_batch,
         compact_lm,
