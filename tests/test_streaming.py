@@ -363,22 +363,33 @@ def test_cdc_torn_batch_both_crash_sides_exactly_once(spark, tmp_path):
     emit_dir = str(tmp_path / "emit")
     crashes = {"A": False, "B": False}
 
-    real_replace = CdcState.replace
+    # The streaming path stages the snapshot concurrently with the
+    # emissions write and only then publishes (the swap) — so "crash
+    # before the state swap" injects at publish(), the rename that makes
+    # the new snapshot + epoch marker visible. (It was replace() before
+    # the stage/publish split; bombing replace would no longer fire on
+    # the streaming path at all.) NOTE: the injected failure must be a
+    # plain Exception raised OUT of the handler — a BaseException (e.g.
+    # pytest's Failed from a non-firing raises block) escaping a
+    # foreachBatch callback breaks the py4j callback protocol and hangs
+    # awaitTermination forever instead of failing the query.
+    real_publish = CdcState.publish
 
     def handle(batch_df, epoch_id):
         if epoch_id == 1 and not crashes["A"]:
-            # crash INSIDE the batch: emissions written, swap never runs
+            # crash INSIDE the batch: emissions written (and the next
+            # snapshot staged invisibly), swap never runs
             crashes["A"] = True
 
-            def bomb(self, snapshot, eid=None):
+            def bomb(self):
                 raise RuntimeError("chaos-A: died before state swap")
 
-            CdcState.replace = bomb
+            CdcState.publish = bomb
             try:
                 with pytest.raises(RuntimeError, match="chaos-A"):
                     process_cdc_batch(batch_df, state, emit_dir, epoch_id=epoch_id)
             finally:
-                CdcState.replace = real_replace
+                CdcState.publish = real_publish
             raise RuntimeError("chaos-A: batch failed")
         process_cdc_batch(batch_df, state, emit_dir, epoch_id=epoch_id)
         if epoch_id == 2 and not crashes["B"]:
