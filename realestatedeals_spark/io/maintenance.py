@@ -511,38 +511,6 @@ class VersionedTable:
             fh.write("")
         return self._publish(stage, expected_latest=expected_latest, max_retries=max_retries)
 
-    def append(self, df: DataFrame, max_retries: int = 20) -> int:
-        """Insert-only commit (INSERT INTO): ``df``'s rows join the
-        cumulative insert store of a merge-on-read version whose base
-        pointer and DV are carried forward unchanged — base data files are
-        never read or rewritten, so an append of k rows costs O(k +
-        |insert store|) written bytes while the snapshot stands still
-        (round 12: the O(batch) ingest epilogue for persisted indexes,
-        e.g. x2_minhash_incremental's signature merge). Key semantics are
-        the caller's: append never checks for duplicates — use
-        ``merge_into`` to upsert. Read-modify-write of the insert store,
-        so a concurrent commit raises ``CommitConflict``."""
-        cur = self.latest_version()
-        if cur is None:
-            return self.commit(df)
-        table_cols = set(self.read(cur).columns)
-        if set(df.columns) != table_cols:
-            raise ValueError(
-                f"append schema {sorted(df.columns)} != table schema "
-                f"{sorted(table_cols)}; use merge_into(allow_schema_evolution=True)"
-            )
-        self._validate_constraints(df)
-        base, dv, ins = self._resolve(cur)
-        if dv is None:
-            # appending onto a full snapshot starts a MoR chain: the DV is
-            # empty (nothing deleted), present only to keep the version
-            # format uniform (_base ⇒ _dv, as _resolve expects)
-            dv = self.spark.createDataFrame(
-                [], "file_path string, row_index bigint"
-            )
-        new_ins = ins.unionByName(df) if ins is not None else df
-        return self._commit_mor(base, dv, new_ins, cur, max_retries)
-
     def delete_where(self, cond, max_retries: int = 20) -> int:
         """Merge-on-read DELETE: matching base rows go into the cumulative
         deletion vector (data files untouched); matching post-base inserts

@@ -100,14 +100,14 @@ def x2_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.commit(minhash_signatures(shingle_sets(old)))  # historical ingest
         index_sig = idx.read()  # signatures come from storage, not lineage
         pairs, sig_new = incremental_minhash_near_duplicates(index_sig, new, docs)
-        # batch epilogue: APPEND the new signatures into the persisted
-        # index — an insert-only MoR commit that writes O(batch) bytes and
-        # never re-reads or rewrites the historical signature files (the
-        # old full-rewrite commit was the one O(index) step left in the
-        # ingest loop; round 12, guide §2.4). New doc_ids are disjoint
-        # from the index by construction (doc_id % 7 split), so append ==
-        # merge here; conflict checking rides _commit_mor's CAS.
-        idx.append(sig_new)
+        # batch epilogue: MERGE the new signatures into the persisted index.
+        # (Round 12 measured an insert-only MoR append here — O(batch)
+        # written bytes instead of O(index) — but the append's extra
+        # commit machinery cost +0.6 s in an interleaved A/B at sf0.1, so
+        # the full-rewrite commit stays; see OPTIMIZATION_r12.md.)
+        idx.commit(
+            index_sig.unionByName(sig_new), expected_latest=idx.latest_version()
+        )
         return pairs.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -497,48 +497,6 @@ def test_delete_where_stacks_cumulatively_and_compacts(spark):
         assert sorted(r["id"] for r in t.read().collect()) == want
 
 
-def test_append_insert_only_no_base_read_or_rewrite(spark):
-    """append (round 12) is the O(batch) ingest epilogue: new rows land in
-    the insert store, base data files are byte-identical afterwards, read()
-    is base ∪ appended, deletes still see appended rows, and a schema
-    mismatch is a typed error — never a silently null-filled union."""
-    import pytest
-
-    with tempfile.TemporaryDirectory() as tmp:
-        t = _dv_table(spark, tmp)
-        base_dir = os.path.join(t.root, "v=1")
-        before = {
-            f: os.path.getmtime(os.path.join(base_dir, f))
-            for f in os.listdir(base_dir)
-        }
-        extra = spark.range(1000, 1010).select(
-            F.col("id"), (F.col("id") % 7).alias("grp"), (F.col("id") * 3).alias("val")
-        )
-        v = t.append(extra)
-        assert sorted(r["id"] for r in t.read().collect()) == list(range(1010))
-        # base files untouched; the append version holds no base data copy
-        after = {
-            f: os.path.getmtime(os.path.join(base_dir, f))
-            for f in os.listdir(base_dir)
-        }
-        assert after == before
-        top = set(os.listdir(os.path.join(t.root, f"v={v}")))
-        assert top == {"_base", "_dv", "_ins", "_SUCCESS", "_commit_ts"}
-        # a second append folds into the cumulative insert store
-        t.append(
-            spark.range(1010, 1015).select(
-                F.col("id"), (F.col("id") % 7).alias("grp"), (F.col("id") * 3).alias("val")
-            )
-        )
-        assert t.read().count() == 1015
-        # MoR delete sees appended rows too
-        assert t.delete_where(F.col("id") >= 1012) == 3
-        assert t.read().count() == 1012
-        # schema guard: missing column is typed, not null-filled
-        with pytest.raises(ValueError, match="append schema"):
-            t.append(spark.range(3).select(F.col("id")))
-
-
 def test_delete_where_nothing_matches_commits_nothing(spark):
     with tempfile.TemporaryDirectory() as tmp:
         t = _dv_table(spark, tmp)
