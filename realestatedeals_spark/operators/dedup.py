@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from realestatedeals_spark.util import free_local_checkpoint
+from realestatedeals_spark.util import free_local_checkpoint, spread_by_id
 
 
 def tokenize(text: F.Column) -> F.Column:
@@ -172,7 +172,13 @@ def minhash_near_duplicates(
     # AND both sides of the exact-verify join, and re-tokenizing the corpus
     # three times dominates the pipeline otherwise. At cluster scale this is
     # the step to persist to storage (or DISK_ONLY) instead.
-    sets_ = shingle_sets(docs, id_col, text_col, k).localCheckpoint(eager=True)
+    # spread first (round 12): the single-split fixture scan otherwise runs
+    # the whole shingle+64-hash stage on one core; the id-keyed exchange
+    # replaces the signature groupBy's own shuffle (measured 1.30 → 0.75 s
+    # for the signature pass at sf0.1, rowsets identical).
+    sets_ = shingle_sets(
+        spread_by_id(docs, id_col), id_col, text_col, k
+    ).localCheckpoint(eager=True)
     sig = minhash_signatures(sets_, num_hashes)
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     return (
@@ -192,6 +198,7 @@ def incremental_minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.9,
+    sets_new: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW document batch against an already-indexed corpus without
     touching the historical documents' text — the shape incremental corpus
@@ -219,10 +226,22 @@ def incremental_minhash_near_duplicates(
     Returns ``(pairs, sig_new)``: the verified near-dup pairs touching the
     new batch, and the new docs' signatures for the caller to MERGE into
     the persisted index (one VersionedTable commit per batch).
+
+    ``sets_new``: optionally the PRECOMPUTED (materialized) hashed-shingle
+    frame of ``new_docs`` (``_id, sset``, the ``shingle_sets`` shape) — a
+    caller that can compute it while the historical index is still being
+    written (guide §2.6 job overlap; see x2_minhash_incremental) passes it
+    here and retains ownership of its checkpoint. Default None computes
+    and checkpoints it internally, exactly as before.
     """
-    # new-batch shingles are computed once and reused for signing AND
-    # verification (checkpointed: they feed two jobs)
-    sets_new = shingle_sets(new_docs, id_col, text_col, k).localCheckpoint(eager=True)
+    if sets_new is None:
+        # new-batch shingles are computed once and reused for signing AND
+        # verification (checkpointed: they feed two jobs); spread first so
+        # the single-split batch scan doesn't pin the shingle stage to one
+        # core
+        sets_new = shingle_sets(
+            spread_by_id(new_docs, id_col), id_col, text_col, k
+        ).localCheckpoint(eager=True)
     sig_new = minhash_signatures(sets_new, num_hashes)
     sig_all = index_sig.unionByName(sig_new)
     bn = banded_signatures(sig_new, num_hashes, bands).alias("a")
@@ -565,7 +584,11 @@ def simhash_near_duplicates(
     distance ≤ 3 matches exactly on ≥ 1 band, so the candidate join is an
     equi-join, never a cross product.
     """
-    sig = simhash64(docs, id_col, text_col)
+    # spread (round 12): the 64 bit-sum aggregates otherwise evaluate on the
+    # scan's one split; the id-keyed exchange is absorbed by the (id, token)
+    # and id groupBys (clustered-by-subset), so exchange count is unchanged
+    # (measured 0.80 → 0.41 s for the signature pass at sf0.1).
+    sig = simhash64(spread_by_id(docs, id_col), id_col, text_col)
     keys = [
         F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)) for b in range(4)
     ]
@@ -599,10 +622,14 @@ def simhash_arith_near_duplicates(
     carried as two uint32 halves in BIGINTs (hi/lo) — band keys and Hamming
     split cleanly across halves and no sign bit is ever touched.
     """
-    # NO repartition before the scan: measured 3.3 s → 4.0 s at sf0.1 with
-    # one — shuffling the wide text column costs more than the single-split
-    # scan serialization saves (unlike _codec_docs, whose seeds are tiny)
-    tok = docs.select(
+    # Repartition re-measured in round 12: the round-9 "no repartition"
+    # A/B (3.3 → 4.0 s) predates the one-groupBy signature rewrite — in the
+    # current shape the id-keyed exchange is absorbed by BOTH the
+    # (id, token) count groupBy and the 64-aggregate signature groupBy
+    # (clustered-by-subset), so it replaces a downstream exchange instead
+    # of adding one, and the explode+count stage stops running on the
+    # fixture scan's single split (2.29 → 2.02 s best at sf0.1).
+    tok = spread_by_id(docs, id_col).select(
         F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     # Materialize the (doc, token) counts once (lazy checkpoint): both the

@@ -96,19 +96,46 @@ def x2_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 7 == 0)
     work = tempfile.mkdtemp(prefix="mh_index_")
     try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from realestatedeals_spark.util import free_local_checkpoint, spread_by_id
+
         idx = VersionedTable(spark, os.path.join(work, "sig_index"))
-        idx.commit(minhash_signatures(shingle_sets(old)))  # historical ingest
+        # Historical ingest and the new batch's shingle materialization are
+        # independent jobs — overlap them (guide §2.6). Spread both scans
+        # first (round 12): the single-split fixture scan otherwise signs
+        # 6/7 of the corpus (and shingles the batch) on one core.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            ingest = pool.submit(
+                idx.commit,
+                minhash_signatures(shingle_sets(spread_by_id(old, "doc_id"))),
+            )
+            sets_new = shingle_sets(
+                spread_by_id(new, "doc_id")
+            ).localCheckpoint(eager=True)
+            ingest.result()
         index_sig = idx.read()  # signatures come from storage, not lineage
-        pairs, sig_new = incremental_minhash_near_duplicates(index_sig, new, docs)
+        pairs, sig_new = incremental_minhash_near_duplicates(
+            index_sig, new, docs, sets_new=sets_new
+        )
         # batch epilogue: MERGE the new signatures into the persisted index.
         # (Round 12 measured an insert-only MoR append here — O(batch)
         # written bytes instead of O(index) — but the append's extra
         # commit machinery cost +0.6 s in an interleaved A/B at sf0.1, so
         # the full-rewrite commit stays; see OPTIMIZATION_r12.md.)
-        idx.commit(
-            index_sig.unionByName(sig_new), expected_latest=idx.latest_version()
-        )
-        return pairs.localCheckpoint(eager=True)
+        # The merge commit and the pair materialization depend on the same
+        # inputs but NOT on each other — overlap them too (§2.6).
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            merge = pool.submit(
+                idx.commit,
+                index_sig.unionByName(sig_new),
+                expected_latest=idx.latest_version(),
+            )
+            out = pairs.localCheckpoint(eager=True)
+            merge.result()
+        # the batch's shingle checkpoint fed its last reader above
+        free_local_checkpoint(sets_new)
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -34,6 +34,26 @@ def inline_frame(spark: SparkSession, names: list[str], rows: list[tuple]) -> Da
     )
 
 
+def spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition to the session's core count ahead of a
+    compute-bound per-document stage (guide §2.5 input skew: a
+    single-row-group parquet file yields ONE scan split no matter how many
+    cores the session has, so everything narrow downstream of the scan —
+    shingling, 64-way hashing, sign folds — runs on one core).
+
+    This is the align-partitions-to-cores move ``_codec_docs`` documents,
+    generalized to operators whose input must carry real text: the
+    exchange is keyed on the document id, so the signature aggregations
+    downstream (groupBy on the id, or on (id, token)) are already
+    clustered and add NO second exchange — total exchange count is
+    unchanged (pinned in tests/test_dedup.py); the shuffle merely moves
+    ahead of the heavy compute. Hash partitioning on the id is
+    deterministic under task retries (guide §2.5 — never round-robin
+    here). Scales with ``defaultParallelism``, not a constant."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, F.col(id_col))
+
+
 def unpartitioned_windows(plan: str) -> int:
     """Count ``Window`` operators in a printed physical plan that have an
     ORDER BY but NO partition key — the single-partition WindowExec shape

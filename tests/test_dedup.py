@@ -286,3 +286,57 @@ def test_winnow_cap_load_bearing_on_boilerplate_corpus(spark, tmp_path):
     assert len(uncapped) > 10 * max(len(capped), 1), (
         f"cap not load-bearing: {len(capped)} capped vs {len(uncapped)} uncapped"
     )
+
+
+def test_spread_preserves_results_and_exchange_count(spark):
+    """Round-12 spread_by_id: the id-keyed repartition in front of the
+    compute-bound shingle/sign stages must (a) change no results and (b)
+    be absorbed by the downstream id-clustered aggregations — the
+    signature pipeline keeps exactly ONE exchange, the repartition having
+    REPLACED the groupBy's shuffle rather than added to it."""
+    from realestatedeals_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_sets,
+        simhash_arith_near_duplicates,
+    )
+    from realestatedeals_spark.util import spread_by_id
+
+    docs = docs_df(spark)
+
+    # (a) rowset equality through the public operators, spread inputs or not
+    for fn in (minhash_near_duplicates, simhash_near_duplicates,
+               simhash_arith_near_duplicates):
+        plain = fn(docs.coalesce(1))
+        wide = fn(docs.repartition(8, "doc_id"))
+        assert plain.exceptAll(wide).count() == 0
+        assert wide.exceptAll(plain).count() == 0
+
+    # (b) exchange-replacement: spread + signature groupBy plans ONE exchange
+    sig = minhash_signatures(shingle_sets(spread_by_id(docs, "doc_id")))
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_incremental_precomputed_sets_new_identical(spark):
+    """Round-12 §2.6 overlap: passing a precomputed/materialized
+    ``sets_new`` into incremental_minhash_near_duplicates must be
+    indistinguishable from the internal computation — same pairs, same
+    signatures to merge."""
+    from realestatedeals_spark.operators.dedup import (
+        incremental_minhash_near_duplicates,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = docs_df(spark)
+    old = docs.filter(F.col("doc_id") != 2)
+    new = docs.filter(F.col("doc_id") == 2)
+    index_sig = minhash_signatures(shingle_sets(old))
+
+    p0, s0 = incremental_minhash_near_duplicates(index_sig, new, docs, threshold=0.5)
+    pre = shingle_sets(new).localCheckpoint(eager=True)
+    p1, s1 = incremental_minhash_near_duplicates(
+        index_sig, new, docs, threshold=0.5, sets_new=pre
+    )
+    assert p0.exceptAll(p1).count() == 0 and p1.exceptAll(p0).count() == 0
+    assert s0.exceptAll(s1).count() == 0 and s1.exceptAll(s0).count() == 0
