@@ -278,7 +278,19 @@ def g4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(√m) outdeg bound that survives skewed catalogs."""
     from realestatedeals_spark.operators.triangles import node_triangles, undirected_edges
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # spread (round 12): the basket-quadratic pair expansion is CPU-bound
+    # and the planner broadcast-joins at this size, so the whole
+    # enumerate+filter+partial-distinct stage otherwise runs on the
+    # fixture scan's ONE split (measured 2.13 → 1.13 s for the edge
+    # build). The exchange carries only (orderkey, partkey); at broadcast-
+    # breaking scale it IS the orderkey exchange an SMJ needs — and both
+    # self-join aliases read the same repartitioned frame, so it is built
+    # once (ReusedExchange), not per side.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(b, "l_orderkey")
