@@ -413,7 +413,14 @@ def x2_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair. With the winnowing guarantee, any pair sharing ≥ 5 fingerprints
     shares substantial verbatim runs — the plagiarism/contamination
     detection primitive at corpus scale."""
-    fp = _winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    from realestatedeals_spark.util import spread_by_id
+
+    # spread (round 12): winnowing's per-doc k-gram hash + sliding-MIN
+    # selection otherwise runs on the fixture scan's one split (measured
+    # 1.09 → 0.59 s best at sf0.1, rowsets identical)
+    fp = _winnow_fingerprints(
+        spread_by_id(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
     # Posting-list honesty (same note as x2_ngram_jaccard): winnowing's MIN
     # selection concentrates globally-small hashes, so a corpus-ubiquitous
     # run can produce a hot fingerprint. The standard mitigation is
@@ -606,7 +613,12 @@ def x4_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical. ``novelty`` is one division of two exact longs — bit-identical
     across engines (no double accumulation anywhere).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from realestatedeals_spark.util import spread_by_id
+
+    # spread (round 12): the trigram slice-zip expressions otherwise build
+    # on the fixture scan's one split (measured 0.96 → 0.68 s best at
+    # sf0.1, rowsets identical)
+    docs = spread_by_id(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
     m = F.size("t") - 2  # number of trigrams

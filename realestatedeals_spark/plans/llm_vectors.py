@@ -105,8 +105,11 @@ def x3_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the LSH variant prunes candidates instead (operators.similarity).
     """
     from realestatedeals_spark.operators.subsample import anchor_subsample
+    from realestatedeals_spark.util import spread_by_id
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread (round 12): the broadcast-join cosine scan otherwise runs on
+    # the fixture scan's one split (measured 0.98 → 0.73 s best at sf0.1)
+    emb = spread_by_id(load_table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -1548,8 +1551,11 @@ def x9_quantization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window, not a second scan.
     """
     from realestatedeals_spark.plans.llm_vectors import quantize_embeddings
+    from realestatedeals_spark.util import spread_by_id
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread (round 12): the quantize + dual-ranking pair scan otherwise
+    # runs on the fixture scan's one split (measured 1.19 → 0.85 s best)
+    emb = spread_by_id(load_table(spark, sf_dir, "embeddings"), "vec_id")
     qn = quantize_embeddings(emb).select(
         "vec_id",
         F.transform("qv", lambda x: x.cast("long")).alias("qv"),

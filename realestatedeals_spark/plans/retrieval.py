@@ -103,7 +103,13 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
 
 @register("x9_rag_retrieval", oracle=_X9_ORACLE, tags=("X9", "retrieval", "pipeline"), bench=True)
 def x9_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from realestatedeals_spark.util import spread_by_id
+
+    # spread (round 12): chunking + the 16-md5 hash embedding per chunk +
+    # the broadcast-join cosines are all narrow, so they otherwise run on
+    # the fixture scan's ONE split (measured 2.05 → 1.37 s best, rowsets
+    # identical; the top-k window shuffles by (q_doc, q_chunk) regardless).
+    docs = spread_by_id(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     chunk_text = F.array_join(F.slice("t", F.col("start") + 1, _CHUNK), " ")
     chunks = (
@@ -209,7 +215,11 @@ def x9_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical ∪ vector retrieval fused with RRF; integer overlap + hash
     cosine keep every rank — and therefore the fused ordering — hash-exact
     against the oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    from realestatedeals_spark.util import spread_by_id
+
+    # spread (round 12): same single-split rationale as x9_rag_retrieval —
+    # the hash embedding and broadcast-join scoring are narrow.
+    docs = spread_by_id(load_table(spark, sf_dir, "documents"), "doc_id")
     base = docs.select(
         "doc_id",
         F.array_distinct(F.filter(F.split("text", " "), lambda t: t != "")).alias("terms"),
