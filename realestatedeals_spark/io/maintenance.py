@@ -767,7 +767,7 @@ class VersionedTable:
         cols_new = [(f.name, f.dataType.simpleString()) for f in new_read.schema.fields]
         if prev is None:
             cols = cols_new
-            old_read = self.spark.createDataFrame([], new_read.schema)
+            old_read = self.spark.createDataFrame([], new_read.schema).coalesce(1)  # 1 partition: the empty parallelized frame spans defaultParallelism empty partitions otherwise (round 12)
             return self._classify_changes(
                 old_read, new_read, keys, cols, drop_unchanged=True
             )
@@ -787,7 +787,7 @@ class VersionedTable:
                 & (F.col("__pos") == F.col("row_index")),
                 "semi",
             ).drop("__file", "__pos")
-            empty = self.spark.createDataFrame([], new_read.schema)
+            empty = self.spark.createDataFrame([], new_read.schema).coalesce(1)  # see old_read note
             ins_p_a = self._aligned(ins_p, cols) if ins_p is not None else self._aligned(empty, cols)
             ins_n_a = self._aligned(ins_n, cols) if ins_n is not None else self._aligned(empty, cols)
             old_side = self._aligned(dead_base, cols).unionByName(

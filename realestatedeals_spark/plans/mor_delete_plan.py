@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from realestatedeals_spark.io.maintenance import VersionedTable
 from realestatedeals_spark.io.sources import load_table
 from realestatedeals_spark.plans.registry import register
+from realestatedeals_spark.util import inline_frame
 
 _MOR_ORACLE = """
 SELECT doc_id, lang,
@@ -49,9 +50,13 @@ def io_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd = t.read().filter(F.col("doc_id") % 31 == 1).select(
             "doc_id", "lang", F.lit("REDACTED").alias("text")
         )
-        extra = spark.createDataFrame(
-            [(-1, "en", "appended row")], "doc_id long, lang string, text string"
-        )
+        # inline_frame, not createDataFrame (round 12): the parallelized
+        # 1-row RDD spanned defaultParallelism partitions, and every
+        # downstream checkpoint/write inherited the fan-out (33-task jobs,
+        # 33-file writes measured here)
+        extra = inline_frame(
+            spark, ["doc_id", "lang", "text"], [(-1, "en", "appended row")]
+        ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "text")
         t.merge_into(upd.unionByName(extra), keys=["doc_id"])
         return t.read().localCheckpoint(eager=True)
     finally:
@@ -103,9 +108,13 @@ def io_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd = t.read().filter(F.col("doc_id") % 31 == 1).select(
             "doc_id", "lang", F.lit("REDACTED").alias("text")
         )
-        extra = spark.createDataFrame(
-            [(-1, "en", "appended row")], "doc_id long, lang string, text string"
-        )
+        # inline_frame, not createDataFrame (round 12): the parallelized
+        # 1-row RDD spanned defaultParallelism partitions, and every
+        # downstream checkpoint/write inherited the fan-out (33-task jobs,
+        # 33-file writes measured here)
+        extra = inline_frame(
+            spark, ["doc_id", "lang", "text"], [(-1, "en", "appended row")]
+        ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "text")
         t.merge_into(upd.unionByName(extra), keys=["doc_id"])  # v3: updates + insert
         t.optimize()  # v4: rebase; must emit no change rows
         return t.table_changes(keys=["doc_id"]).localCheckpoint(eager=True)
@@ -287,8 +296,12 @@ def io_cdf_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd = t.read().filter(F.col("doc_id") % 31 == 1).select(
             "doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars")
         )
-        extra = spark.createDataFrame(
-            [(-1, "xx", 777)], "doc_id long, lang string, n_chars long"
+        extra = inline_frame(  # 1-partition literal row (see io_mor_delete)
+            spark, ["doc_id", "lang", "n_chars"], [(-1, "xx", 777)]
+        ).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
         )
         t.merge_into(upd.unionByName(extra), keys=["doc_id"])  # v3
         changes = t.table_changes(keys=["doc_id"])

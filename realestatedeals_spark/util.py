@@ -27,8 +27,13 @@ def inline_frame(spark: SparkSession, names: list[str], rows: list[tuple]) -> Da
     structs = [
         F.struct(*[lit_any(v).alias(n) for n, v in zip(names, row)]) for row in rows
     ]
+    # range(0, 1, 1, numPartitions=1): the bare range(1) spans
+    # defaultParallelism partitions (31 of them empty), and every frame
+    # derived from this one inherits that fan-out — measured as 33-task
+    # checkpoints and 33-file writes wherever a literal row rode along
+    # (round 12, io_mor_delete). One row, one partition.
     return (
-        spark.range(1)
+        spark.range(0, 1, 1, 1)
         .select(F.explode(F.array(*structs)).alias("_r"))
         .select("_r.*")
     )
