@@ -477,14 +477,25 @@ def rademacher_bucketize(
 ) -> DataFrame:
     """(id, tbl, bucket) rows — one row per input vector per LSH table, with
     ``bucket`` the ``n_planes``-bit sign pattern against the Rademacher
-    planes (plane index tp = tbl·n_planes + p + 1, bit p → 1 << p). The
-    plane dots accumulate DIM-BY-DIM in float64 — the same left-to-right
-    IEEE summation order as the SQL twin's per-dim list_sum — so a dot
-    within summation-order noise of zero still flips the SAME way on both
-    engines: sign agreement is bit-exact by construction, not argued from
-    magnitude (a BLAS matmul's pairwise summation could disagree with the
-    oracle on a near-zero dot — ADVICE r11). One vectorized outer-product
-    add per dim per Arrow batch; dim adds of a (batch × T·P) block."""
+    planes (plane index tp = tbl·n_planes + p + 1, bit p → 1 << p).
+
+    Sign-exactness contract (ADVICE r11): the oracle's SQL twin sums the
+    per-dim products LEFT-TO-RIGHT in float64, and a BLAS matmul's pairwise
+    summation could disagree with that order on a dot within rounding noise
+    of zero. Only the SIGN of each dot is consumed, so the r12 dim-by-dim
+    loop (which de-vectorized the hot Arrow stage to dim numpy calls per
+    batch — driver-measured 0.55×/0.79× on x9_rerank_mmr /
+    x5_embedding_near_dup_lsh_hi) is overkill for every dot that is not
+    razor-close to zero. Instead: ONE float64 matmul, then re-run the exact
+    sequential accumulation ONLY for rows whose |dot| falls within the
+    worst-case summation-error bound of zero. Any float64 summation tree of
+    n terms t_k satisfies |ŝ − Σt_k| ≤ (n−1)·u·Σ|t_k| (u = 2⁻⁵³), the
+    products e_d·(±1) are exact, so matmul and sequential results differ by
+    at most 2(n−1)·u·Σ|e_d|; outside the (4×-padded) bound the matmul sign
+    IS the sequential sign, inside it the sequential value is used
+    verbatim. Output bit-identical to the sequential loop by construction;
+    the fallback fires only on adversarially-near-zero dots (never on the
+    fixtures — pinned by tests/test_similarity.py)."""
     import pandas as pd
 
     planes = rademacher_planes(dim, n_tables * n_planes)
@@ -495,9 +506,17 @@ def rademacher_bucketize(
                 continue
             ids = pdf["_id"].to_numpy()
             e = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            acc = np.zeros((len(ids), planes.shape[0]))
-            for d in range(e.shape[1]):
-                acc += e[:, d : d + 1] * planes[:, d]
+            acc = e @ planes.T
+            err_bound = (4.0 * e.shape[1] * np.finfo(np.float64).eps) * np.abs(
+                e
+            ).sum(axis=1, keepdims=True)
+            unsafe_rows = np.nonzero((np.abs(acc) <= err_bound).any(axis=1))[0]
+            if unsafe_rows.size:
+                esub = e[unsafe_rows]
+                sub = np.zeros((unsafe_rows.size, planes.shape[0]))
+                for d in range(esub.shape[1]):
+                    sub += esub[:, d : d + 1] * planes[:, d]
+                acc[unsafe_rows] = sub
             bits = (acc > 0).reshape(len(ids), n_tables, n_planes)
             keys = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=2)
             yield pd.DataFrame(

@@ -130,8 +130,38 @@ def _model_from_agg(agg: DataFrame):
 
 
 def _model(spark: SparkSession, sf_dir: str):
-    """Count tables of the stupid-backoff model, trained on even doc_ids."""
-    return _model_from_agg(_model_agg(spark, sf_dir))
+    """Count tables of the stupid-backoff model, trained on even doc_ids.
+
+    Per-order explode+aggregate pipelines, NOT the combined GROUPING SETS
+    frame: in a single uncached batch plan every use of a count table would
+    drag its own copy of the 3-way Expand along (12 Expand nodes in the r12
+    after-plan — each expands every exploded position 3× only for the
+    pushed gid filter to discard 2/3), which the driver measured at
+    0.49–0.79× (r12 PERF). The combined ``_agg_counts`` form is the right
+    shape ONLY where the frame is materialized once and sliced — c16 caches
+    it, c15b's deltas fold it — and those paths build it directly via
+    ``_model_agg``/``_model_from_agg``. Row contents of the two forms are
+    identical (verified rowset-identical at sf0.01 in r12)."""
+    train = _words(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    )
+    tri = (
+        _ngrams(train, 3)
+        .groupBy(F.col("g0").alias("u"), F.col("g1").alias("v"), F.col("g2").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c_uvw"))
+    )
+    big = (
+        _ngrams(train, 2)
+        .groupBy(F.col("g0").alias("u"), F.col("g1").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c_uv"))
+    )
+    uni = (
+        _ngrams(train, 1)
+        .groupBy(F.col("g0").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    total = uni.agg(F.sum("c_w").alias("n_total"))
+    return tri, big, uni, total
 
 
 _LM_TRAIN_ORACLE = """

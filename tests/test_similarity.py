@@ -537,6 +537,64 @@ def test_rademacher_planes_balance_and_independence():
     assert np.abs(C).max() <= 0.75, "planes are correlated/duplicated"
 
 
+def test_rademacher_bucketize_matmul_bit_identical_to_sequential(spark):
+    """r13: ``rademacher_bucketize`` computes plane dots with one BLAS
+    matmul plus an exact sequential re-accumulation for rows whose |dot|
+    falls inside the worst-case summation-error bound of zero. This pins
+    (a) bucket output bit-identical to the pure left-to-right dim loop on
+    random vectors, and (b) the fallback actually firing — and still
+    agreeing with the sequential reference — on a vector engineered so a
+    plane dot cancels to exactly zero (inside any error bound)."""
+    import numpy as np
+
+    from realestatedeals_spark.operators.similarity import (
+        rademacher_bucketize,
+        rademacher_planes,
+    )
+
+    dim, n_planes, n_tables = 64, 8, 4
+    planes = rademacher_planes(dim, n_tables * n_planes)
+
+    rng = np.random.default_rng(7)
+    E = rng.standard_normal((50, dim))
+    # adversarial row: components paired (+a, -a) along plane 0's signs, so
+    # the plane-0 dot cancels to exactly 0.0 in ANY summation order — inside
+    # every error bound, forcing the sequential fallback for this row.
+    mags = np.repeat(rng.uniform(0.5, 2.0, dim // 2), 2)
+    signs = np.tile([1.0, -1.0], dim // 2)
+    E[0] = planes[0] * mags * signs
+    acc = E @ planes.T
+    bound = (4.0 * dim * np.finfo(np.float64).eps) * np.abs(E).sum(
+        axis=1, keepdims=True
+    )
+    assert (np.abs(acc[0]) <= bound[0]).any(), "crafted row must trip the fallback"
+
+    # sequential left-to-right reference (the r12 oracle-exact form)
+    ref = np.zeros((E.shape[0], planes.shape[0]))
+    for d in range(dim):
+        ref += E[:, d : d + 1] * planes[:, d]
+    bits = (ref > 0).reshape(E.shape[0], n_tables, n_planes)
+    want = {
+        (i, t, int(k))
+        for i, row in enumerate(
+            (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=2)
+        )
+        for t, k in enumerate(row)
+    }
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in E[i]]) for i in range(E.shape[0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["_id"], r["tbl"], r["bucket"])
+        for r in rademacher_bucketize(
+            df, "vec_id", "embedding", dim, n_planes, n_tables
+        ).collect()
+    }
+    assert got == want
+
+
 def test_rp_lsh_query_candidates_planted_recall(spark):
     """x9_rerank_mmr's candidate stage: on a corpus WITH similarity
     structure (each query gets 4 planted neighbors at cosine ≈ 0.97, amid
