@@ -40,23 +40,70 @@ def inline_frame(spark: SparkSession, names: list[str], rows: list[tuple]) -> Da
 
 
 def spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
-    """Hash-repartition to the session's core count ahead of a
-    compute-bound per-document stage (guide §2.5 input skew: a
-    single-row-group parquet file yields ONE scan split no matter how many
-    cores the session has, so everything narrow downstream of the scan —
-    shingling, 64-way hashing, sign folds — runs on one core).
+    """Hash-repartition ahead of a compute-bound per-document stage
+    (guide §2.5 input skew: a single-row-group parquet file yields ONE
+    scan split no matter how many cores the session has, so everything
+    narrow downstream of the scan — shingling, 64-way hashing, sign
+    folds — runs on one core).
 
-    This is the align-partitions-to-cores move ``_codec_docs`` documents,
-    generalized to operators whose input must carry real text: the
-    exchange is keyed on the document id, so the signature aggregations
-    downstream (groupBy on the id, or on (id, token)) are already
-    clustered and add NO second exchange — total exchange count is
-    unchanged (pinned in tests/test_dedup.py); the shuffle merely moves
-    ahead of the heavy compute. Hash partitioning on the id is
-    deterministic under task retries (guide §2.5 — never round-robin
-    here). Scales with ``defaultParallelism``, not a constant."""
+    The exchange is keyed on the document id, so the signature
+    aggregations downstream (groupBy on the id, or on (id, token)) are
+    already clustered and add NO second exchange — total exchange count
+    is unchanged (pinned in tests/test_dedup.py); the shuffle merely
+    moves ahead of the heavy compute. Hash partitioning on the id is
+    deterministic under task retries (guide §2.5 — never round-robin).
+
+    Partition count derives from INPUT SIZE, not the core count
+    (round 13): the r12 blanket defaultParallelism spread oversharded
+    tiny inputs — the driver measured x2_minhash_near_dup/incremental
+    0.77×/0.87× with 8 cores beating 32, and an interleaved 4-variant A/B
+    at sf0.1 confirmed 8-way beats 32-way on the whole minhash/trigram
+    family while costing ≲0.1 s on the compute-densest callers (rag,
+    winnow). One partition per ``SPARK_GRAFT_SPREAD_SPLIT_BYTES``
+    (default 64 KiB) of compressed input, clamped to
+    [2, defaultParallelism]: at sf0.1 documents (0.6 MB) that is 10-way;
+    at sf1+ the clamp binds and behavior matches r12; the constant only
+    matters at tiny scale. The spread is SKIPPED outright when the scan
+    already yields at least that many splits (guide §2.4: at warehouse
+    scale a multi-file table arrives with ≥ cores splits and the
+    repartition would be a pure extra shuffle of full text rows);
+    frames whose input files are unknowable (unions, in-memory) keep the
+    r12 core-count spread."""
+    import math
+    import os
+
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism, F.col(id_col))
+    par = sc.defaultParallelism
+    try:
+        files = list(df.inputFiles())
+    except Exception:  # noqa: BLE001 — plan without a file scan
+        files = []
+    n = par
+    if files:
+        split_bytes = int(
+            os.environ.get("SPARK_GRAFT_SPREAD_SPLIT_BYTES", str(64 * 1024))
+        )
+        # maxPartitionBytes is pinned to 128 MB in session.DEFAULT_CONF;
+        # per-file ceil is a (documented) overestimate of scan splits when
+        # many small files pack into one split — overestimating only makes
+        # the skip MORE likely exactly where inputs are already parallel.
+        max_pb = 128 * 1024 * 1024
+        total = 0
+        est_splits = 0
+        for p in files:
+            local = p[7:] if p.startswith("file:") else p
+            try:
+                sz = os.stat(local).st_size
+            except OSError:
+                total, est_splits = 0, 0
+                break
+            total += sz
+            est_splits += max(1, math.ceil(sz / max_pb))
+        if total:
+            n = min(par, max(2, math.ceil(total / split_bytes)))
+            if est_splits >= n:
+                return df
+    return df.repartition(n, F.col(id_col))
 
 
 def unpartitioned_windows(plan: str) -> int:

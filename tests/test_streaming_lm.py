@@ -189,3 +189,27 @@ def test_compaction_with_nothing_to_fold_raises_typed(spark, tmp_path):
     cat.commit({"unrelated": spark.createDataFrame([(1,)], "k long")})
     with pytest.raises(ValueError, match="nothing to compact"):
         compact_lm(cat)
+
+
+def test_lookup_scoring_path_rowset_identical_to_plain(spark, sf_dir):
+    """r13: c16 scores every epoch through the string-keyed count lookup
+    (ngram_count_lookup + score_documents(lookup=...)). Pins that the
+    lookup path's output is rowset-identical to the plain per-table join
+    path on real fixture data — the space-count key argument (tokens can
+    never contain a space, so orders cannot collide) made executable."""
+    from pyspark.sql import functions as F
+
+    from realestatedeals_spark.io.sources import load_table
+    from realestatedeals_spark.plans.llm_lm import (
+        _model,
+        ngram_count_lookup,
+        score_documents,
+    )
+
+    model = _model(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    plain = score_documents(docs, model)
+    lookup = ngram_count_lookup(model).localCheckpoint(eager=True)
+    via_lookup = score_documents(docs, model, lookup=lookup)
+    assert plain.exceptAll(via_lookup).count() == 0
+    assert via_lookup.exceptAll(plain).count() == 0
