@@ -20,8 +20,8 @@ from realestatedeals_spark.operators.multimodal import (
 from realestatedeals_spark.plans.registry import register
 
 
-def _codec_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
-    """Documents seed columns, repartitioned to the session's parallelism.
+def _codec_docs(spark: SparkSession, sf_dir: str, *cols: str, wide: bool = False) -> DataFrame:
+    """Documents seed columns, hash-repartitioned for the codec stage.
 
     Every codec query below synthesizes media from these seeds and runs
     CPU-bound encode/decode inside mapInPandas — but the driver fixture
@@ -35,10 +35,25 @@ def _codec_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     again for x5_multimodal_dedup_report in round 10, which now splits
     its text branch off this helper). Hash-partitioning on doc_id keeps
     the exchange deterministic under task retries (round-robin
-    repartition is not). At cluster scale this is the standard
-    align-partitions-to-cores move in front of a compute-bound stage."""
+    repartition is not).
+
+    ``wide`` (round 13): the default routes through ``util.spread_by_id``
+    (size-derived partition count, ~10-way at sf0.1) — single-core
+    microbenchmarks put most codecs at 0.01–0.6 s for the WHOLE sf0.1
+    corpus, so their stages are task-machinery-bound and a 32-way spread
+    of 800 rows was pure overhead (interleaved A/B: the banded trio
+    1.07–1.15 → 0.76–0.82 s median, multimodal report 2.15 → 1.10 s).
+    The genuinely compute-dense codecs (measured ≥ ~1 s single-core per
+    sf0.1 corpus: JPEG DCT/Huffman ~0.6 s, GIF LZW 2.6 s, FLAC 6.7 s,
+    ADPCM 1.6 s, MJPEG) pass ``wide=True`` to keep the full core-count
+    spread the same A/B showed they still profit from (jpeg_roundtrip
+    1.38 → 1.62 s median under the sized spread)."""
     df = load_table(spark, sf_dir, "documents").select(*cols)
-    return df.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    if wide:
+        return df.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    from realestatedeals_spark.util import spread_by_id
+
+    return spread_by_id(df, "doc_id")
 
 
 
@@ -402,7 +417,7 @@ def x5_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realestatedeals_spark.operators.flac import encode_flac
     from realestatedeals_spark.operators.multimodal import audio_features
 
-    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars", wide=True)
 
     def encode(batches):
         for pdf in batches:
@@ -502,7 +517,7 @@ def x5_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_ima_adpcm,
     )
 
-    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars", wide=True)
 
     def encode(batches):
         for pdf in batches:
@@ -550,7 +565,7 @@ def x5_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from realestatedeals_spark.operators.multimodal import encode_gif_gray
 
-    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars", wide=True)
 
     def encode(batches):
         for pdf in batches:
@@ -613,7 +628,7 @@ def x5_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_gif_animation,
     )
 
-    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars", wide=True)
 
     def encode(batches):
         for pdf in batches:
@@ -686,7 +701,7 @@ def x5_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from realestatedeals_spark.operators.multimodal import encode_jpeg_gray
 
-    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars", wide=True)
 
     def encode(batches):
         for pdf in batches:
@@ -736,7 +751,7 @@ def x5_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from realestatedeals_spark.operators.multimodal import encode_jpeg_progressive
 
-    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars", wide=True)
 
     def encode(batches):
         for pdf in batches:
@@ -929,7 +944,7 @@ def x5_avi_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_gray,
     )
 
-    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars")
+    docs = _codec_docs(spark, sf_dir, "doc_id", "n_chars", wide=True)
 
     def encode(batches):
         for pdf in batches:
